@@ -1,0 +1,379 @@
+"""The analyst query surface (SURVEY.md §2.13, parity group).
+
+Each query re-expresses one of the reference's analytical queries
+(``sql/aggregations.sql``, ``sql/make_view.sql``) over the synthetic
+star-schema tables. Every builder has a matching ANSI-SQL oracle string
+(``ORACLES``) that DuckDB runs on the same parquet files; the driver
+compares row-count + schema + order-insensitive value-hash.
+
+Determinism rules used throughout (and required for the hash compare):
+- every computed column is aliased identically in Spark and SQL;
+- top-k queries carry an explicit ORDER BY with a unique tie-break key;
+- double SUM/AVG go through exact DECIMAL(18,6) sums (order-independent
+  addition → identical bits regardless of partitioning — see
+  ``functions.exact_sum``).
+
+Scale notes are attached per query: joins against small dimensions are
+explicitly broadcast (at 100 TB the fact side never shuffles for these);
+aggregations rely on Spark's partial (map-side) aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import day_number, exact_sum, synth_key
+from ..tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# q_topk_count — top-10 group-count (reference sql/aggregations.sql:2-5,
+# "number of rentals per bike").  groupBy → partial+final hash agg →
+# TakeOrderedAndProject (no global sort at scale).
+# ---------------------------------------------------------------------------
+
+def q_topk_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l_suppkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_topk_join_count — fact ⟕ broadcast dim + date-range filter + top-k
+# (reference sql/aggregations.sql:8-14, "most popular destination 2021").
+# The year filter is pushed into the parquet scan; `part` is broadcast so
+# the fact side never shuffles.
+# ---------------------------------------------------------------------------
+
+def q_topk_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("p_name"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_filter_hour_topk — equality predicate on hour + join + top-k
+# (reference sql/aggregations.sql:17-26, "popular destinations 3-4AM").
+# ---------------------------------------------------------------------------
+
+def q_filter_hour_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        events.where(F.hour("ts") == 3)
+        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"), "left")
+        .groupBy("c_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("c_name"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_group_by_hour — journeys per hour-of-day, ordered
+# (reference sql/aggregations.sql:28-34).
+# ---------------------------------------------------------------------------
+
+def q_group_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.hour("ts").cast("int").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_moving_avg — 7-day trailing average, RANGE frame over a day number
+# (reference sql/aggregations.sql:36-42: AVG ... OVER (ORDER BY
+# UNIX_DATE(DATE(ts)) RANGE BETWEEN 7 PRECEDING AND CURRENT ROW);
+# generalized with PARTITION BY user, as the reference's per-location
+# window would need at scale). Daily pre-aggregation happens first, so
+# the window state per partition is bounded by days, not events.
+# ---------------------------------------------------------------------------
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", day_number("ts").alias("day_num")
+    ).agg(exact_sum("value", "daily_value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_num")
+        .rangeBetween(-7, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day_num",
+        (
+            F.sum(F.col("daily_value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("avg_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_case_bucket_count — CASE bucketing + 2-key group-count (reference CTE
+# `categorical_weather_2021`, sql/aggregations.sql:44-66).
+# ---------------------------------------------------------------------------
+
+def price_band() -> "F.Column":
+    return (
+        F.when(F.col("o_totalprice") >= 300000, F.lit("high"))
+        .when(F.col("o_totalprice") >= 150000, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+
+
+PRICE_BAND_SQL = (
+    "CASE WHEN o_totalprice >= 300000 THEN 'high' "
+    "WHEN o_totalprice >= 150000 THEN 'mid' ELSE 'low' END"
+)
+
+
+def q_case_bucket_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(price_band().alias("price_band"), "o_orderstatus")
+        .groupBy("price_band", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("price_band", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_bucket_by_location — 2-key group-count over a bucketed attribute
+# (reference sql/aggregations.sql:68-71: GROUP BY location_id, is_warm).
+# ---------------------------------------------------------------------------
+
+def bal_band() -> "F.Column":
+    return (
+        F.when(F.col("c_acctbal") >= 7500, F.lit("high"))
+        .when(F.col("c_acctbal") >= 2500, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+
+
+BAL_BAND_SQL = (
+    "CASE WHEN c_acctbal >= 7500 THEN 'high' "
+    "WHEN c_acctbal >= 2500 THEN 'mid' ELSE 'low' END"
+)
+
+
+def q_bucket_by_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.select(F.col("c_nationkey").cast("int").alias("c_nationkey"), bal_band().alias("bal_band"))
+        .groupBy("c_nationkey", "bal_band")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("c_nationkey", "bal_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_join_cte_inner — fact ⨝ derived-attribute CTE
+# (reference sql/aggregations.sql:73-79). Exercises the SQL API end to
+# end, like the reference's analyst surface; the CTE dimension is small →
+# Catalyst broadcasts it.
+# ---------------------------------------------------------------------------
+
+def q_join_cte_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        f"""
+        WITH bucketed_customer AS (
+            SELECT c_custkey, {BAL_BAND_SQL} AS bal_band FROM customer
+        )
+        SELECT bal_band, CAST(count(1) AS BIGINT) AS cnt
+        FROM orders INNER JOIN bucketed_customer ON o_custkey = c_custkey
+        GROUP BY bal_band
+        ORDER BY bal_band
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_star_view — the denormalizing star-join view with role-playing dims
+# (reference sql/make_view.sql:3-32: fact ⟕ locations ×2 ⟕ weather ×2,
+# concat'd key columns). Here: lineitem ⟕ supplier ⟕ part ⟕ orders ⟕
+# customer, with `nation` joined twice (customer-side and supplier-side
+# role-playing). All dims broadcast; the fact never shuffles.
+# ---------------------------------------------------------------------------
+
+def q_star_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    c_nation = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("c_nation_name")
+    )
+    s_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("s_nation_name")
+    )
+    return (
+        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"), "left")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left")
+        .join(F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderstatus")),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .join(F.broadcast(c_nation), F.col("c_nationkey") == F.col("cn_key"), "left")
+        .join(F.broadcast(s_nation), F.col("s_nationkey") == F.col("sn_key"), "left")
+        .select(
+            synth_key("l_orderkey", "l_linenumber").alias("line_key"),
+            "l_quantity",
+            "s_name",
+            "p_name",
+            "o_orderstatus",
+            "c_name",
+            "c_mktsegment",
+            "c_nation_name",
+            "s_nation_name",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_pricing_summary — grouped multi-aggregate scan (TPC-H Q1 shape; the
+# reference's grouped aggregations generalized). Money sums via exact
+# decimal; averages as exact-sum / count.
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", "sum_qty"),
+            exact_sum("l_extendedprice", "sum_base_price"),
+            exact_sum(disc_price, "sum_disc_price"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL — same semantics, same aliases, same determinism
+# rules. Exact decimal sums mirror functions.exact_sum.
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "q_topk_count": """
+        SELECT l_suppkey, count(1)::BIGINT AS cnt
+        FROM lineitem GROUP BY l_suppkey
+        ORDER BY cnt DESC, l_suppkey LIMIT 10
+    """,
+    "q_topk_join_count": """
+        SELECT p_name, count(1)::BIGINT AS cnt
+        FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY p_name ORDER BY cnt DESC, p_name LIMIT 10
+    """,
+    "q_filter_hour_topk": """
+        SELECT c_name, count(1)::BIGINT AS cnt
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+        WHERE hour(ts) = 3
+        GROUP BY c_name ORDER BY cnt DESC, c_name LIMIT 10
+    """,
+    "q_group_by_hour": """
+        SELECT hour(ts)::INT AS hour, count(1)::BIGINT AS cnt
+        FROM events GROUP BY 1 ORDER BY hour
+    """,
+    "q_moving_avg": """
+        WITH daily AS (
+            SELECT user_id,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::INT AS day_num,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS daily_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, day_num,
+               CAST(sum(CAST(daily_value AS DECIMAL(18,6)))
+                        OVER (PARTITION BY user_id ORDER BY day_num
+                              RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / count(1) OVER (PARTITION BY user_id ORDER BY day_num
+                                RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS avg_7d
+        FROM daily
+    """,
+    "q_case_bucket_count": f"""
+        SELECT {PRICE_BAND_SQL} AS price_band, o_orderstatus, count(1)::BIGINT AS cnt
+        FROM orders GROUP BY 1, 2 ORDER BY price_band, o_orderstatus
+    """,
+    "q_bucket_by_location": f"""
+        SELECT c_nationkey::INT AS c_nationkey, {BAL_BAND_SQL} AS bal_band,
+               count(1)::BIGINT AS cnt
+        FROM customer GROUP BY 1, 2 ORDER BY c_nationkey, bal_band
+    """,
+    "q_join_cte_inner": f"""
+        WITH bucketed_customer AS (
+            SELECT c_custkey, {BAL_BAND_SQL} AS bal_band FROM customer
+        )
+        SELECT bal_band, count(1)::BIGINT AS cnt
+        FROM orders INNER JOIN bucketed_customer ON o_custkey = c_custkey
+        GROUP BY bal_band ORDER BY bal_band
+    """,
+    "q_star_view": """
+        SELECT concat_ws('_', l_orderkey, l_linenumber) AS line_key,
+               l_quantity, s_name, p_name, o_orderstatus, c_name,
+               c_mktsegment,
+               cn.n_name AS c_nation_name, sn.n_name AS s_nation_name
+        FROM lineitem
+        LEFT JOIN supplier ON l_suppkey = s_suppkey
+        LEFT JOIN part ON l_partkey = p_partkey
+        LEFT JOIN orders ON l_orderkey = o_orderkey
+        LEFT JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN nation cn ON c_nationkey = cn.n_nationkey
+        LEFT JOIN nation sn ON s_nationkey = sn.n_nationkey
+    """,
+    "q_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(1) AS avg_qty,
+               count(1)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+}
+
+QUERIES = {
+    "q_topk_count": q_topk_count,
+    "q_topk_join_count": q_topk_join_count,
+    "q_filter_hour_topk": q_filter_hour_topk,
+    "q_group_by_hour": q_group_by_hour,
+    "q_moving_avg": q_moving_avg,
+    "q_case_bucket_count": q_case_bucket_count,
+    "q_bucket_by_location": q_bucket_by_location,
+    "q_join_cte_inner": q_join_cte_inner,
+    "q_star_view": q_star_view,
+    "q_pricing_summary": q_pricing_summary,
+}

@@ -1,0 +1,49 @@
+"""Central registry of declared queries and their DuckDB oracles.
+
+``__spark_entry__.py`` (the driver contract) and ``bench.py`` both read
+from here. Each entry: name → callable(spark, sf_dir) -> DataFrame, and
+(where SQL-expressible) name → ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+#: Subset used by bench.py as the headline set (kept roughly stable
+#: across rounds so BENCH_r{N}.json is comparable).
+BENCH_QUERIES: list[str] = []
+
+
+def _register(queries: dict[str, QueryFn], oracles: dict[str, str], bench: list[str]) -> None:
+    QUERIES.update(queries)
+    ORACLES.update(oracles)
+    BENCH_QUERIES.extend(bench)
+
+
+def _load_all() -> None:
+    from .plans import queries as analyst
+
+    _register(analyst.QUERIES, analyst.ORACLES, list(analyst.QUERIES))
+
+    from .plans import pipelines
+
+    _register(pipelines.QUERIES, pipelines.ORACLES, pipelines.BENCH)
+
+    from .operators import dedup, multimodal, similarity, text
+
+    for mod in (dedup, similarity, text, multimodal):
+        _register(mod.QUERIES, mod.ORACLES, getattr(mod, "BENCH", list(mod.QUERIES)))
+
+    from .streaming import jobs as streaming_jobs
+
+    _register(streaming_jobs.QUERIES, streaming_jobs.ORACLES, [])
+
+
+_load_all()

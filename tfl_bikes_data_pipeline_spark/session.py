@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+Mirrors the reference's session setup (``spark/transform_load.py:512-525``:
+yarn-vs-local master, partition-column type inference disabled) but tuned
+for the Spark-first engine: AQE enabled for runtime re-planning and skew
+handling, UTC session timezone (required for DuckDB-oracle comparison),
+Arrow enabled for the Pandas-UDF extension operators, and shuffle
+partitions sized to the local core count rather than the 200 default.
+
+At cluster scale the same factory applies unchanged — only ``master`` and
+the memory/shuffle sizing knobs move to spark-submit conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tfl_bikes_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Local default: ``local[$SPARK_GRAFT_CPUS]`` (falls back to all cores).
+    On a real cluster, pass ``master=None`` with spark-submit providing it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = os.cpu_count() or 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # reference disables partition-column type inference
+        # (transform_load.py:525); we keep partition values as strings.
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        # idempotent month re-runs overwrite only the months present in
+        # the incoming frame (reference append/overwrite flip at :438,:496)
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # parquet TIMESTAMP(NANOS) (the events fixture) is otherwise
+        # unreadable; read as long and convert in the loader
+        # (tables.load_table) — stays distributed, no driver round-trip.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,56 @@
+"""Loaders for the synthetic star-schema test tables (TESTDATA.md).
+
+Parquet scans stay declarative so Catalyst performs column pruning and
+predicate pushdown into the parquet reader (the reference hand-rolls this
+with a manual BigQuery ``filter`` option, ``spark/transform_load.py:465-483``
+— here it is free).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # nanosecond-precision timestamp columns arrive as long (see
+    # spark.sql.legacy.parquet.nanosAsLong in session.py); convert to
+    # microsecond timestamps with integer math (ns magnitudes exceed
+    # double precision, so no float division).
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    if not names:
+        names = TABLE_NAMES
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register tables as temp views so the SQL API surface (the analog of
+    the reference's ``sql/aggregations.sql`` analyst queries) can run."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
