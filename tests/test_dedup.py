@@ -1,0 +1,82 @@
+"""Semantic tests for the dedup operators on crafted inputs — the
+oracle differential proves engine-equivalence; these prove the
+operators actually find duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tfl_bikes_data_pipeline_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_rel,
+    simhash,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm windowsill", "cold windowsill")  # 2 shingles differ
+FAR = (
+    "completely different content about spark query engines and shuffle "
+    "partitioning strategies for large scale distributed aggregation jobs"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)]  # 4 = exact dup of 1
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    sh = shingle_rel(docs)
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    pairs = {(r.doc_a, r.doc_b) for r in jaccard_pairs(sh, 0.5, cands).collect()}
+    assert (1, 2) in pairs, "near-dup pair missed by LSH"
+    assert (1, 4) in pairs, "exact dup pair missed by LSH"
+    assert not any(3 in p for p in pairs), "unrelated doc flagged"
+
+
+def test_lsh_candidates_subset_of_jaccard_universe(spark, docs):
+    """LSH prunes candidate generation; verified pairs must be a subset
+    of (and here equal to) the exhaustive jaccard pairs."""
+    sh = shingle_rel(docs)
+    exhaustive = {(r.doc_a, r.doc_b) for r in jaccard_pairs(sh, 0.5).collect()}
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    lsh = {(r.doc_a, r.doc_b) for r in jaccard_pairs(sh, 0.5, cands).collect()}
+    assert lsh <= exhaustive
+    assert lsh == exhaustive  # at this similarity level, full recall
+
+
+def test_simhash_exact_dups_collide_near_dups_close(spark, docs):
+    hashes = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert hashes[1] == hashes[4], "identical docs must collide"
+    ham = bin(hashes[1] ^ hashes[2]).count("1")
+    ham_far = bin(hashes[1] ^ hashes[3]).count("1")
+    assert ham <= ham_far, "near-dup should be at most as distant as unrelated doc"
+
+
+def test_embedding_near_dup_planted(spark):
+    v1 = [1.0, 0.0, 0.5, 0.2]
+    v1_dup = [0.999, 0.001, 0.5, 0.2]
+    v_orth = [0.0, 1.0, -0.5, 0.3]
+    emb = spark.createDataFrame(
+        [(1, v1), (2, v1_dup), (3, v_orth)], ["vec_id", "embedding"]
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    pairs = {(r.vec_a, r.vec_b) for r in embedding_cosine_pairs(emb, 0.95).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_planted_near_dups_in_fixture_found(spark, sf_dir):
+    """The sf fixtures contain generator-planted near-duplicates; the
+    exhaustive jaccard operator must find a non-empty pair set at
+    threshold 0.5 with very high per-pair similarity."""
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    sh = shingle_rel(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(sh, 0.5).collect()
+    assert len(pairs) > 0
+    assert max(r.jaccard for r in pairs) > 0.8

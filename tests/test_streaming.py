@@ -1,0 +1,89 @@
+"""Streaming layer: watermark/late-data semantics and the foreachBatch
+warehouse sink — behaviors the batch oracle can't check."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tfl_bikes_data_pipeline_spark.streaming.jobs import (
+    stream_events_to_warehouse,
+    tumbling_window_counts,
+)
+
+
+def test_foreachbatch_warehouse_sink_matches_batch(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="stream_warehouse_")
+    stream_events_to_warehouse(spark, sf_dir, out)
+    back = spark.read.parquet(out)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert back.count() == batch.count()
+    # month partition directories exist (landing layout parity)
+    assert any(p.startswith("ym=") for p in os.listdir(out))
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark):
+    """Two files processed as successive micro-batches in one
+    availableNow run (maxFilesPerTrigger=1, file order by mtime):
+    batch 1 advances the watermark far ahead; batch 2's too-late row
+    must be discarded from streaming state in append mode."""
+    import time
+    from datetime import datetime
+
+    landing = tempfile.mkdtemp(prefix="late_landing_")
+
+    def write_batch(name, rows):
+        rows = [(datetime.fromisoformat(t), k) for t, k in rows]
+        spark.createDataFrame(rows, "ts timestamp, k string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{landing}/{name}")
+
+    # batch 1: on-time rows; 06:00 pushes the watermark to 05:00
+    write_batch("b1", [("2024-01-01 00:30:00", "a"), ("2024-01-01 06:00:00", "a")])
+    time.sleep(1.1)  # distinct mtimes so each file is its own micro-batch
+    # batch 2: advances time further; eviction of the 00:00 window (end
+    # 01:00 < watermark 05:00) happens in this batch → emits cnt=1
+    write_batch("b2", [("2024-01-01 07:00:00", "a")])
+    time.sleep(1.1)
+    # batch 3: a row hours behind the watermark, targeting the already-
+    # finalized 00:00 window → must be dropped, not re-emitted
+    write_batch("b3", [("2024-01-01 00:45:00", "a")])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{landing}/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "k", "cnt")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.sql("SELECT * FROM late_out").collect()
+    hour0 = [r for r in emitted if r.ws.hour == 0]
+    # the 00:00 window was finalized with cnt=1 before the late row
+    # arrived; the late row must be dropped — exactly one emission,
+    # count unchanged.
+    assert len(hour0) == 1 and hour0[0].cnt == 1
+
+
+def test_tumbling_counts_plan_works_on_batch_df(spark, sf_dir):
+    """The same aggregation plan runs in batch mode (streaming/batch
+    parity of the logical plan)."""
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = tumbling_window_counts(events)
+    total = out.agg(F.sum("cnt")).first()[0]
+    assert total == events.count()

@@ -1,5 +1,361 @@
-"""Placeholder — filled in by the extension-operator milestone."""
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
-BENCH: list = []
+Large-scale training-data dedup, expressed as pure DataFrame plans
+(no Python UDFs — everything stays JVM-side and shuffles only on the
+dedup keys):
+
+- exact dedup           : hash-groupBy on normalized text
+- MinHash + LSH         : shingle → minhash signature → band → bucket
+                          join → candidate pairs → jaccard verify
+- SimHash               : per-bit majority over token hashes
+- n-gram Jaccard        : exact jaccard over shingle-sharing pairs
+- embedding near-dup    : pairwise cosine over ``array<float>``
+
+Scale notes: the LSH path is the 100 TB design — candidate generation
+cost is O(docs × bands) with a shuffle keyed on (band_id, band_key);
+only colliding buckets produce pairs, so the verify join never goes
+quadratic. The exact-jaccard query prunes to pairs sharing ≥1 shingle
+(inverted-index join), the standard scalable formulation. Hash
+functions are md5-based so the DuckDB oracles compute identical
+signatures (lexicographic MIN over hex digests is a valid minhash
+permutation surrogate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+NUM_MINHASH = 8
+NUM_BANDS = 4  # rows-per-band = 2
+DEFAULT_SHINGLE = 3
+JACCARD_THRESHOLD = 0.5
+COSINE_DUP_THRESHOLD = 0.4
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def shingle_rel(documents: DataFrame, n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document.
+
+    Docs with fewer than n words produce no shingles (and drop out of
+    downstream signatures) — mirrored in the oracles.
+    """
+    words = "split(lower(trim(text)), ' ')"
+    shingles = (
+        f"CASE WHEN size({words}) >= {n} THEN "
+        f"transform(sequence(0, size({words}) - {n}), "
+        f"i -> concat_ws(' ', slice({words}, i + 1, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return (
+        documents.select("doc_id", F.explode(F.expr(shingles)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_MINHASH) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) — minhash signature: per hash j, the MIN of
+    md5("{j}|{shingle}") over the doc's shingle set. Partial aggregation
+    (map-side MIN) makes this one shuffle of k small strings per doc."""
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(j)), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_bands: int = NUM_BANDS, num_hashes: int = NUM_MINHASH
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from banded LSH: signature split
+    into bands, band hashed to a bucket key, docs sharing a (band,
+    bucket) become candidates. The self-join shuffles on the bucket key
+    only — never all-pairs."""
+    rows_per_band = num_hashes // num_bands
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        )
+        for b in range(num_bands)
+    ]
+    bands = signatures.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band_id", "band_key")
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(y, ["band_id", "band_key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    min_jaccard: float,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) over pairs sharing ≥1 shingle (inverted-
+    index join), optionally restricted to LSH candidates. Jaccard is
+    |∩| / (|A|+|B|-|∩|) — exact integer counts, so the double division
+    is bit-identical across engines."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def _hex_bit_exprs_spark(b: int) -> str:
+    """Bit b of the md5 hash of `word`: hex digit b//4, bit b%4."""
+    hexv = f"(instr('0123456789abcdef', substr(md5(word), {b // 4 + 1}, 1)) - 1)"
+    return f"(({hexv} div {2 ** (b % 4)}) % 2)"
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — per-bit weighted majority over word hashes.
+    Token weights are term counts; bit b of a token's md5 votes ±count.
+    Pure integer math → engine-identical."""
+    words = documents.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word")
+    )
+    counts = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
+    score_aggs = [
+        F.expr(f"sum(n * (2 * {_hex_bit_exprs_spark(b)} - 1))").alias(f"s{b}")
+        for b in range(bits)
+    ]
+    scored = counts.groupBy("doc_id").agg(*score_aggs)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return scored.select("doc_id", sim.cast("int").alias("simhash"))
+
+
+def embedding_cosine_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) — pairwise cosine near-dup over
+    array<float>. Brute-force all-pairs: correct at test scale; the
+    100 TB path buckets via IVF/LSH first (see operators.similarity)
+    so only same-bucket pairs are compared.
+
+    Floats are widened to double *before* any arithmetic so Spark and
+    the oracle do identical IEEE double math; the result is rounded to
+    6 decimals (error ~1e-12 never straddles the rounding boundary).
+    """
+    e = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    na = "sqrt(aggregate(zip_with(va, va, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    nb = "sqrt(aggregate(zip_with(vb, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(F.expr(f"({dot}) / (({na}) * ({nb}))"), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# declared queries
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text, keep min doc_id.
+    One shuffle on the text hash; at 100 TB the md5 key (32 bytes)
+    shuffles instead of the document bodies."""
+    documents = load_table(spark, sf_dir, "documents")
+    return (
+        documents.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → 8-hash signature →
+    4 bands → bucket-join candidates → jaccard-verified pairs."""
+    documents = load_table(spark, sf_dir, "documents")
+    sh = shingle_rel(documents)
+    candidates = lsh_candidate_pairs(minhash_signatures(sh))
+    return jaccard_pairs(sh, JACCARD_THRESHOLD, candidates=candidates).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram jaccard dedup over the inverted shingle index (no
+    LSH pruning) — the recall baseline the LSH variant is judged
+    against (see tests/test_dedup.py)."""
+    documents = load_table(spark, sf_dir, "documents")
+    sh = shingle_rel(documents)
+    return jaccard_pairs(sh, JACCARD_THRESHOLD).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load_table(spark, sf_dir, "documents")
+    return simhash(documents).orderBy("doc_id")
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(embeddings, COSINE_DUP_THRESHOLD).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+        words AS (
+            SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id,
+                   concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+                  FROM words)
+        )
+"""
+
+_MINHASH_COLS = ", ".join(
+    f"min(md5(concat_ws('|', '{j}', shingle))) AS mh{j}" for j in range(NUM_MINHASH)
+)
+
+_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS band_key FROM sig"
+    for b in range(NUM_BANDS)
+)
+
+_JACCARD_CORE = """
+        sizes AS (
+            SELECT doc_id, count(1) AS n_shingles FROM shingles GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS n_common
+            FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+"""
+
+_SIMHASH_SCORES = ", ".join(
+    "sum(n * (2 * (((instr('0123456789abcdef', substr(md5(word), {pos}, 1)) - 1) // {div}) % 2) - 1)) AS s{b}".format(
+        pos=b // 4 + 1, div=2 ** (b % 4), b=b
+    )
+    for b in range(16)
+)
+
+_SIMHASH_COMBINE = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)
+)
+
+ORACLES: dict[str, str] = {
+    "q_dedup_exact": """
+        SELECT min(doc_id) AS keep_id, count(1)::BIGINT AS n_copies
+        FROM documents GROUP BY md5(lower(trim(text)))
+    """,
+    "q_dedup_minhash_lsh": f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id, {_MINHASH_COLS} FROM shingles GROUP BY doc_id
+        ),
+        bands AS ({_BAND_SELECTS}),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band_id = y.band_id AND x.band_key = y.band_key
+            WHERE x.doc_id < y.doc_id
+        ),
+        {_JACCARD_CORE}
+        SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
+               CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+        ORDER BY 1, 2
+    """,
+    "q_dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        {_JACCARD_CORE}
+        SELECT i.doc_a, i.doc_b,
+               CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    "q_dedup_simhash": f"""
+        WITH wc AS (
+            SELECT doc_id, word, count(1) AS n
+            FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+                  FROM documents)
+            GROUP BY doc_id, word
+        ),
+        scored AS (
+            SELECT doc_id, {_SIMHASH_SCORES} FROM wc GROUP BY doc_id
+        )
+        SELECT doc_id, ({_SIMHASH_COMBINE})::INT AS simhash
+        FROM scored ORDER BY doc_id
+    """,
+    "q_dedup_embedding": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {COSINE_DUP_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """,
+}
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_embedding": q_dedup_embedding,
+}
+
+# embedding brute-force pairs excluded from bench (quadratic by design;
+# the similarity module benches the bucketed path instead).
+BENCH = ["q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_dedup_simhash"]

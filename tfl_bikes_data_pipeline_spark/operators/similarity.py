@@ -1,5 +1,220 @@
-"""Placeholder — filled in by the extension-operator milestone."""
+"""Approximate-nearest-neighbor search over the ``embeddings`` table.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
-BENCH: list = []
+Two tiers, per the standard large-scale recipe:
+
+- **Brute-force cosine top-k** — the correctness baseline. Query set is
+  broadcast; every partition scores its slice of the corpus against all
+  queries and emits local rows; a single window (partitioned by query)
+  takes the global top-k. Linear in corpus size, embarrassingly
+  parallel — this is the right plan even at 100 TB when the query set
+  is small.
+
+- **IVF (inverted-file) search** — the scale path for large query
+  volumes: vectors are assigned to their nearest centroid once
+  (building the inverted index); a query probes only its ``nprobe``
+  nearest centroids' partitions, cutting scored candidates by
+  ~num_centroids/nprobe. Centroid "training" here is deterministic
+  (seed vectors by id) — k-means refinement would drop in without
+  changing the dataflow (see tests/test_similarity.py for the
+  recall-vs-brute-force check).
+
+All math is JVM-side double arithmetic (functions.vectors); no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_expr, to_double_vec
+from ..tables import load_table
+
+NUM_QUERIES = 5
+TOP_K = 10
+NUM_CENTROIDS = 8
+NPROBE = 2
+
+
+def _vecs(embeddings: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    return embeddings.select(
+        F.col("vec_id").alias(id_alias), to_double_vec("embedding", vec_alias)
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast queries × corpus, window top-k.
+    Output: (qid, vec_id, cos_sim, rank)."""
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", cosine_expr("qv", "cv").alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
+def ivf_assign(embeddings: DataFrame, num_centroids: int = NUM_CENTROIDS) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (deterministic
+    seed centroids: the ``num_centroids`` lowest vec_ids). Output:
+    (vec_id, centroid_id). The centroid side is tiny → broadcast; one
+    window per vector picks the argmax, tie-broken on centroid id."""
+    corpus = _vecs(embeddings, "vec_id", "cv")
+    centroids = _vecs(embeddings.where(F.col("vec_id") < num_centroids), "centroid_id", "qv")
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "centroid_id", cosine_expr("qv", "cv").alias("cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """ANN via inverted file: probe only the ``nprobe`` centroids
+    nearest to each query, score within their buckets. Output:
+    (qid, vec_id, cos_sim, rank)."""
+    assign = ivf_assign(embeddings, num_centroids)
+    corpus = _vecs(embeddings, "vec_id", "cv").join(assign, "vec_id")
+
+    centroids = _vecs(embeddings.where(F.col("vec_id") < num_centroids), "centroid_id", "cv")
+    qprobe = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("qid", "qv", "centroid_id", cosine_expr("qv", "cv").alias("c_sim"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    probes = (
+        qprobe.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("qid", "qv", "centroid_id")
+    )
+
+    scored = (
+        corpus.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", cosine_expr("qv", "cv").alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# declared queries
+# ---------------------------------------------------------------------------
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    corpus = _vecs(embeddings, "vec_id", "cv")
+    queries = _vecs(embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv")
+    return cosine_topk(corpus, queries)
+
+
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return (
+        ivf_assign(embeddings)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+        .orderBy("centroid_id")
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    queries = _vecs(embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv")
+    return ivf_search(embeddings, queries)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_COS = "round(list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[]), 6)"
+
+ORACLES: dict[str, str] = {
+    "q_ann_brute_topk": f"""
+        SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+               {_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC, c.vec_id
+               )::INT AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < {NUM_QUERIES}
+        QUALIFY rank <= {TOP_K}
+        ORDER BY qid, rank
+    """,
+    "q_ann_ivf_assign": f"""
+        WITH scored AS (
+            SELECT c.vec_id, k.vec_id AS centroid_id,
+                   {_COS.format(a='k.embedding', b='c.embedding')} AS cos_sim
+            FROM embeddings c JOIN embeddings k ON k.vec_id < {NUM_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, centroid_id
+            FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id) = 1
+        )
+        SELECT centroid_id, count(1)::BIGINT AS n_assigned
+        FROM assign GROUP BY centroid_id ORDER BY centroid_id
+    """,
+    "q_ann_ivf_topk": f"""
+        WITH scored_assign AS (
+            SELECT c.vec_id, k.vec_id AS centroid_id,
+                   {_COS.format(a='k.embedding', b='c.embedding')} AS cos_sim
+            FROM embeddings c JOIN embeddings k ON k.vec_id < {NUM_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, centroid_id FROM scored_assign
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id) = 1
+        ),
+        probes AS (
+            SELECT q.vec_id AS qid, k.vec_id AS centroid_id
+            FROM embeddings q JOIN embeddings k ON k.vec_id < {NUM_CENTROIDS}
+            WHERE q.vec_id < {NUM_QUERIES}
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY {_COS.format(a='q.embedding', b='k.embedding')} DESC, k.vec_id
+            ) <= {NPROBE}
+        )
+        SELECT p.qid, c.vec_id,
+               {_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC, c.vec_id
+               )::INT AS rank
+        FROM probes p
+        JOIN assign a ON a.centroid_id = p.centroid_id
+        JOIN embeddings c ON c.vec_id = a.vec_id AND c.vec_id != p.qid
+        JOIN embeddings q ON q.vec_id = p.qid
+        QUALIFY rank <= {TOP_K}
+        ORDER BY qid, rank
+    """,
+}
+
+QUERIES = {
+    "q_ann_brute_topk": q_ann_brute_topk,
+    "q_ann_ivf_assign": q_ann_ivf_assign,
+    "q_ann_ivf_topk": q_ann_ivf_topk,
+}
+
+BENCH = ["q_ann_brute_topk", "q_ann_ivf_topk"]

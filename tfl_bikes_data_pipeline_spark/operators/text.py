@@ -1,5 +1,234 @@
-"""Placeholder — filled in by the extension-operator milestone."""
+"""Text-analysis operators over the ``documents`` table.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
-BENCH: list = []
+Training-data pipeline staples, all pure JVM-side expressions (split /
+higher-order array functions / regexp — no Python in the hot path, so
+the plans stay inside whole-stage codegen and scale linearly):
+
+- language ID        : stopword-marker scoring (n-gram-free heuristic;
+                       deterministic argmax with fixed precedence)
+- quality scoring    : length / punctuation / stopword-ratio features
+                       with a CASE quality band
+- token counting     : whitespace tokens + a BPE-ish regex token count
+- doc fingerprinting : bottom-k sketch of shingle hashes (winnowing-
+                       style content signature)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+#: marker stopwords per language — deterministic tie order en>es>de>fr.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "in", "to", "is"),
+    "es": ("el", "la", "de", "que", "y", "los", "es"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est"),
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+FINGERPRINT_K = 3
+FP_SHINGLE = 5
+
+
+def _words(col: str = "text") -> str:
+    return f"split(lower(trim({col})), ' ')"
+
+
+def _marker_count_expr(markers: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{m}'" for m in markers)
+    return f"size(filter({_words()}, w -> array_contains(array({arr}), w)))"
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, score) — argmax of per-language marker-word
+    counts; 'und' when no marker matches. Fixed precedence for ties."""
+    scores = documents.select(
+        "doc_id",
+        *[F.expr(_marker_count_expr(m)).alias(f"s_{lang}") for lang, m in LANG_MARKERS.items()],
+    )
+    langs = list(LANG_MARKERS)
+    return scores.select(
+        "doc_id",
+        F.expr(_langid_case_sql()).alias("pred_lang"),
+        F.greatest(*[F.col(f"s_{l}") for l in langs]).cast("int").alias("score"),
+    )
+
+
+def _langid_case_sql() -> str:
+    """CASE chain shared verbatim (modulo dialect-neutral syntax) by the
+    Spark plan and the DuckDB oracle, so tie-breaking is identical:
+    first language in precedence order with the max (nonzero) score."""
+    langs = list(LANG_MARKERS)
+    arms = []
+    for i, lang in enumerate(langs):
+        others = [f"s_{lang} >= s_{o}" for o in langs if o != lang]
+        arms.append(
+            f"WHEN s_{lang} > 0 AND {' AND '.join(others)} THEN '{lang}'"
+        )
+    return "CASE " + " ".join(arms) + " ELSE 'und' END"
+
+
+def quality_features(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_words, avg_word_len, punct_ratio, stopword_ratio,
+    quality_band). All ratios are exact-integer divisions → engine-
+    identical doubles."""
+    w = _words()
+    stop_arr = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return documents.select(
+        "doc_id",
+        F.expr(f"size({w})").cast("int").alias("n_words"),
+        F.expr(
+            f"CAST(length(replace(lower(trim(text)), ' ', '')) AS DOUBLE) / size({w})"
+        ).alias("avg_word_len"),
+        F.expr(
+            "CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '')) AS DOUBLE)"
+            " / length(text)"
+        ).alias("punct_ratio"),
+        F.expr(
+            f"CAST(size(filter({w}, x -> array_contains(array({stop_arr}), x))) AS DOUBLE)"
+            f" / size({w})"
+        ).alias("stopword_ratio"),
+    ).withColumn(
+        "quality_band",
+        F.when((F.col("n_words") >= 40) & (F.col("stopword_ratio") >= 0.05), "high")
+        .when(F.col("n_words") >= 15, "mid")
+        .otherwise("low"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens) — whitespace tokenization vs
+    a BPE-ish regex ([a-z]+ | digit runs | single punctuation)."""
+    return documents.select(
+        "doc_id",
+        F.expr(f"size({_words()})").cast("int").alias("ws_tokens"),
+        # pattern passed as a lit Column (not through a SQL string
+        # literal, whose parser would eat the backslash in \s)
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        .cast("int")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprints(documents: DataFrame, k: int = FINGERPRINT_K, n: int = FP_SHINGLE) -> DataFrame:
+    """(doc_id, fingerprint) — bottom-k sketch: md5 over word n-gram
+    shingles, keep the k smallest digests, join with ','. Rolling-hash
+    flavored content signature; identical docs (and docs differing only
+    outside their minimal shingles) collide."""
+    w = _words()
+    shingles = (
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"transform(sequence(0, size({w}) - {n}), i -> md5(concat_ws(' ', slice({w}, i + 1, {n})))) "
+        f"ELSE array(md5(lower(trim(text)))) END"
+    )
+    return documents.select(
+        "doc_id",
+        F.expr(
+            f"concat_ws(',', slice(array_sort(array_distinct({shingles})), 1, {k}))"
+        ).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# declared queries
+# ---------------------------------------------------------------------------
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _marker_count_duck(markers: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"len(list_filter(string_split(lower(trim(text)), ' '), "
+        f"w -> list_contains([{arr}], w)))"
+    )
+
+
+_LANG_SCORES_DUCK = ", ".join(
+    f"{_marker_count_duck(m)} AS s_{lang}" for lang, m in LANG_MARKERS.items()
+)
+
+_STOP_ARR = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+
+ORACLES: dict[str, str] = {
+    "q_text_langid": f"""
+        WITH scores AS (
+            SELECT doc_id, {_LANG_SCORES_DUCK} FROM documents
+        )
+        SELECT doc_id, {_langid_case_sql()} AS pred_lang,
+               greatest(s_en, s_es, s_de, s_fr)::INT AS score
+        FROM scores ORDER BY doc_id
+    """,
+    "q_text_quality": f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   len(string_split(lower(trim(text)), ' '))::INT AS n_words,
+                   CAST(length(replace(lower(trim(text)), ' ', '')) AS DOUBLE)
+                       / len(string_split(lower(trim(text)), ' ')) AS avg_word_len,
+                   CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                       / length(text) AS punct_ratio,
+                   CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                            x -> list_contains([{_STOP_ARR}], x))) AS DOUBLE)
+                       / len(string_split(lower(trim(text)), ' ')) AS stopword_ratio
+            FROM documents
+        )
+        SELECT doc_id, n_words, avg_word_len, punct_ratio, stopword_ratio,
+               CASE WHEN n_words >= 40 AND stopword_ratio >= 0.05 THEN 'high'
+                    WHEN n_words >= 15 THEN 'mid' ELSE 'low' END AS quality_band
+        FROM feats ORDER BY doc_id
+    """,
+    "q_token_count": f"""
+        SELECT doc_id,
+               len(string_split(lower(trim(text)), ' '))::INT AS ws_tokens,
+               len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}'))::INT AS bpe_ish_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    "q_doc_fingerprint": f"""
+        WITH words AS (
+            SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= {FP_SHINGLE} THEN
+                       list_transform(generate_series(1, len(w) - {FP_SHINGLE} + 1),
+                           i -> md5(array_to_string(w[i:i+{FP_SHINGLE}-1], ' ')))
+                   ELSE [md5(lower(trim(text)))] END AS hashes
+            FROM words
+        )
+        SELECT doc_id,
+               array_to_string(list_sort(list_distinct(hashes))[1:{FINGERPRINT_K}], ',') AS fingerprint
+        FROM sh ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    "q_text_langid": q_text_langid,
+    "q_text_quality": q_text_quality,
+    "q_token_count": q_token_count,
+    "q_doc_fingerprint": q_doc_fingerprint,
+}
+
+BENCH = ["q_text_quality", "q_doc_fingerprint"]

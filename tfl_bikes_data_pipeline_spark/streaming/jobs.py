@@ -1,4 +1,137 @@
-"""Placeholder — filled in by the streaming milestone."""
+"""Structured Streaming layer (beyond-parity extension, SURVEY.md §2.11).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+The reference's "streaming" is Airflow cron + append-mode batch
+(weekly file drops re-read monthly). Idiomatic Spark shape: a file
+source streamed with ``Trigger.AvailableNow``, event-time tumbling
+windows with a watermark for late data, and ``foreachBatch`` into the
+same partitioned warehouse the batch path writes
+(``spark/transform_load.py:425-509`` equivalent).
+
+The declared query runs the real streaming engine (micro-batches,
+state store) to completion on the finite fixture and returns the
+result table, so the DuckDB oracle can check it like any batch query.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..warehouse import month_partition
+
+#: events.parquet read schema for the stream source — ts arrives as
+#: long nanos (see session.py nanosAsLong note).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stage_landing_dir(sf_dir: str) -> str:
+    """The file stream source consumes a *directory* (the landing zone
+    new weekly files drop into); stage the fixture file there."""
+    landing = tempfile.mkdtemp(prefix="events_landing_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
+    return landing
+
+
+def read_events_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream over a landing directory (one file per batch —
+    mirrors the reference's weekly file drops)."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_window_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling window aggregation with a late-data
+    watermark: per (window, event_type) count + exact value sum.
+    Works on both streaming and batch DataFrames (same plan)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drive a streaming aggregation to completion on the currently
+    available input (Trigger.AvailableNow → memory sink, complete mode
+    so every window — including the final, never-closed-by-watermark
+    ones — is emitted)."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_events_to_warehouse(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> None:
+    """foreachBatch exactly-once-per-batch sink into the month-
+    partitioned warehouse — the streaming twin of the batch
+    incremental-append path (dynamic partition overwrite keeps month
+    re-processing idempotent)."""
+    events = read_events_stream(spark, stage_landing_dir(sf_dir))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("ym", month_partition("ts"))
+            .write.mode("append")
+            .partitionBy("ym")
+            .parquet(out_path)
+        )
+
+    q = events.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = tumbling_window_counts(read_events_stream(spark, stage_landing_dir(sf_dir)))
+    return run_available_now(agg, spark).orderBy("window_start", "event_type")
+
+
+ORACLES: dict[str, str] = {
+    # batch-equivalent of the streaming tumbling window: epoch-aligned
+    # 1h windows == date_trunc('hour').
+    "q_stream_tumbling": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(1)::BIGINT AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+}
+
+QUERIES = {"q_stream_tumbling": q_stream_tumbling}
