@@ -1,0 +1,83 @@
+"""Unit tests for the raw-format ingest layer (SURVEY.md §2.1)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from tfl_bikes_data_pipeline_spark.sources import raw, spatial, xlsx, xml_feed
+
+
+def test_csv_schema_read_is_all_string(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("A Col,B Col\n1,x\n2,\n")
+    df = raw.read_csv_with_schema(spark, str(p), ["A Col", "B Col"])
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "string"]
+    rows = {r["A Col"]: r["B Col"] for r in df.collect()}
+    assert rows == {"1": "x", "2": None}
+
+
+def test_normalize_headers_positional(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("Rental Id,Bike Id\n10,20\n")
+    df = raw.read_csv_with_schema(spark, str(p), ["Rental Id", "Bike Id"])
+    out = raw.normalize_headers(df, ["rental_id", "bike_id"])
+    assert out.columns == ["rental_id", "bike_id"]
+    with pytest.raises(ValueError):
+        raw.normalize_headers(df, ["only_one"])
+
+
+def test_merge_schema_reconciles_drift(spark, tmp_path):
+    d = str(tmp_path / "drift")
+    spark.createDataFrame([(1, "a")], ["id", "old_col"]).write.parquet(f"{d}/w1")
+    spark.createDataFrame([(2, "b", 5)], ["id", "old_col", "new_col"]).write.parquet(f"{d}/w2")
+    df = raw.read_parquet_dir(spark, f"{d}/w*")
+    assert set(df.columns) == {"id", "old_col", "new_col"}
+    assert df.count() == 2
+    assert df.where("new_col IS NULL").count() == 1
+
+
+def test_station_xml_roundtrip(spark, tmp_path, sf_dir):
+    xml_path = str(tmp_path / "stations.xml")
+    xml_feed.write_stations_xml(spark, sf_dir, xml_path)
+    parsed = xml_feed.parse_station_xml(spark, xml_path)
+    n_suppliers = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet")).count()
+    assert parsed.count() == n_suppliers
+    typed = xml_feed.typed_stations(parsed)
+    assert typed.schema["latitude"].dataType.simpleString() == "decimal(8,6)"
+    assert typed.schema["longitude"].dataType.simpleString() == "decimal(9,6)"
+    assert typed.where("station_id IS NULL").count() == 0
+
+
+def test_xml_missing_nodes_become_null(spark, tmp_path):
+    p = tmp_path / "partial.xml"
+    p.write_text("<stations><station><id>7</id><name>x</name></station></stations>")
+    df = xml_feed.parse_station_xml(spark, str(p))
+    row = df.first()
+    assert row["id"] == "7" and row["lat"] is None and row["long"] is None
+
+
+def test_xlsx_gate_and_pandas_seam(spark):
+    pdf = pd.DataFrame({"a": ["1", None], "b": ["x", "y"]})
+    df = xlsx.from_pandas_strings(spark, pdf)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "string"]
+    assert df.where("a IS NULL").count() == 1
+    if not xlsx.xlsx_support():
+        with pytest.raises(NotImplementedError):
+            xlsx.read_xlsx(spark, "/nonexistent.xlsx")
+
+
+def test_nearest_grid_argmin_deterministic(spark):
+    # station at (3, 4): nearest grid point is (5,5) at dist2=5; tie case
+    # station (5,0) between (0,0) and (10,0) -> both dist2=25, lower
+    # grid_id wins.
+    stations = spark.createDataFrame(
+        [(1, 3, 4), (2, 5, 0)], ["station_id", "lat", "lon"]
+    )
+    grid = spark.createDataFrame(
+        [(0, 0, 0), (1, 0, 5), (2, 5, 5), (3, 10, 0)], ["grid_id", "glat", "glon"]
+    )
+    out = {r["station_id"]: (r["grid_id"], r["dist2"]) for r in
+           spatial.nearest_grid(stations, grid).collect()}
+    assert out[1] == (2, 5)
+    assert out[2] == (0, 25)

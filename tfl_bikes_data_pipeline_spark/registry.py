@@ -36,9 +36,14 @@ def _load_all() -> None:
 
     _register(pipelines.QUERIES, pipelines.ORACLES, pipelines.BENCH)
 
-    from .operators import dedup, multimodal, similarity, text
+    from .operators import dedup, multimodal, profile, similarity, text
 
-    for mod in (dedup, similarity, text, multimodal):
+    for mod in (dedup, similarity, text, multimodal, profile):
+        _register(mod.QUERIES, mod.ORACLES, getattr(mod, "BENCH", list(mod.QUERIES)))
+
+    from .sources import raw, spatial, xml_feed
+
+    for mod in (raw, spatial, xml_feed):
         _register(mod.QUERIES, mod.ORACLES, getattr(mod, "BENCH", list(mod.QUERIES)))
 
     from .streaming import jobs as streaming_jobs

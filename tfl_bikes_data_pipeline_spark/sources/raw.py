@@ -1,0 +1,118 @@
+"""Raw-format ingest parity: CSV with explicit schema, header
+normalization, schema-merged parquet directory scans (SURVEY.md §2.1
+S2/S6/S12).
+
+The reference defeats bad CSV type inference by reading every column as
+string with a declared pyarrow schema
+(``assets/schema/make_schema.py:40-51`` applied at
+``airflow/dags/ingest_bike_data.py:195-201``), normalizes drifting
+headers with a sed rewrite (``ingest_bike_data.py:323-332``), and
+reconciles weekly-file schema drift with ``mergeSchema`` parquet reads
+(``spark/transform_load.py:180``). Spark-first equivalents:
+
+- all-string ``StructType`` + ``spark.read.csv`` (types cast downstream,
+  exactly the reference's read-then-cast discipline);
+- positional rename via ``toDF(*names)`` — header text never trusted;
+- ``option("mergeSchema", "true")`` directory scans.
+
+``q_csv_roundtrip`` proves the whole raw path inside the correctness
+gate: events → CSV on disk (dd/MM/yyyy HH:mm timestamps, the reference's
+wire format) → all-string read → positional rename → typed fact. The
+oracle computes the same fact straight from parquet, so any loss in the
+CSV layer (quoting, locale, header trust) fails the hash.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.pipelines import TS_FMT, build_fact
+from ..tables import load_table
+
+
+def string_schema(columns: list[str]) -> T.StructType:
+    """All-string read schema (reference make_schema.py:40-51)."""
+    return T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
+
+
+def read_csv_with_schema(
+    spark: SparkSession, path: str, columns: list[str], header: bool = True
+) -> DataFrame:
+    """CSV scan with a declared all-string schema — no inference pass
+    (one read of the data, not two), types applied by explicit casts
+    downstream."""
+    return (
+        spark.read.schema(string_schema(columns))
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+
+
+def normalize_headers(df: DataFrame, names: list[str]) -> DataFrame:
+    """Positional batch rename (reference sed header rewrite
+    ``ingest_bike_data.py:323-332`` + positional renames
+    ``spark/transform_load.py:183-191``): canonical names by position,
+    whatever the file's header row claimed."""
+    if len(names) != len(df.columns):
+        raise ValueError(
+            f"expected {len(df.columns)} names for positional rename, got {len(names)}"
+        )
+    return df.toDF(*names)
+
+
+def read_parquet_dir(spark: SparkSession, path: str, merge_schema: bool = True) -> DataFrame:
+    """Directory parquet scan with schema-drift reconciliation
+    (reference ``spark/transform_load.py:180``). All files of the month
+    are one multi-file scan — the union is implicit (§2.8 U2)."""
+    return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
+
+
+RAW_EVENT_COLUMNS = ["Event Id", "User Id", "Event Type", "Event Date", "Value"]
+CANONICAL_EVENT_COLUMNS = ["event_id", "user_id", "event_type", "event_date", "value"]
+
+
+def write_events_csv(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Materialize the events table as raw CSV in the reference's wire
+    shape (messy headers, dd/MM/yyyy HH:mm timestamps)."""
+    events = load_table(spark, sf_dir, "events")
+    raw = events.select(
+        F.col("event_id").cast("string").alias(RAW_EVENT_COLUMNS[0]),
+        F.col("user_id").cast("string").alias(RAW_EVENT_COLUMNS[1]),
+        F.col("event_type").alias(RAW_EVENT_COLUMNS[2]),
+        F.date_format("ts", TS_FMT).alias(RAW_EVENT_COLUMNS[3]),
+        F.col("value").cast("string").alias(RAW_EVENT_COLUMNS[4]),
+    )
+    raw.write.mode("overwrite").option("header", "true").csv(out_dir)
+    return out_dir
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+S12+P2+P5+F1+F2 end-to-end: CSV write → schema'd read →
+    positional normalize → typed fact build."""
+    out = os.path.join(tempfile.mkdtemp(prefix="raw_csv_"), "events_csv")
+    write_events_csv(spark, sf_dir, out)
+    raw = read_csv_with_schema(spark, out, RAW_EVENT_COLUMNS)
+    canonical = normalize_headers(raw, CANONICAL_EVENT_COLUMNS)
+    fact = build_fact(canonical)
+    return fact.select("event_id", "user_id", "event_type", "event_ts", "timestamp_id")
+
+
+QUERIES = {"q_csv_roundtrip": q_csv_roundtrip}
+
+# Same semantics as p_fact_build: the CSV layer must be lossless at
+# minute grain (the reference's wire format drops sub-minute precision,
+# so the oracle truncates identically).
+ORACLES: dict[str, str] = {
+    "q_csv_roundtrip": """
+        SELECT event_id::BIGINT AS event_id, user_id::INT AS user_id,
+               event_type,
+               date_trunc('minute', ts) AS event_ts,
+               epoch(date_trunc('minute', ts))::INT AS timestamp_id
+        FROM events
+    """,
+}
