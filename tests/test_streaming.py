@@ -87,3 +87,28 @@ def test_tumbling_counts_plan_works_on_batch_df(spark, sf_dir):
     out = tumbling_window_counts(events)
     total = out.agg(F.sum("cnt")).first()[0]
     assert total == events.count()
+
+
+def test_stateful_counts_accumulate_across_batches(spark, sf_dir):
+    """applyInPandasWithState: state must persist across micro-batches —
+    users appearing in several batches emit several (growing) updates."""
+    from tfl_bikes_data_pipeline_spark.streaming.jobs import run_available_now
+    from tfl_bikes_data_pipeline_spark.streaming.stateful import (
+        EVENTS_MICRO_SCHEMA,
+        cumulative_user_counts,
+        stage_landing_dir_split,
+    )
+
+    landing = stage_landing_dir_split(spark, sf_dir, n_files=3)
+    stream = (
+        spark.readStream.schema(EVENTS_MICRO_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    emissions = run_available_now(
+        cumulative_user_counts(stream), spark, output_mode="update"
+    )
+    per_user = emissions.groupBy("user_id").count()
+    assert per_user.where("count > 1").count() > 0, (
+        "no user emitted twice — state never crossed a micro-batch boundary"
+    )

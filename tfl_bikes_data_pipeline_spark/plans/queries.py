@@ -213,7 +213,12 @@ def q_join_cte_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (reference sql/make_view.sql:3-32: fact ⟕ locations ×2 ⟕ weather ×2,
 # concat'd key columns). Here: lineitem ⟕ supplier ⟕ part ⟕ orders ⟕
 # customer, with `nation` joined twice (customer-side and supplier-side
-# role-playing). All dims broadcast; the fact never shuffles.
+# role-playing). Broadcast policy by how the table scales: nation is
+# fixed-cardinality (25 rows) → always broadcast-hinted; supplier /
+# part / orders / customer grow with SF, so at 100 TB they are NOT
+# broadcast-safe — no hint, AQE picks broadcast vs shuffle from runtime
+# sizes (locally they all broadcast anyway; on a cluster the big ones
+# degrade gracefully to sort-merge instead of OOMing the driver).
 # ---------------------------------------------------------------------------
 
 def q_star_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,11 +236,11 @@ def q_star_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("s_nation_name")
     )
     return (
-        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"), "left")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left")
-        .join(F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderstatus")),
+        lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"), "left")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"), "left")
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderstatus"),
               F.col("l_orderkey") == F.col("o_orderkey"), "left")
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"), "left")
         .join(F.broadcast(c_nation), F.col("c_nationkey") == F.col("cn_key"), "left")
         .join(F.broadcast(s_nation), F.col("s_nationkey") == F.col("sn_key"), "left")
         .select(

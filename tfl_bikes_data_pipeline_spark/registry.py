@@ -32,9 +32,10 @@ def _load_all() -> None:
 
     _register(analyst.QUERIES, analyst.ORACLES, list(analyst.QUERIES))
 
-    from .plans import pipelines
+    from .plans import pipelines, sql_surface
 
     _register(pipelines.QUERIES, pipelines.ORACLES, pipelines.BENCH)
+    _register(sql_surface.QUERIES, sql_surface.ORACLES, list(sql_surface.QUERIES))
 
     from .operators import dedup, multimodal, profile, similarity, text
 
@@ -47,8 +48,12 @@ def _load_all() -> None:
         _register(mod.QUERIES, mod.ORACLES, getattr(mod, "BENCH", list(mod.QUERIES)))
 
     from .streaming import jobs as streaming_jobs
+    from .streaming import stateful as streaming_stateful
 
     _register(streaming_jobs.QUERIES, streaming_jobs.ORACLES, [])
+    _register(
+        streaming_stateful.QUERIES, streaming_stateful.ORACLES, ["q_session_window"]
+    )
 
 
 _load_all()

@@ -79,14 +79,17 @@ def tumbling_window_counts(
     )
 
 
-def run_available_now(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Drive a streaming aggregation to completion on the currently
-    available input (Trigger.AvailableNow → memory sink, complete mode
-    so every window — including the final, never-closed-by-watermark
-    ones — is emitted)."""
+def run_available_now(
+    stream_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming query to completion on the currently available
+    input (Trigger.AvailableNow → memory sink). Default complete mode so
+    every window — including the final, never-closed-by-watermark ones —
+    is emitted; stateful operators that only support update mode pass
+    ``output_mode="update"`` (the memory sink then keeps every emission)."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

@@ -1,0 +1,169 @@
+"""Session windows + custom stateful streaming operators
+(beyond-parity extension, SURVEY.md §2.11 / §7.2 step 9).
+
+Two operators the reference's batch-cron design has no answer for:
+
+- ``q_session_window`` — event-time session windows (30-min inactivity
+  gap) per user via the built-in ``F.session_window``. The same plan
+  runs batch or streaming; batch here so the DuckDB oracle (classic
+  gap-island rewrite: LAG → new-session flag → running-sum session id)
+  can hash-check the window-merge semantics exactly. Spark closes a
+  session when the next event is >= gap after the previous one; the
+  oracle uses the same strict boundary.
+
+- ``q_stream_stateful_counts`` — an ``applyInPandasWithState`` custom
+  stateful operator: per-user cumulative event counts maintained in the
+  state store across micro-batches (the landing dir is staged as
+  multiple files, one per trigger, so state genuinely persists between
+  batches). Update-mode emissions end at the per-user total, so the
+  final state is oracle-checkable against a plain batch GROUP BY.
+
+Scale posture: session windows shuffle once on the grouping key and the
+state store is partitioned the same way — per-key state is O(open
+sessions), not O(events). The pandas state update is Arrow-batched per
+key group, not per row.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions import exact_sum
+from ..tables import load_table
+from .jobs import run_available_now
+
+SESSION_GAP = "30 minutes"
+
+
+def session_windows(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Per-user session windows: merge events closer than ``gap``;
+    (user_id, session_start, n_events, total_value)."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", "total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_windows(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# applyInPandasWithState cumulative counts
+# ---------------------------------------------------------------------------
+
+#: micro-timestamp stream schema (the landing files below are written by
+#: Spark itself, so no nanos shim is needed — contrast jobs.EVENTS_STREAM_SCHEMA).
+EVENTS_MICRO_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def stage_landing_dir_split(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
+    """Stage events as ``n_files`` parquet files so maxFilesPerTrigger=1
+    yields ``n_files`` micro-batches (state must survive between them)."""
+    landing = tempfile.mkdtemp(prefix="events_landing_split_")
+    staged = tempfile.mkdtemp(prefix="events_staged_")
+    load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    i = 0
+    for f in sorted(os.listdir(staged)):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{staged}/{f}", f"{landing}/part_{i}.parquet")
+            i += 1
+    return landing
+
+
+def _update_counts(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    total: Any = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        total += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+
+def cumulative_user_counts(stream_df: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count held in the
+    streaming state store, emitted (updated) every micro-batch."""
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        _update_counts,
+        outputStructType="user_id BIGINT, n_events BIGINT",
+        stateStructType="n_events BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    landing = stage_landing_dir_split(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_MICRO_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    counts = cumulative_user_counts(stream)
+    # update-mode memory sink keeps every emission; the cumulative count
+    # is monotone, so MAX per user == the final state == total events.
+    emissions = run_available_now(counts, spark, output_mode="update")
+    return (
+        emissions.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+QUERIES = {
+    "q_session_window": q_session_window,
+    "q_stream_stateful_counts": q_stream_stateful_counts,
+}
+
+ORACLES: dict[str, str] = {
+    "q_session_window": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               count(1)::BIGINT AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    "q_stream_stateful_counts": """
+        SELECT user_id, count(1)::BIGINT AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+}
