@@ -26,9 +26,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
-    # warm the JVM/session on a trivial action so the first measured
-    # query doesn't absorb session startup.
+    # warm the JVM/session and the table scans (parquet footers, codegen)
+    # so the first measured query doesn't absorb one-time session costs.
     spark.range(1000).count()
+    from tfl_bikes_data_pipeline_spark.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in registry.BENCH_QUERIES:

@@ -12,6 +12,7 @@ from tfl_bikes_data_pipeline_spark.operators.dedup import (
     minhash_signatures,
     shingle_rel,
     simhash,
+    verify_candidates,
 )
 
 BASE = (
@@ -34,7 +35,7 @@ def docs(spark):
 def test_minhash_lsh_finds_planted_near_dups(spark, docs):
     sh = shingle_rel(docs)
     cands = lsh_candidate_pairs(minhash_signatures(sh))
-    pairs = {(r.doc_a, r.doc_b) for r in jaccard_pairs(sh, 0.5, cands).collect()}
+    pairs = {(r.doc_a, r.doc_b) for r in verify_candidates(sh, cands, 0.5).collect()}
     assert (1, 2) in pairs, "near-dup pair missed by LSH"
     assert (1, 4) in pairs, "exact dup pair missed by LSH"
     assert not any(3 in p for p in pairs), "unrelated doc flagged"
@@ -46,7 +47,7 @@ def test_lsh_candidates_subset_of_jaccard_universe(spark, docs):
     sh = shingle_rel(docs)
     exhaustive = {(r.doc_a, r.doc_b) for r in jaccard_pairs(sh, 0.5).collect()}
     cands = lsh_candidate_pairs(minhash_signatures(sh))
-    lsh = {(r.doc_a, r.doc_b) for r in jaccard_pairs(sh, 0.5, cands).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in verify_candidates(sh, cands, 0.5).collect()}
     assert lsh <= exhaustive
     assert lsh == exhaustive  # at this similarity level, full recall
 

@@ -23,8 +23,9 @@ permutation surrogate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..tables import load_table
 
@@ -44,18 +45,22 @@ def shingle_rel(documents: DataFrame, n: int = DEFAULT_SHINGLE) -> DataFrame:
 
     Docs with fewer than n words produce no shingles (and drop out of
     downstream signatures) — mirrored in the oracles.
+
+    The tokenization is projected to a concrete column first: Catalyst
+    does not common-subexpression-eliminate into higher-order-function
+    lambdas, so inlining ``split(...)`` into the transform would re-split
+    the text for every shingle.
     """
-    words = "split(lower(trim(text)), ' ')"
+    words = documents.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    )
     shingles = (
-        f"CASE WHEN size({words}) >= {n} THEN "
-        f"transform(sequence(0, size({words}) - {n}), "
-        f"i -> concat_ws(' ', slice({words}, i + 1, {n}))) "
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(0, size(w) - {n}), "
+        f"i -> concat_ws(' ', slice(w, i + 1, {n}))) "
         f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
-    return (
-        documents.select("doc_id", F.explode(F.expr(shingles)).alias("shingle"))
-        .distinct()
-    )
+    return words.select("doc_id", F.explode(F.expr(shingles)).alias("shingle")).distinct()
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_MINHASH) -> DataFrame:
@@ -97,31 +102,74 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_pairs(
-    shingles: DataFrame,
-    min_jaccard: float,
-    candidates: DataFrame | None = None,
-) -> DataFrame:
-    """(doc_a, doc_b, jaccard) over pairs sharing ≥1 shingle (inverted-
-    index join), optionally restricted to LSH candidates. Jaccard is
+def jaccard_pairs(shingles: DataFrame, min_jaccard: float) -> DataFrame:
+    """(doc_a, doc_b, jaccard) over ALL pairs sharing ≥1 shingle — the
+    exact inverted-index formulation (recall baseline). Jaccard is
     |∩| / (|A|+|B|-|∩|) — exact integer counts, so the double division
-    is bit-identical across engines."""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
+    is bit-identical across engines. Per-doc set sizes ride along via a
+    window instead of two extra dimension joins."""
+    sized = shingles.withColumn(
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    a = sized.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("nd").alias("na"))
+    b = sized.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("nd").alias("nb"))
+    return (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+
+
+def verify_candidates(
+    shingles: DataFrame, candidates: DataFrame, min_jaccard: float
+) -> DataFrame:
+    """Jaccard-verify LSH candidate pairs via set intersection — the
+    scalable verify: each doc's shingle set is collected once (array
+    column), candidate pairs pick up both sets by key join, and the
+    exact jaccard is ``size(array_intersect)`` per pair. Work is
+    O(candidates × doc length) — the corpus-wide inverted-index
+    self-join never runs, which is the whole point of LSH at 100 TB."""
+    sets = shingles.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sset"), F.count(F.lit(1)).alias("n")
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sset").alias("sa"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sset").alias("sb"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("n_common"),
+            "na",
+            "nb",
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -211,9 +259,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → 8-hash signature →
     4 bands → bucket-join candidates → jaccard-verified pairs."""
     documents = load_table(spark, sf_dir, "documents")
-    sh = shingle_rel(documents)
+    # the shingle relation feeds both the signature aggregate and the
+    # verify sets — persist so the explode+distinct shuffle runs once
+    # (MEMORY_AND_DISK: spills instead of OOMing at large SF; evicted
+    # LRU afterwards).
+    sh = shingle_rel(documents).persist(StorageLevel.MEMORY_AND_DISK)
     candidates = lsh_candidate_pairs(minhash_signatures(sh))
-    return jaccard_pairs(sh, JACCARD_THRESHOLD, candidates=candidates).orderBy(
+    return verify_candidates(sh, candidates, JACCARD_THRESHOLD).orderBy(
         "doc_a", "doc_b"
     )
 

@@ -40,15 +40,23 @@ def _words(col: str = "text") -> str:
     return f"split(lower(trim({col})), ' ')"
 
 
+def _with_words(documents: DataFrame) -> DataFrame:
+    """Project the tokenization to a concrete column once. Catalyst does
+    not common-subexpression-eliminate a repeated ``split(...)`` across
+    expressions (and never into higher-order-function lambdas), so every
+    downstream operator references ``w`` instead of re-splitting."""
+    return documents.withColumn("w", F.expr(_words()))
+
+
 def _marker_count_expr(markers: tuple[str, ...]) -> str:
     arr = ", ".join(f"'{m}'" for m in markers)
-    return f"size(filter({_words()}, w -> array_contains(array({arr}), w)))"
+    return f"size(filter(w, t -> array_contains(array({arr}), t)))"
 
 
 def lang_id(documents: DataFrame) -> DataFrame:
     """(doc_id, pred_lang, score) — argmax of per-language marker-word
     counts; 'und' when no marker matches. Fixed precedence for ties."""
-    scores = documents.select(
+    scores = _with_words(documents).select(
         "doc_id",
         *[F.expr(_marker_count_expr(m)).alias(f"s_{lang}") for lang, m in LANG_MARKERS.items()],
     )
@@ -78,21 +86,20 @@ def quality_features(documents: DataFrame) -> DataFrame:
     """(doc_id, n_words, avg_word_len, punct_ratio, stopword_ratio,
     quality_band). All ratios are exact-integer divisions → engine-
     identical doubles."""
-    w = _words()
     stop_arr = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
-    return documents.select(
+    return _with_words(documents).select(
         "doc_id",
-        F.expr(f"size({w})").cast("int").alias("n_words"),
+        F.expr("size(w)").cast("int").alias("n_words"),
         F.expr(
-            f"CAST(length(replace(lower(trim(text)), ' ', '')) AS DOUBLE) / size({w})"
+            "CAST(length(replace(lower(trim(text)), ' ', '')) AS DOUBLE) / size(w)"
         ).alias("avg_word_len"),
         F.expr(
             "CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '')) AS DOUBLE)"
             " / length(text)"
         ).alias("punct_ratio"),
         F.expr(
-            f"CAST(size(filter({w}, x -> array_contains(array({stop_arr}), x))) AS DOUBLE)"
-            f" / size({w})"
+            f"CAST(size(filter(w, x -> array_contains(array({stop_arr}), x))) AS DOUBLE)"
+            " / size(w)"
         ).alias("stopword_ratio"),
     ).withColumn(
         "quality_band",
@@ -105,9 +112,9 @@ def quality_features(documents: DataFrame) -> DataFrame:
 def token_counts(documents: DataFrame) -> DataFrame:
     """(doc_id, ws_tokens, bpe_ish_tokens) — whitespace tokenization vs
     a BPE-ish regex ([a-z]+ | digit runs | single punctuation)."""
-    return documents.select(
+    return _with_words(documents).select(
         "doc_id",
-        F.expr(f"size({_words()})").cast("int").alias("ws_tokens"),
+        F.expr("size(w)").cast("int").alias("ws_tokens"),
         # pattern passed as a lit Column (not through a SQL string
         # literal, whose parser would eat the backslash in \s)
         F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH_PATTERN), F.lit(0)))
@@ -121,13 +128,12 @@ def fingerprints(documents: DataFrame, k: int = FINGERPRINT_K, n: int = FP_SHING
     shingles, keep the k smallest digests, join with ','. Rolling-hash
     flavored content signature; identical docs (and docs differing only
     outside their minimal shingles) collide."""
-    w = _words()
     shingles = (
-        f"CASE WHEN size({w}) >= {n} THEN "
-        f"transform(sequence(0, size({w}) - {n}), i -> md5(concat_ws(' ', slice({w}, i + 1, {n})))) "
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(0, size(w) - {n}), i -> md5(concat_ws(' ', slice(w, i + 1, {n})))) "
         f"ELSE array(md5(lower(trim(text)))) END"
     )
-    return documents.select(
+    return _with_words(documents).select(
         "doc_id",
         F.expr(
             f"concat_ws(',', slice(array_sort(array_distinct({shingles})), 1, {k}))"
