@@ -1,0 +1,101 @@
+"""Physical-plan assertions — the scale posture, checked as regressions.
+
+Correctness is the oracle differential's job; these tests pin the
+*plan shapes* that make the same code viable at 100 TB: filters pushed
+into the parquet scan, scans pruned to referenced columns, fixed-size
+dims broadcast, aggregates partial+final, and no row-at-a-time Python
+in any parity query.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tfl_bikes_data_pipeline_spark.plans import queries
+from tfl_bikes_data_pipeline_spark.tables import load_table
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= "1996-01-01"
+    ).select("l_orderkey")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_in_scan(spark, sf_dir):
+    plan = plan_of(queries.q_topk_count(spark, sf_dir))
+    # the grouped top-k over lineitem must read exactly one column
+    scan = [s for s in plan.split("(1) Scan parquet")[1:]][0]
+    read_schema = [l for l in scan.splitlines() if "ReadSchema" in l][0]
+    assert "l_suppkey" in read_schema
+    for unneeded in ("l_quantity", "l_extendedprice", "l_shipdate"):
+        assert unneeded not in read_schema, f"scan reads unneeded column {unneeded}"
+
+
+def test_fixed_dims_broadcast_in_star_view(spark, sf_dir):
+    plan = plan_of(queries.q_star_view(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "nation joins should be broadcast"
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    plan = plan_of(queries.q_topk_count(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, (
+        "ORDER BY + LIMIT must not plan a global sort"
+    )
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    plan = plan_of(queries.q_group_by_hour(spark, sf_dir))
+    assert "partial_count" in plan, "map-side combine missing from group-count"
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    # AQE reports codegen only on the executed (final) plan
+    df = queries.q_case_bucket_count(spark, sf_dir)
+    df.collect()  # .write clones the plan; collect finalizes THIS one
+    executed = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # '*'-prefixed nodes are inside a WholeStageCodegen span
+    assert "isFinalPlan=true" in executed
+    assert "* HashAggregate" in executed, "aggregate fell out of codegen"
+    assert "* Project" in executed, "CASE projection fell out of codegen"
+
+
+PARITY_QUERIES = [
+    "q_topk_count",
+    "q_topk_join_count",
+    "q_filter_hour_topk",
+    "q_group_by_hour",
+    "q_moving_avg",
+    "q_case_bucket_count",
+    "q_bucket_by_location",
+    "q_join_cte_inner",
+    "q_star_view",
+    "q_pricing_summary",
+    "p_dim_time",
+    "p_fact_build",
+    "p_weather_align",
+    "p_weather_ids",
+    "q_spatial_nearest",
+    "q_session_window",
+    "q_sql_view_topk",
+]
+
+
+@pytest.mark.parametrize("name", PARITY_QUERIES)
+def test_no_python_in_parity_hot_path(spark, sf_dir, name):
+    """The reference's surface is UDF-free in our engine too — every
+    parity plan stays JVM-side (no BatchEvalPython / ArrowEvalPython /
+    MapInPandas nodes)."""
+    from tfl_bikes_data_pipeline_spark import registry
+
+    plan = plan_of(registry.QUERIES[name](spark, sf_dir))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"{name}: Python in the hot path ({marker})"
