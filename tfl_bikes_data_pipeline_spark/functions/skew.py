@@ -1,0 +1,72 @@
+"""Skew-mitigation utilities for hot keys (the 100 TB posture).
+
+AQE's skew-join handling (enabled in the session factory) splits
+oversized shuffle partitions at runtime, but two patterns still need
+explicit salting on a real cluster:
+
+- **Salted broadcast-side replication** (``salted_join``): a shuffle
+  join where one side has a few hot keys. The small side is replicated
+  ``n_salts`` times (one row per salt), the big side gets a
+  deterministic salt from a high-cardinality column, and the join runs
+  on (key, salt) — each hot key's rows spread over ``n_salts``
+  partitions. Results are identical to the plain join.
+
+- **Two-stage aggregation** (``salted_group_count``): a group-count
+  whose key distribution is heavily skewed. Stage 1 groups on
+  (key, salt) — partial counts spread across partitions; stage 2 sums
+  the partials per key. Spark's own partial aggregation already does
+  this for algebraic aggregates; the explicit form matters when the
+  per-key state is large (e.g. collect_set) or when a downstream
+  repartition would re-concentrate the hot key.
+
+Salts are deterministic (hash of a designated column, not rand()), so
+plans stay reproducible and re-runnable — required for the oracle gate
+and for idempotent month re-runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 8
+
+
+def salt_col(from_col: str | Column, n_salts: int = DEFAULT_SALTS) -> Column:
+    """Deterministic salt in [0, n_salts): hash of a high-cardinality
+    column (NOT the skewed key — salting must split, not follow, the
+    hot key)."""
+    c = F.col(from_col) if isinstance(from_col, str) else from_col
+    return F.pmod(F.hash(c), F.lit(n_salts)).cast("int")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_from: str,
+    n_salts: int = DEFAULT_SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on ``key`` with the hot-key rows of
+    ``big`` spread over ``n_salts`` shuffle partitions. ``small`` is
+    exploded ×n_salts (cheap — it's the small side by assumption)."""
+    salted_big = big.withColumn("__salt", salt_col(salt_from, n_salts))
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_big.join(salted_small, [key, "__salt"], how).drop("__salt")
+
+
+def salted_group_count(
+    df: DataFrame, key: str, salt_from: str, n_salts: int = DEFAULT_SALTS
+) -> DataFrame:
+    """Two-stage skew-safe group-count: (key, salt) partial counts, then
+    per-key final sum. Output: (key, cnt) — identical to
+    ``df.groupBy(key).count()``."""
+    partial = (
+        df.withColumn("__salt", salt_col(salt_from, n_salts))
+        .groupBy(key, "__salt")
+        .agg(F.count(F.lit(1)).alias("__pc"))
+    )
+    return partial.groupBy(key).agg(F.sum("__pc").cast("long").alias("cnt"))

@@ -23,6 +23,7 @@ All math is JVM-side double arithmetic (functions.vectors); no UDFs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -115,6 +116,58 @@ def ivf_search(
     )
 
 
+def cosine_topk_arrow(
+    corpus: DataFrame, query_rows: list, k: int = TOP_K
+) -> DataFrame:
+    """Brute-force top-k with an Arrow-batched numpy scorer — the
+    high-dimension throughput path. The (small) query set is collected
+    once and closure-shipped; each Arrow batch of the corpus is scored
+    as ONE matrix multiply against the normalized query matrix, and only
+    the batch-local top-k per query survives to the shuffle (≤ q·k rows
+    per batch), after which a global window finishes the top-k.
+
+    Trade-off vs ``cosine_topk``: the JVM aggregate wins at low dims /
+    few queries (no Python boundary at all); BLAS wins as d·q grows —
+    both produce identical rankings. Output: (qid, vec_id, cos_sim, rank).
+    """
+    import numpy as np
+
+    qids = np.array([r[0] for r in query_rows], dtype=np.int64)
+    qm = np.vstack([np.asarray(r[1], dtype=np.float64) for r in query_rows])
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score_batches(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            c = np.vstack(pdf["cv"].to_numpy())
+            c = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ qm.T  # (batch, queries)
+            out_q, out_v, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                mask = ids != qid
+                # batch-local prune: anything below a batch's k-th hit
+                # can never reach the global top-k.
+                order = np.argsort(-col[mask], kind="stable")[:k]
+                sel_ids = ids[mask][order]
+                out_q.extend([qid] * len(sel_ids))
+                out_v.extend(sel_ids)
+                out_s.extend(np.round(col[mask][order], 6))
+            yield pd.DataFrame(
+                {"qid": out_q, "vec_id": out_v, "cos_sim": out_s}
+            )
+
+    local = corpus.mapInPandas(
+        score_batches, "qid BIGINT, vec_id BIGINT, cos_sim DOUBLE"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # declared queries
 # ---------------------------------------------------------------------------
@@ -124,6 +177,20 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _vecs(embeddings, "vec_id", "cv")
     queries = _vecs(embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv")
     return cosine_topk(corpus, queries)
+
+
+def q_ann_brute_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as q_ann_brute_topk via the Arrow/numpy scorer —
+    shares its oracle (identical ranking; scores rounded to 6 dp)."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    corpus = _vecs(embeddings, "vec_id", "cv")
+    query_rows = [
+        (r["qid"], r["qv"])
+        for r in _vecs(
+            embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv"
+        ).collect()
+    ]
+    return cosine_topk_arrow(corpus, query_rows)
 
 
 def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,10 +278,13 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["q_ann_brute_arrow"] = ORACLES["q_ann_brute_topk"]
+
 QUERIES = {
     "q_ann_brute_topk": q_ann_brute_topk,
+    "q_ann_brute_arrow": q_ann_brute_arrow,
     "q_ann_ivf_assign": q_ann_ivf_assign,
     "q_ann_ivf_topk": q_ann_ivf_topk,
 }
 
-BENCH = ["q_ann_brute_topk", "q_ann_ivf_topk"]
+BENCH = ["q_ann_brute_topk", "q_ann_brute_arrow", "q_ann_ivf_topk"]
