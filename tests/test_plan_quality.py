@@ -68,6 +68,27 @@ def test_whole_stage_codegen_covers_agg(spark, sf_dir):
     assert "* Project" in executed, "CASE projection fell out of codegen"
 
 
+def test_partition_pruning_on_warehouse_read(spark, sf_dir, tmp_path):
+    """S3 partition-path selection: a month-filtered read of the
+    partitioned warehouse must prune at the directory level (partition
+    filter, not a data filter over all files)."""
+    from tfl_bikes_data_pipeline_spark.warehouse import (
+        month_partition,
+        write_partitioned,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ym", month_partition("ts")
+    )
+    out = str(tmp_path / "wh")
+    write_partitioned(events, out, ["ym"], mode="overwrite")
+    months = [r["ym"] for r in spark.read.parquet(out).select("ym").distinct().collect()]
+    df = spark.read.parquet(out).where(F.col("ym") == months[0])
+    plan = plan_of(df)
+    pf_line = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "ym" in pf_line, f"month filter not applied at partition level: {pf_line}"
+
+
 PARITY_QUERIES = [
     "q_topk_count",
     "q_topk_join_count",

@@ -64,14 +64,21 @@ def shingle_rel(documents: DataFrame, n: int = DEFAULT_SHINGLE) -> DataFrame:
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_MINHASH) -> DataFrame:
-    """(doc_id, mh0..mh{k-1}) — minhash signature: per hash j, the MIN of
-    md5("{j}|{shingle}") over the doc's shingle set. Partial aggregation
-    (map-side MIN) makes this one shuffle of k small strings per doc."""
+    """(doc_id, mh0..mh{k-1}) — minhash signature: ONE md5 per shingle,
+    split into k disjoint hex chunks (128/k bits each) standing in for k
+    independent permutations; per chunk, MIN over the doc's shingle set.
+    Hashing cost is 1 digest per shingle instead of k; partial
+    aggregation (map-side MIN) makes the shuffle k small strings per
+    doc. 4-hex (16-bit) chunks at k=8; with 2 rows per band the bucket
+    key is 32 bits effective — false-collision rate stays negligible at
+    corpus scale, and in-doc min ties are harmless to MIN."""
+    chunk = 32 // num_hashes
+    digested = shingles.select("doc_id", F.md5("shingle").alias("d"))
     aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(j)), F.col("shingle")))).alias(f"mh{j}")
+        F.min(F.substring("d", j * chunk + 1, chunk)).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return digested.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -308,8 +315,11 @@ _SHINGLES_CTE = """
         )
 """
 
+_MINHASH_CHUNK = 32 // NUM_MINHASH
+
 _MINHASH_COLS = ", ".join(
-    f"min(md5(concat_ws('|', '{j}', shingle))) AS mh{j}" for j in range(NUM_MINHASH)
+    f"min(substr(md5(shingle), {j * _MINHASH_CHUNK + 1}, {_MINHASH_CHUNK})) AS mh{j}"
+    for j in range(NUM_MINHASH)
 )
 
 _BAND_SELECTS = " UNION ALL ".join(
