@@ -90,7 +90,14 @@ def write_stations_xml(spark: SparkSession, sf_dir: str, xml_path: str) -> str:
 def q_xml_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
     xml_path = os.path.join(tempfile.mkdtemp(prefix="stations_xml_"), "stations.xml")
     write_stations_xml(spark, sf_dir, xml_path)
-    return typed_stations(parse_station_xml(spark, xml_path))
+    typed = typed_stations(parse_station_xml(spark, xml_path))
+    # comparison edge: decimals go out as double — Spark decimals arrive
+    # in pandas as object(Decimal) and string-sort, which breaks the
+    # order-insensitive hash against DuckDB's float64 (SURVEY §7.3
+    # decimal-rendering risk). The dimension itself stays DECIMAL.
+    return typed.withColumn("latitude", F.col("latitude").cast("double")).withColumn(
+        "longitude", F.col("longitude").cast("double")
+    )
 
 
 QUERIES = {"q_xml_stations": q_xml_stations}
@@ -100,8 +107,8 @@ ORACLES: dict[str, str] = {
         SELECT s_suppkey::INT AS station_id,
                s_name AS station_name,
                concat('T', s_suppkey) AS terminal_name,
-               (s_suppkey % 90)::DECIMAL(8,6) AS latitude,
-               ((s_suppkey * 3) % 180)::DECIMAL(9,6) AS longitude
+               (s_suppkey % 90)::DECIMAL(8,6)::DOUBLE AS latitude,
+               ((s_suppkey * 3) % 180)::DECIMAL(9,6)::DOUBLE AS longitude
         FROM supplier
     """,
 }
