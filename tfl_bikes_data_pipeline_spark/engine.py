@@ -1,0 +1,135 @@
+"""The engine façade — the reference's three pipeline entry points as a
+Python API over a partitioned-parquet warehouse.
+
+Reference dispatch (``spark/transform_load.py:528-534``; submission args
+``airflow/dags/spark_transform_load.py:85-92``):
+
+- ``setup_database``          → ``run_stage(..., stage="setup")``
+- ``transform_load_weather``  → ``run_stage(..., stage="weather", month=..)``
+- ``transform_load_journeys`` → ``run_stage(..., stage="journeys", month=..)``
+
+Semantics preserved: setup overwrites the generated time dimension and
+the typed station dimension; the monthly stages transform exactly one
+month slice and append it to month-partitioned tables, with re-runs of
+the same month idempotent (dynamic partition overwrite replacing the
+reference's first-run/append mode flip at ``transform_load.py:438,496``).
+The fact stage derives its dimension-scan bounds from the incoming
+slice, the reference's hand-rolled pushdown (``:460-483``) expressed as
+a plain ``.where()`` that Catalyst pushes into the parquet reader.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.profile import scan_bounds
+from .plans.dim_time import build_dim_time
+from .plans.pipelines import build_aligned_weather, build_fact, raw_events, split_dim
+from .sources.spatial import grid_points, nearest_grid, station_coords
+from .tables import load_table
+from .warehouse import month_partition, write_partitioned
+
+STAGES = ("setup", "weather", "journeys")
+
+
+def _month_slice(events: DataFrame, month: str) -> DataFrame:
+    """One YYYYMM month of the feed (reference partition-path selection,
+    ``transform_load.py:457``) — a partition-prunable predicate."""
+    return events.where(F.date_format("ts", "yyyyMM") == month)
+
+
+def run_stage(
+    spark: SparkSession,
+    warehouse_dir: str,
+    stage: str,
+    month: str | None = None,
+    sf_dir: str | None = None,
+    dim_time_bounds: tuple[str, str] = ("2021-01-01 00:00:00", "2021-12-31 23:59:00"),
+) -> dict[str, str]:
+    """Run one pipeline stage into ``warehouse_dir``. Returns the table
+    paths written. ``sf_dir`` is the raw-source directory (the fixture
+    dir locally; any parquet landing zone in production)."""
+    if stage not in STAGES:
+        raise ValueError(f"unknown stage {stage!r}; expected one of {STAGES}")
+    if stage != "setup" and not month:
+        raise ValueError(f"stage {stage!r} requires month='YYYYMM'")
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    written: dict[str, str] = {}
+
+    if stage == "setup":
+        # dim_time: generated, full-overwrite (transform_load.py:403-418)
+        dim_time = build_dim_time(spark, *dim_time_bounds)
+        p = f"{warehouse_dir}/dim_time"
+        dim_time.write.mode("overwrite").parquet(p)
+        written["dim_time"] = p
+        # dim_locations analog: typed station dim + nearest grid cell
+        # (transform_load.py:130-161 + ingest_weather_data.py:146-173)
+        stations = station_coords(spark, sf_dir)
+        grid = grid_points(spark)
+        dim_loc = stations.join(nearest_grid(stations, grid), "station_id")
+        p = f"{warehouse_dir}/dim_locations"
+        dim_loc.write.mode("overwrite").parquet(p)
+        written["dim_locations"] = p
+        return written
+
+    events = _month_slice(load_table(spark, sf_dir, "events"), month)
+
+    if stage == "weather":
+        # aligned observation dimension for the month, month-partitioned
+        # append (transform_load.py:240-292, 425-449)
+        dim_weather = build_aligned_weather(events).withColumn(
+            "ym", month_partition("day")
+        )
+        p = f"{warehouse_dir}/dim_weather"
+        write_partitioned(dim_weather, p, ["ym"], mode="overwrite")
+        written["dim_weather"] = p
+        return written
+
+    # journeys: raw feed → typed fact + slim dim, enriched with the
+    # month's observation ids, appended to month partitions
+    # (transform_load.py:452-509)
+    raw = raw_events(spark, sf_dir)
+    fact = build_fact(raw)
+    fact = _month_slice(fact.withColumnRenamed("event_ts", "ts"), month).withColumnRenamed(
+        "ts", "event_ts"
+    )
+
+    dim_rental = split_dim(fact)
+    p = f"{warehouse_dir}/dim_rental"
+    dim_rental.withColumn("ym", F.lit(month)).write.mode("overwrite").partitionBy(
+        "ym"
+    ).parquet(p)
+    written["dim_rental"] = p
+
+    # bounded dimension scan: the min/max of the slice bounds the
+    # observation read — Catalyst pushes the predicate to parquet
+    # (reference's dynamic filter string, transform_load.py:460-483).
+    weather_path = f"{warehouse_dir}/dim_weather"
+    if os.path.isdir(weather_path):
+        lo, hi = scan_bounds(fact, "event_ts")
+        dim_weather = (
+            spark.read.parquet(weather_path)
+            .where((F.col("day") >= F.to_date(F.lit(lo))) & (F.col("day") <= F.lit(hi)))
+            .select(
+                F.col("user_id").alias("w_user"),
+                F.to_date("day").alias("w_day"),
+                F.col("id").alias("weather_id"),
+            )
+        )
+        fact = fact.join(
+            dim_weather,
+            (F.col("user_id") == F.col("w_user"))
+            & (F.to_date("event_ts") == F.col("w_day")),
+            "left",
+        ).drop("w_user", "w_day")
+    else:
+        fact = fact.withColumn("weather_id", F.lit(None).cast("string"))
+
+    fact_out = fact.withColumn("ym", F.lit(month))
+    p = f"{warehouse_dir}/fact_events"
+    write_partitioned(fact_out, p, ["ym"], mode="overwrite")
+    written["fact_events"] = p
+    return written
