@@ -52,3 +52,26 @@ def test_cosine_topk_finds_planted_neighbor(spark):
     )
     top = cosine_topk(corpus, queries, k=1).collect()
     assert top[0].vec_id == 99
+
+
+def test_kmeans_refinement_does_not_worsen_inertia(spark, sf_dir):
+    """Lloyd iterations must not increase mean (1 - cosine) to the
+    assigned centroid vs the deterministic seeds."""
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.operators.similarity import (
+        NUM_CENTROIDS,
+        _vecs,
+        inertia,
+        kmeans_refine,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    corpus = _vecs(embeddings, "vec_id", "cv")
+    seeds = _vecs(
+        embeddings.where(F.col("vec_id") < NUM_CENTROIDS), "centroid_id", "qv"
+    )
+    refined = kmeans_refine(corpus, seeds, iterations=2)
+    assert refined.count() == NUM_CENTROIDS
+    assert inertia(corpus, refined) <= inertia(corpus, seeds) + 1e-9

@@ -246,6 +246,57 @@ def embedding_cosine_pairs(embeddings: DataFrame, threshold: float) -> DataFrame
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over near-dup pairs:
+    min-label propagation iterated to fixpoint (cluster_id = smallest
+    doc_id in the component, the conventional keep-representative).
+
+    Iterative-algorithm shape (Spark has no recursive CTE): a driver
+    loop of joins with per-round persist and a converged-count action.
+    Rounds needed = graph diameter — near-dup components are tiny
+    (pairs of near-identical docs plus small chains), so this converges
+    in 2-3 rounds in practice; ``max_iter`` bounds pathological chains.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(new_labels, "node")
+            .where(F.col("old_label") != F.col("label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------------------
 # declared queries
 # ---------------------------------------------------------------------------
@@ -289,6 +340,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents")
     return simhash(documents).orderBy("doc_id")
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup pairs → connected components → (doc_id, cluster_id).
+    The full keep/drop decision surface of a dedup pipeline: keep
+    cluster_id (the min doc), drop the rest."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    return connected_components(pairs).orderBy("doc_id")
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,6 +460,26 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, ({_SIMHASH_COMBINE})::INT AS simhash
         FROM scored ORDER BY doc_id
     """,
+    # transitive closure via recursive CTE == min-label propagation
+    # fixpoint (cluster id = min reachable doc id).
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({{LSH_PAIRS}}) t
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach(node, root) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS doc_id, min(root)::BIGINT AS cluster_id
+        FROM reach GROUP BY node ORDER BY doc_id
+    """,
     "q_dedup_embedding": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
@@ -410,11 +489,17 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# splice the LSH-pair oracle into the clusters oracle as a subquery
+ORACLES["q_dedup_clusters"] = ORACLES["q_dedup_clusters"].replace(
+    "{LSH_PAIRS}", ORACLES["q_dedup_minhash_lsh"]
+)
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_embedding": q_dedup_embedding,
 }
 

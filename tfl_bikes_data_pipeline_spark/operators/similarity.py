@@ -116,6 +116,68 @@ def ivf_search(
     )
 
 
+def assign_to_centroids(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id) for arbitrary centroid relations (broadcast
+    argmax, ties on centroid_id)."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "centroid_id", cosine_expr("qv", "cv").alias("cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def kmeans_refine(
+    corpus: DataFrame, centroids: DataFrame, iterations: int = 2
+) -> DataFrame:
+    """Lloyd iterations over the IVF centroids: assign → element-wise
+    mean per cluster (posexplode + (centroid, pos) average + re-collect)
+    → reassign. Iterative-algorithm shape: a short driver loop, each
+    round one assign shuffle + one mean shuffle; centroid relations are
+    tiny and broadcast. Returns refined centroids (centroid_id, qv).
+
+    Empty clusters keep their previous centroid (standard Lloyd fix) —
+    the left join + coalesce below.
+    """
+    for _ in range(iterations):
+        assign = assign_to_centroids(corpus, centroids)
+        means = (
+            corpus.join(assign, "vec_id")
+            .select("centroid_id", F.posexplode("cv").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s")
+            )
+            .select(
+                "centroid_id", F.expr("transform(s, e -> e.m)").alias("new_qv")
+            )
+        )
+        centroids = (
+            centroids.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id", F.coalesce("new_qv", "qv").alias("qv")
+            )
+        )
+    return centroids
+
+
+def inertia(corpus: DataFrame, centroids: DataFrame) -> float:
+    """Mean (1 - cosine) to the assigned centroid — the quality metric
+    the refinement must not worsen."""
+    assign = assign_to_centroids(corpus, centroids)
+    scored = (
+        corpus.join(assign, "vec_id")
+        .join(F.broadcast(centroids), "centroid_id")
+        .select(cosine_expr("qv", "cv").alias("cs"))
+    )
+    return float(scored.agg(F.avg(F.lit(1.0) - F.col("cs"))).first()[0])
+
+
 def cosine_topk_arrow(
     corpus: DataFrame, query_rows: list, k: int = TOP_K
 ) -> DataFrame:
@@ -209,6 +271,25 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(embeddings, queries)
 
 
+def q_ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build with refined centroids (2 Lloyd rounds from the
+    deterministic seeds): cluster population per refined centroid.
+    Iterative — no SQL oracle; semantics pinned by
+    tests/test_similarity.py (inertia must not increase)."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    corpus = _vecs(embeddings, "vec_id", "cv")
+    seeds = _vecs(
+        embeddings.where(F.col("vec_id") < NUM_CENTROIDS), "centroid_id", "qv"
+    )
+    refined = kmeans_refine(corpus, seeds, iterations=2)
+    return (
+        assign_to_centroids(corpus, refined)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+        .orderBy("centroid_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -285,6 +366,7 @@ QUERIES = {
     "q_ann_brute_arrow": q_ann_brute_arrow,
     "q_ann_ivf_assign": q_ann_ivf_assign,
     "q_ann_ivf_topk": q_ann_ivf_topk,
+    "q_ann_kmeans_assign": q_ann_kmeans_assign,
 }
 
 BENCH = ["q_ann_brute_topk", "q_ann_brute_arrow", "q_ann_ivf_topk"]

@@ -120,8 +120,30 @@ def stream_events_to_warehouse(
     q.awaitTermination()
 
 
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Overlapping (sliding) event-time windows: every event lands in
+    ``window/slide`` windows. Same streaming/batch-portable plan shape
+    as the tumbling variant."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling_window_counts(read_events_stream(spark, stage_landing_dir(sf_dir)))
+    return run_available_now(agg, spark).orderBy("window_start", "event_type")
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = sliding_window_counts(read_events_stream(spark, stage_landing_dir(sf_dir)))
     return run_available_now(agg, spark).orderBy("window_start", "event_type")
 
 
@@ -135,6 +157,24 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2 ORDER BY window_start, event_type
     """,
+    # sliding 1h/30min: each event belongs to the window starting at its
+    # 30-min bucket and the one 30 minutes earlier (epoch-aligned, same
+    # alignment Spark uses).
+    "q_stream_sliding": """
+        WITH expanded AS (
+            SELECT TIMESTAMP '1970-01-01'
+                     + ((floor(epoch(ts))::BIGINT // 1800) * 1800 - i * 1800)
+                       * INTERVAL 1 SECOND AS window_start,
+                   event_type
+            FROM events, range(2) t(i)
+        )
+        SELECT window_start, event_type, count(1)::BIGINT AS cnt
+        FROM expanded
+        GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
 }
 
-QUERIES = {"q_stream_tumbling": q_stream_tumbling}
+QUERIES = {
+    "q_stream_tumbling": q_stream_tumbling,
+    "q_stream_sliding": q_stream_sliding,
+}
