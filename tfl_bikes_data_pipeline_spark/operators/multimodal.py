@@ -90,6 +90,37 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_meta(attach_payload(documents)).orderBy("doc_id")
 
 
+FRAME_EVERY_N = 4
+
+
+def sample_frames(meta: DataFrame, every_n: int = FRAME_EVERY_N) -> DataFrame:
+    """Frame sampling over video-format payloads: one output row per
+    kept frame (indices 0, n, 2n, ...), with a deterministic per-frame
+    feature standing in for the decoded-frame embedding (real decoder
+    drops into the same mapInPandas seam; see sample_video_frames).
+    Row-expanding batch transform — output batches are larger than
+    input batches, the shape a real frame sampler produces."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["format"] == "vid"]
+            rows = {"doc_id": [], "frame_idx": [], "feature": []}
+            for doc_id, n_frames in zip(vids["doc_id"], vids["n_frames"]):
+                for idx in range(0, int(n_frames), every_n):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["feature"].append(int(doc_id * 31 + idx) % 997)
+            yield pd.DataFrame(rows)
+
+    return meta.mapInPandas(op, schema="doc_id long, frame_idx int, feature int")
+
+
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load_table(spark, sf_dir, "documents")
+    meta = extract_meta(attach_payload(documents))
+    return sample_frames(meta).orderBy("doc_id", "frame_idx")
+
+
 ORACLES: dict[str, str] = {
     # strlen() is byte length in DuckDB — identical to len(utf-8 bytes).
     "q_multimodal_meta": """
@@ -101,8 +132,25 @@ ORACLES: dict[str, str] = {
                CASE WHEN strlen(text) % 2 = 0 THEN 'img' ELSE 'vid' END AS format
         FROM documents ORDER BY doc_id
     """,
+    # frames 0, 4, 8, ... of each 'vid' payload, feature = deterministic
+    # stand-in arithmetic — integer-exact in both engines.
+    "q_multimodal_framesample": f"""
+        WITH meta AS (
+            SELECT doc_id, (strlen(text) % 16 + 1)::INT AS n_frames
+            FROM documents WHERE strlen(text) % 2 = 1
+        )
+        SELECT doc_id,
+               (f * {FRAME_EVERY_N})::INT AS frame_idx,
+               ((doc_id * 31 + f * {FRAME_EVERY_N}) % 997)::INT AS feature
+        FROM meta, range(0, 16) t(f)
+        WHERE f * {FRAME_EVERY_N} < n_frames
+        ORDER BY doc_id, frame_idx
+    """,
 }
 
-QUERIES = {"q_multimodal_meta": q_multimodal_meta}
+QUERIES = {
+    "q_multimodal_meta": q_multimodal_meta,
+    "q_multimodal_framesample": q_multimodal_framesample,
+}
 
 BENCH: list = []

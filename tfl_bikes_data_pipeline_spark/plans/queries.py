@@ -284,6 +284,28 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_json_props — semi-structured extraction from the event feed's JSON
+# column (beyond-reference: modern feeds carry JSON payloads; stays
+# JVM-side via get_json_object, no Python).
+# ---------------------------------------------------------------------------
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle SQL — same semantics, same aliases, same determinism
 # rules. Exact decimal sums mirror functions.exact_sum.
 # ---------------------------------------------------------------------------
@@ -368,6 +390,13 @@ ORACLES: dict[str, str] = {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
+    "q_json_props": """
+        SELECT event_type, count(1)::BIGINT AS cnt,
+               sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+               min(json_extract(props, '$.k')::INT)::INT AS min_k,
+               max(json_extract(props, '$.k')::INT)::INT AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
 }
 
 QUERIES = {
@@ -381,4 +410,5 @@ QUERIES = {
     "q_join_cte_inner": q_join_cte_inner,
     "q_star_view": q_star_view,
     "q_pricing_summary": q_pricing_summary,
+    "q_json_props": q_json_props,
 }
