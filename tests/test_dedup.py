@@ -11,6 +11,7 @@ from tfl_bikes_data_pipeline_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     shingle_rel,
+    shingle_sets,
     simhash,
     verify_candidates,
 )
@@ -33,9 +34,9 @@ def docs(spark):
 
 
 def test_minhash_lsh_finds_planted_near_dups(spark, docs):
-    sh = shingle_rel(docs)
-    cands = lsh_candidate_pairs(minhash_signatures(sh))
-    pairs = {(r.doc_a, r.doc_b) for r in verify_candidates(sh, cands, 0.5).collect()}
+    sets = shingle_sets(docs)
+    cands = lsh_candidate_pairs(minhash_signatures(sets))
+    pairs = {(r.doc_a, r.doc_b) for r in verify_candidates(sets, cands, 0.5).collect()}
     assert (1, 2) in pairs, "near-dup pair missed by LSH"
     assert (1, 4) in pairs, "exact dup pair missed by LSH"
     assert not any(3 in p for p in pairs), "unrelated doc flagged"
@@ -44,10 +45,10 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs):
 def test_lsh_candidates_subset_of_jaccard_universe(spark, docs):
     """LSH prunes candidate generation; verified pairs must be a subset
     of (and here equal to) the exhaustive jaccard pairs."""
-    sh = shingle_rel(docs)
-    exhaustive = {(r.doc_a, r.doc_b) for r in jaccard_pairs(sh, 0.5).collect()}
-    cands = lsh_candidate_pairs(minhash_signatures(sh))
-    lsh = {(r.doc_a, r.doc_b) for r in verify_candidates(sh, cands, 0.5).collect()}
+    exhaustive = {(r.doc_a, r.doc_b) for r in jaccard_pairs(shingle_rel(docs), 0.5).collect()}
+    sets = shingle_sets(docs)
+    cands = lsh_candidate_pairs(minhash_signatures(sets))
+    lsh = {(r.doc_a, r.doc_b) for r in verify_candidates(sets, cands, 0.5).collect()}
     assert lsh <= exhaustive
     assert lsh == exhaustive  # at this similarity level, full recall
 

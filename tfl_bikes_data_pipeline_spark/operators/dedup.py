@@ -63,22 +63,49 @@ def shingle_rel(documents: DataFrame, n: int = DEFAULT_SHINGLE) -> DataFrame:
     return words.select("doc_id", F.explode(F.expr(shingles)).alias("shingle")).distinct()
 
 
-def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_MINHASH) -> DataFrame:
-    """(doc_id, mh0..mh{k-1}) — minhash signature: ONE md5 per shingle,
-    split into k disjoint hex chunks (128/k bits each) standing in for k
-    independent permutations; per chunk, MIN over the doc's shingle set.
-    Hashing cost is 1 digest per shingle instead of k; partial
-    aggregation (map-side MIN) makes the shuffle k small strings per
-    doc. 4-hex (16-bit) chunks at k=8; with 2 rows per band the bucket
-    key is 32 bits effective — false-collision rate stays negligible at
-    corpus scale, and in-doc min ties are harmless to MIN."""
+def shingle_sets(documents: DataFrame, n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """(doc_id, sset, digests, n_shingles) — the per-document distinct
+    shingle set, its md5 digests, and its cardinality, computed entirely
+    with array expressions: tokenize → shingle transform →
+    array_distinct → per-element md5. A completely NARROW plan — zero
+    shuffles, no explode — which is what makes the LSH pipeline cheap:
+    the only shuffles left are the band bucket-join and the verify
+    joins. At 100 TB this scales as a pure map over the corpus."""
+    words = documents.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    )
+    shingles = (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(w) - {n}), "
+        f"i -> concat_ws(' ', slice(w, i + 1, {n})))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return words.select(
+        "doc_id", F.expr(shingles).alias("sset")
+    ).select(
+        "doc_id",
+        "sset",
+        F.expr("transform(sset, s -> md5(s))").alias("digests"),
+        F.size("sset").alias("n_shingles"),
+    )
+
+
+def minhash_signatures(sets: DataFrame, num_hashes: int = NUM_MINHASH) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) — minhash signature from the per-doc digest
+    array: ONE md5 per shingle, split into k disjoint hex chunks
+    (128/k bits each) standing in for k independent permutations; per
+    chunk, array_min over the doc's digests. Still narrow — no shuffle.
+    4-hex (16-bit) chunks at k=8; with 2 rows per band the bucket key is
+    32 bits effective — false-collision rate stays negligible at corpus
+    scale, and in-set min ties are harmless to MIN."""
     chunk = 32 // num_hashes
-    digested = shingles.select("doc_id", F.md5("shingle").alias("d"))
-    aggs = [
-        F.min(F.substring("d", j * chunk + 1, chunk)).alias(f"mh{j}")
+    cols = [
+        F.expr(
+            f"array_min(transform(digests, d -> substring(d, {j * chunk + 1}, {chunk})))"
+        ).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
-    return digested.groupBy("doc_id").agg(*aggs)
+    return sets.where(F.col("n_shingles") > 0).select("doc_id", *cols)
 
 
 def lsh_candidate_pairs(
@@ -142,17 +169,15 @@ def jaccard_pairs(shingles: DataFrame, min_jaccard: float) -> DataFrame:
 
 
 def verify_candidates(
-    shingles: DataFrame, candidates: DataFrame, min_jaccard: float
+    sets: DataFrame, candidates: DataFrame, min_jaccard: float
 ) -> DataFrame:
     """Jaccard-verify LSH candidate pairs via set intersection — the
-    scalable verify: each doc's shingle set is collected once (array
-    column), candidate pairs pick up both sets by key join, and the
-    exact jaccard is ``size(array_intersect)`` per pair. Work is
-    O(candidates × doc length) — the corpus-wide inverted-index
-    self-join never runs, which is the whole point of LSH at 100 TB."""
-    sets = shingles.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sset"), F.count(F.lit(1)).alias("n")
-    )
+    scalable verify: candidate pairs pick up both docs' shingle-set
+    arrays by key join, and the exact jaccard is
+    ``size(array_intersect)`` per pair. Work is O(candidates × doc
+    length) — the corpus-wide inverted-index self-join never runs,
+    which is the whole point of LSH at 100 TB."""
+    sets = sets.select("doc_id", "sset", F.col("n_shingles").alias("n"))
     return (
         candidates.join(
             sets.select(
@@ -317,13 +342,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → 8-hash signature →
     4 bands → bucket-join candidates → jaccard-verified pairs."""
     documents = load_table(spark, sf_dir, "documents")
-    # the shingle relation feeds both the signature aggregate and the
-    # verify sets — persist so the explode+distinct shuffle runs once
-    # (MEMORY_AND_DISK: spills instead of OOMing at large SF; evicted
-    # LRU afterwards).
-    sh = shingle_rel(documents).persist(StorageLevel.MEMORY_AND_DISK)
-    candidates = lsh_candidate_pairs(minhash_signatures(sh))
-    return verify_candidates(sh, candidates, JACCARD_THRESHOLD).orderBy(
+    # the per-doc set relation feeds signatures (narrow) and the verify
+    # joins — persist the 1-row-per-doc arrays (MEMORY_AND_DISK: spills
+    # instead of OOMing at large SF; evicted LRU afterwards).
+    sets = shingle_sets(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    candidates = lsh_candidate_pairs(minhash_signatures(sets))
+    return verify_candidates(sets, candidates, JACCARD_THRESHOLD).orderBy(
         "doc_a", "doc_b"
     )
 
