@@ -147,6 +147,49 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, spark).orderBy("window_start", "event_type")
 
 
+def stream_stream_conversion_join(
+    clicks: DataFrame, purchases: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    each purchase matched to same-user clicks in the preceding
+    ``within``. Both sides carry watermarks so the join state is
+    bounded — Spark evicts click state older than the range + watermark
+    (the canonical conversion-attribution join shape).
+
+    Output: (purchase_id, click_id, user_id) — works identically on
+    batch frames (the oracle path)."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "2 hours")
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "2 hours")
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases ⨝ preceding-hour clicks per user, on the real streaming
+    engine (two stream readers over the same landing dir)."""
+    landing = stage_landing_dir(sf_dir)
+    clicks = read_events_stream(spark, landing).where(F.col("event_type") == "click")
+    purchases = read_events_stream(spark, landing).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_conversion_join(clicks, purchases)
+    out = run_available_now(joined, spark, output_mode="append")
+    return out.orderBy("purchase_id", "click_id")
+
+
 ORACLES: dict[str, str] = {
     # batch-equivalent of the streaming tumbling window: epoch-aligned
     # 1h windows == date_trunc('hour').
@@ -174,7 +217,19 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["q_stream_join"] = """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR
+    ORDER BY purchase_id, click_id
+"""
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_sliding": q_stream_sliding,
+    "q_stream_join": q_stream_join,
 }
