@@ -81,3 +81,15 @@ def test_nearest_grid_argmin_deterministic(spark):
            spatial.nearest_grid(stations, grid).collect()}
     assert out[1] == (2, 5)
     assert out[2] == (0, 25)
+
+
+def test_csv_malformed_rows_tolerated(spark, tmp_path):
+    """PERMISSIVE read discipline: short rows null-pad, long rows drop
+    extras — the feed's header/width drift never kills the job."""
+    p = tmp_path / "drift.csv"
+    p.write_text("A,B\n1,x\n2\n3,y,z\n")
+    df = raw.read_csv_with_schema(spark, str(p), ["A", "B"])
+    rows = {r["A"]: r["B"] for r in df.collect()}
+    assert rows["1"] == "x"
+    assert rows["2"] is None
+    assert rows["3"] == "y"

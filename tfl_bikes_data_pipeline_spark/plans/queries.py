@@ -306,6 +306,70 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_rollup — hierarchical subtotals (beyond-reference: the warehouse
+# query surface a dashboard needs; Spark plans one Expand + one
+# aggregate, not N passes). NULL grouping markers are replaced with a
+# sentinel so the hash compare is engine-stable.
+# ---------------------------------------------------------------------------
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            exact_sum("o_totalprice", "sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("o_orderpriority"),
+            "cnt",
+            "sum_price",
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_count_distinct — exact distinct counting (survey gap "not present:
+# distinct/approx-distinct"; the approx variant is approx_count_distinct,
+# not oracle-comparable by construction).
+# ---------------------------------------------------------------------------
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_semi_anti — existence filtering both ways: customers with orders
+# (LEFT SEMI) and without (LEFT ANTI), as one union-tagged relation.
+# Semi/anti never duplicate or widen the left side — the scalable
+# existence check (no DISTINCT after a join).
+# ---------------------------------------------------------------------------
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    order_keys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_orders = customer.join(order_keys, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit("with_orders").alias("segment")
+    )
+    without = customer.join(order_keys, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("segment")
+    )
+    return with_orders.unionByName(without).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle SQL — same semantics, same aliases, same determinism
 # rules. Exact decimal sums mirror functions.exact_sum.
 # ---------------------------------------------------------------------------
@@ -397,6 +461,29 @@ ORACLES: dict[str, str] = {
                max(json_extract(props, '$.k')::INT)::INT AS max_k
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    "q_rollup": """
+        SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+               coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+               count(1)::BIGINT AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "q_count_distinct": """
+        SELECT event_type,
+               count(DISTINCT user_id)::BIGINT AS n_users,
+               count(1)::BIGINT AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q_semi_anti": """
+        SELECT c_custkey, 'with_orders' AS segment FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT c_custkey, 'no_orders' AS segment FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey
+    """,
 }
 
 QUERIES = {
@@ -411,4 +498,7 @@ QUERIES = {
     "q_star_view": q_star_view,
     "q_pricing_summary": q_pricing_summary,
     "q_json_props": q_json_props,
+    "q_rollup": q_rollup,
+    "q_count_distinct": q_count_distinct,
+    "q_semi_anti": q_semi_anti,
 }
