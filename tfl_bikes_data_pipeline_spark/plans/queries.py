@@ -370,6 +370,46 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_rank_lag — ranking + offset window family (survey §2.6 notes the
+# reference's "top four destinations" dashboards imply rank-style
+# queries; lag/lead is the standard sessionless delta). Deterministic
+# via the unique event_id tie-break in the window order.
+# ---------------------------------------------------------------------------
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (sort-based `percentile`, not the
+    sketch-based approx variant — approx is offered too but is not
+    oracle-comparable by construction). Rounded to 6 dp: Spark and
+    DuckDB use algebraically equal but differently-ordered interpolation
+    arithmetic."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.lag("event_id").over(w).alias("prev_event_id"),
+            F.lead("event_id").over(w).alias("next_event_id"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("user_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle SQL — same semantics, same aliases, same determinism
 # rules. Exact decimal sums mirror functions.exact_sum.
 # ---------------------------------------------------------------------------
@@ -484,6 +524,23 @@ ORACLES: dict[str, str] = {
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         ORDER BY c_custkey
     """,
+    "q_quantiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q_rank_lag": """
+        SELECT user_id, event_id, rn, prev_event_id, next_event_id FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER w AS rn,
+                   lag(event_id) OVER w AS prev_event_id,
+                   lead(event_id) OVER w AS next_event_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) t WHERE rn <= 3
+        ORDER BY user_id, rn
+    """,
 }
 
 QUERIES = {
@@ -501,4 +558,6 @@ QUERIES = {
     "q_rollup": q_rollup,
     "q_count_distinct": q_count_distinct,
     "q_semi_anti": q_semi_anti,
+    "q_rank_lag": q_rank_lag,
+    "q_quantiles": q_quantiles,
 }
