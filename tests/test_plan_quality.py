@@ -89,6 +89,43 @@ def test_partition_pruning_on_warehouse_read(spark, sf_dir, tmp_path):
     assert "ym" in pf_line, f"month filter not applied at partition level: {pf_line}"
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located join: two tables bucketed identically on the join key
+    must sort-merge with ZERO Exchange (the shuffle was paid at write
+    time) — the repeated-join layout for 100 TB fact⨝fact work."""
+    import uuid
+
+    from tfl_bikes_data_pipeline_spark.warehouse import write_bucketed
+
+    sfx = uuid.uuid4().hex[:6]
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed(lineitem, f"li_b_{sfx}", "l_orderkey", 8, str(tmp_path / "li"))
+    write_bucketed(orders, f"o_b_{sfx}", "l_orderkey", 8, str(tmp_path / "o"))
+    # at fixture size AQE would broadcast either side, hiding the
+    # property under test; disable broadcast to surface the SMJ layout
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(f"li_b_{sfx}").join(
+            spark.table(f"o_b_{sfx}"), "l_orderkey"
+        )
+        joined.collect()
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in executed
+        assert "Exchange" not in executed, "bucketed join still shuffles"
+        # sanity: same result as the unbucketed join
+        assert joined.count() == lineitem.join(orders, "l_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE li_b_{sfx}")
+        spark.sql(f"DROP TABLE o_b_{sfx}")
+
+
 PARITY_QUERIES = [
     "q_topk_count",
     "q_topk_join_count",

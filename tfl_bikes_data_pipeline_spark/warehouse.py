@@ -39,3 +39,26 @@ def write_partitioned(
 
 def read_warehouse(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int,
+    location: str,
+    sort_col: str | None = None,
+) -> None:
+    """Catalog-managed bucketed table: rows hash-partitioned into
+    ``n_buckets`` files by ``bucket_col`` at write time. Two tables
+    bucketed the same way equi-join with ZERO exchange — the shuffle is
+    paid once at ingest instead of per query, the decisive layout for
+    repeated fact⨝fact joins at 100 TB (asserted in
+    tests/test_plan_quality.py). Optional per-bucket sort enables
+    sort-merge without a sort step."""
+    writer = df.write.mode("overwrite").option("path", location).bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(name)
