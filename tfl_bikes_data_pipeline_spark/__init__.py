@@ -19,8 +19,13 @@ Layout
                    (dedup, similarity search, text analysis, multimodal).
 - ``sources``    : raw-format ingest parity (CSV-with-schema, XML,
                    XLSX, netCDF-shaped nearest-grid spatial join).
-- ``streaming``  : Structured Streaming layer (tumbling windows,
-                   watermarks, foreachBatch warehouse sink).
+- ``streaming``  : Structured Streaming layer (tumbling/sliding/session
+                   windows, watermarks, stream-stream joins, stateful
+                   operators, foreachBatch warehouse sink).
+- ``engine``     : pipeline façade (``run_stage``: setup / weather /
+                   journeys — the reference's transform_load stages).
+- ``warehouse``  : partitioned + bucketed parquet warehouse helpers.
+- ``registry``   : every declared query and its DuckDB oracle.
 """
 
 __version__ = "0.1.0"
