@@ -240,6 +240,48 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     return scored.select("doc_id", sim.cast("int").alias("simhash"))
 
 
+SIMHASH_BITS = 16
+SIMHASH_BANDS = 4  # pigeonhole: hamming ≤ bands-1 ⇒ ≥1 band identical
+SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 1
+
+
+def simhash_pairs(
+    hashes: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — near-dup pairs by simhash distance.
+    Candidate generation is banded exact-match (the hamming analogue of
+    MinHash-LSH): the 16-bit hash splits into 4 nibbles; by pigeonhole,
+    any pair within hamming ≤ 3 shares at least one identical nibble, so
+    the self-join shuffles on (band, nibble) buckets — never all-pairs.
+    Verification is ``bit_count(a XOR b)``, integer-exact."""
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = hashes.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * width)
+                    % (2**width)
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, ["band_id", "band_key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.expr("bit_count(x.simhash ^ y.simhash)").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
 def embedding_cosine_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
     """(vec_a, vec_b, cos_sim) — pairwise cosine near-dup over
     array<float>. Brute-force all-pairs: correct at test scale; the
@@ -366,6 +408,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(documents).orderBy("doc_id")
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: per-doc hashes → banded buckets →
+    hamming-verified pairs (the full simhash dedup path)."""
+    documents = load_table(spark, sf_dir, "documents")
+    hashes = simhash(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    return simhash_pairs(hashes).orderBy("doc_a", "doc_b")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH near-dup pairs → connected components → (doc_id, cluster_id).
     The full keep/drop decision surface of a dedup pipeline: keep
@@ -484,6 +534,32 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, ({_SIMHASH_COMBINE})::INT AS simhash
         FROM scored ORDER BY doc_id
     """,
+    "q_dedup_simhash_pairs": f"""
+        WITH wc AS (
+            SELECT doc_id, word, count(1) AS n
+            FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+                  FROM documents)
+            GROUP BY doc_id, word
+        ),
+        scored AS (
+            SELECT doc_id, {_SIMHASH_SCORES} FROM wc GROUP BY doc_id
+        ),
+        hashes AS (
+            SELECT doc_id, ({_SIMHASH_COMBINE})::INT AS simhash FROM scored
+        ),
+        bands AS (
+            SELECT doc_id, simhash, b.band_id,
+                   (simhash >> (b.band_id * 4)) % 16 AS band_key
+            FROM hashes, (VALUES (0), (1), (2), (3)) b(band_id)
+        )
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               bit_count(xor(x.simhash, y.simhash))::INT AS hamming
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.band_key = y.band_key
+        WHERE x.doc_id < y.doc_id
+          AND bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_MAX_HAMMING}
+        ORDER BY doc_a, doc_b
+    """,
     # transitive closure via recursive CTE == min-label propagation
     # fixpoint (cluster id = min reachable doc id).
     "q_dedup_clusters": f"""
@@ -523,6 +599,7 @@ QUERIES = {
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_embedding": q_dedup_embedding,
 }
