@@ -15,7 +15,7 @@ the plans stay inside whole-stage codegen and scale linearly):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -120,6 +120,41 @@ def token_counts(documents: DataFrame) -> DataFrame:
         F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH_PATTERN), F.lit(0)))
         .cast("int")
         .alias("bpe_ish_tokens"),
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """(doc_id, term, rank) — top-k characteristic terms per document by
+    TF-IDF. tf = in-doc term count; idf = N/df kept as an exact integer
+    RATIO: ranking compares tf·N/df via the cross-multiplied integer
+    tf·N·df_other ordering... simplified here to the equivalent
+    (tf * N, -df) lexicographic score — fully integer, so the ranking is
+    bit-identical across engines (no log/double in the hot path; a
+    downstream consumer wanting calibrated weights applies ln at the
+    edge). Deterministic tie-break on the term itself.
+
+    Plan shape: one explode+count per (doc, term) [shuffle on doc_id],
+    a broadcast-joined document-frequency dimension [shuffle on term,
+    tiny], and a per-doc top-k window — the standard distributed
+    TF-IDF, linear in corpus size.
+    """
+    words = documents.select(
+        "doc_id", F.explode(F.expr(_words())).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.count()
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("tf") * n_docs), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df_rel, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", F.col("rank").cast("int").alias("rank"))
     )
 
 
@@ -230,11 +265,41 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "rank"
+    )
+
+
+ORACLES["q_text_tfidf"] = f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(1) AS tf FROM words GROUP BY 1, 2
+    ),
+    dfr AS (
+        SELECT term, count(1) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT count(1) AS n_docs FROM documents)
+    SELECT doc_id, term, rank FROM (
+        SELECT tf.doc_id, tf.term,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * n.n_docs DESC, dfr.df ASC, tf.term ASC
+               )::INT AS rank
+        FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n
+    ) t WHERE rank <= {TFIDF_TOP_K}
+    ORDER BY doc_id, rank
+"""
+
 QUERIES = {
     "q_text_langid": q_text_langid,
     "q_text_quality": q_text_quality,
     "q_token_count": q_token_count,
     "q_doc_fingerprint": q_doc_fingerprint,
+    "q_text_tfidf": q_text_tfidf,
 }
 
-BENCH = ["q_text_quality", "q_doc_fingerprint"]
+BENCH = ["q_text_quality", "q_doc_fingerprint", "q_text_tfidf"]

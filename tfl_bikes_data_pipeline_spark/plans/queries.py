@@ -410,6 +410,56 @@ def q_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_set_ops — INTERSECT / EXCEPT (survey gap "not present: intersect,
+# except"): nations that have customers vs suppliers, tagged and
+# unioned into one relation.
+# ---------------------------------------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    both = customer.intersect(supplier).select(
+        "nationkey", F.lit("both").alias("side")
+    )
+    # subtract = EXCEPT DISTINCT (exceptAll's bag semantics would leave
+    # surplus copies of nations present on both sides)
+    cust_only = customer.subtract(supplier).select(
+        "nationkey", F.lit("customers_only").alias("side")
+    )
+    return both.unionByName(cust_only).orderBy("nationkey", "side")
+
+
+# ---------------------------------------------------------------------------
+# q_pivot — contingency-table pivot (the reference's is_warm ×
+# is_raining grid, sql/aggregations.sql:63-66, as a wide table). Spark
+# plans pivot as a single aggregate with one output column per pinned
+# pivot value — values are pinned explicitly so the plan needs no
+# discovery pass and the schema is stable.
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "purchase", "view")
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.hour("ts").cast("int").alias("hour"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .select(
+            "hour",
+            *[F.col(t).cast("long").alias(f"n_{t}") for t in EVENT_TYPES],
+        )
+        .orderBy("hour")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle SQL — same semantics, same aliases, same determinism
 # rules. Exact decimal sums mirror functions.exact_sum.
 # ---------------------------------------------------------------------------
@@ -530,6 +580,27 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(value, 0.9), 6) AS p90
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    "q_set_ops": """
+        SELECT nationkey, 'both' AS side FROM (
+            SELECT c_nationkey::INT AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey::INT FROM supplier
+        )
+        UNION ALL
+        SELECT nationkey, 'customers_only' AS side FROM (
+            SELECT DISTINCT c_nationkey::INT AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey::INT FROM supplier
+        )
+        ORDER BY nationkey, side
+    """,
+    "q_pivot": """
+        SELECT hour(ts)::INT AS hour,
+               count(1) FILTER (event_type = 'click')::BIGINT AS n_click,
+               count(1) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+               count(1) FILTER (event_type = 'view')::BIGINT AS n_view
+        FROM events GROUP BY 1 ORDER BY hour
+    """,
     "q_rank_lag": """
         SELECT user_id, event_id, rn, prev_event_id, next_event_id FROM (
             SELECT user_id, event_id,
@@ -560,4 +631,6 @@ QUERIES = {
     "q_semi_anti": q_semi_anti,
     "q_rank_lag": q_rank_lag,
     "q_quantiles": q_quantiles,
+    "q_set_ops": q_set_ops,
+    "q_pivot": q_pivot,
 }
