@@ -364,9 +364,52 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def wordset_fingerprint(text_col: str = "text"):
+    """md5 over the sorted distinct word set — a content-defined
+    fingerprint that is order- and multiplicity-insensitive (two docs
+    using the same vocabulary collide, which is exactly the coarse
+    "same material, reshuffled" notion an ingest filter wants). Fully
+    narrow: split → distinct → sort → join → md5, no shuffle."""
+    return F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), " "))
+            ),
+            " ",
+        )
+    )
+
+
+def incremental_dedup(corpus: DataFrame, batch: DataFrame) -> DataFrame:
+    """New-batch-vs-corpus dedup: drop batch docs whose fingerprint
+    already exists in the corpus (left-anti join on the 32-byte digest,
+    never the bodies), then keep min doc_id per fingerprint within the
+    batch itself. This is the steady-state ingest path at 100 TB: the
+    corpus side reduces to a fingerprint set (one narrow projection of
+    a bucketed fingerprint table), and only digests shuffle."""
+    fp = wordset_fingerprint()
+    corpus_fp = corpus.select(fp.alias("fingerprint")).distinct()
+    batch_fp = batch.select("doc_id", fp.alias("fingerprint"))
+    return (
+        batch_fp.join(corpus_fp, "fingerprint", "left_anti")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_batch_copies"))
+        .select("keep_id", "n_batch_copies")
+    )
+
+
 # ---------------------------------------------------------------------------
 # declared queries
 # ---------------------------------------------------------------------------
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents split into an existing corpus (doc_id % 4 != 0) and an
+    incoming batch (doc_id % 4 == 0); return the batch survivors."""
+    documents = load_table(spark, sf_dir, "documents")
+    corpus = documents.where(F.col("doc_id") % 4 != 0)
+    batch = documents.where(F.col("doc_id") % 4 == 0)
+    return incremental_dedup(corpus, batch).orderBy("keep_id")
+
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on normalized text, keep min doc_id.
@@ -488,6 +531,23 @@ ORACLES: dict[str, str] = {
         SELECT min(doc_id) AS keep_id, count(1)::BIGINT AS n_copies
         FROM documents GROUP BY md5(lower(trim(text)))
     """,
+    "q_dedup_incremental": """
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split(lower(trim(text)), ' '))), ' ')) AS fingerprint
+            FROM documents
+        ),
+        corpus AS (
+            SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 4 != 0
+        )
+        SELECT min(doc_id) AS keep_id, count(1)::BIGINT AS n_batch_copies
+        FROM fp
+        WHERE doc_id % 4 = 0
+          AND fingerprint NOT IN (SELECT fingerprint FROM corpus)
+        GROUP BY fingerprint
+        ORDER BY keep_id
+    """,
     "q_dedup_minhash_lsh": f"""
         WITH {_SHINGLES_CTE},
         sig AS (
@@ -596,6 +656,7 @@ ORACLES["q_dedup_clusters"] = ORACLES["q_dedup_clusters"].replace(
 
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_simhash": q_dedup_simhash,

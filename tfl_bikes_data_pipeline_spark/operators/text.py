@@ -158,6 +158,28 @@ def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     )
 
 
+# Both engines (Java regex / RE2) agree on this character-class-only
+# subset — no backrefs, no lookaround, so the scrub is portable.
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_NUM_RE = r"[0-9]{3,}"
+
+
+def scrub_pii(df: DataFrame, text_col) -> DataFrame:
+    """Adds (n_emails, n_nums, scrubbed): emails → ``<EMAIL>`` first,
+    then 3+-digit runs → ``<NUM>`` (ordering matters — addresses contain
+    digits). Narrow per-row regex work, fully codegen'd JVM-side: the
+    scrub adds zero shuffles to an ingest pipeline at any scale."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    no_mail = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(col, F.lit(PII_EMAIL_RE)).cast("int"),
+            "n_nums": F.regexp_count(no_mail, F.lit(PII_NUM_RE)).cast("int"),
+            "scrubbed": F.regexp_replace(no_mail, PII_NUM_RE, "<NUM>"),
+        }
+    )
+
+
 def fingerprints(documents: DataFrame, k: int = FINGERPRINT_K, n: int = FP_SHINGLE) -> DataFrame:
     """(doc_id, fingerprint) — bottom-k sketch: md5 over word n-gram
     shingles, keep the k smallest digests, join with ','. Rolling-hash
@@ -294,12 +316,59 @@ ORACLES["q_text_tfidf"] = f"""
     ORDER BY doc_id, rank
 """
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus carries no organic PII, so the query plants
+    a deterministic contact line per document (address + reference
+    number derived from doc_id) and verifies the scrub end-to-end via
+    match counts and a digest of the scrubbed text."""
+    documents = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ref 555"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        scrub_pii(documents.withColumn("aug", aug), "aug")
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_nums",
+            F.md5("scrubbed").alias("scrub_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["q_pii_scrub"] = f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id::VARCHAR ||
+                   '@example.com ref 555' || doc_id::VARCHAR AS aug
+        FROM documents
+    ),
+    no_mail AS (
+        SELECT doc_id, aug,
+               regexp_replace(aug, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS no_mail
+        FROM aug
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(aug, '{PII_EMAIL_RE}'))::INT AS n_emails,
+           len(regexp_extract_all(no_mail, '{PII_NUM_RE}'))::INT AS n_nums,
+           md5(regexp_replace(no_mail, '{PII_NUM_RE}', '<NUM>', 'g')) AS scrub_hash
+    FROM no_mail
+    ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_text_langid": q_text_langid,
     "q_text_quality": q_text_quality,
     "q_token_count": q_token_count,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_text_tfidf": q_text_tfidf,
+    "q_pii_scrub": q_pii_scrub,
 }
 
 BENCH = ["q_text_quality", "q_doc_fingerprint", "q_text_tfidf"]

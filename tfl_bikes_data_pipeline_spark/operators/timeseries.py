@@ -1,0 +1,196 @@
+"""Time-series / dataset-utility operators: deterministic sampling,
+gap-filling resample, and fixed-width histograms.
+
+These extend the reference's surface with the utilities a large-scale
+pipeline needs around its fact tables (the reference resamples weather
+observations to journey grain implicitly via its alignment joins,
+``spark/transform_load.py`` weather stage; here the resample/fill is a
+first-class operator).
+
+Scale notes:
+- Sampling is a pure narrow filter on a hash of the key — pushes into
+  the scan stage, no shuffle, and the sampled subset is reproducible
+  across runs/engines (unlike ``df.sample`` whose RNG is
+  partition-layout dependent).
+- The gap-fill grid derives from a 1-row min/max aggregate and a
+  ``sequence``/``explode`` — the grid is O(time-span), independent of
+  fact cardinality, and is repartitioned after the explode so the
+  downstream join parallelizes. At warehouse scale the bounds would come
+  from partition metadata instead of a data pass.
+- Histogram bucketing is arithmetic (floor-divide) — fully codegen'd,
+  one partial+final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import exact_avg
+from ..tables import load_table
+
+#: Known event-type domain (pinned, as in plans.queries.EVENT_TYPES —
+#: avoids a discovery pass over the fact table).
+EVENT_TYPES = ("click", "purchase", "view")
+
+#: Keep rows whose md5(key) hex digest starts with this prefix — a
+#: deterministic 1/16 sample per prefix character.
+SAMPLE_PREFIX = "0"
+
+HIST_BIN_WIDTH = 50.0
+HIST_N_BINS = 10  # values clamp into [0, HIST_BIN_WIDTH * HIST_N_BINS)
+
+
+def hash_sample(df: DataFrame, key: str, prefix: str = SAMPLE_PREFIX) -> DataFrame:
+    """Deterministic content-hash sample: identical subset on any engine,
+    any partitioning, any run — the property that matters for
+    train/eval splits and for debugging at 100 TB (re-running the
+    pipeline must reproduce the same sample). One hex character of
+    prefix = a 1/16 rate; two = 1/256, etc."""
+    digest = F.md5(F.col(key).cast("string"))
+    return df.where(digest.startswith(prefix))
+
+
+def resample_fill(
+    events: DataFrame,
+    bucket_seconds: int = 3600,
+    types: tuple[str, ...] = EVENT_TYPES,
+) -> DataFrame:
+    """(event_type, bucket, cnt, filled_val) — dense per-type time grid.
+
+    Buckets are ``floor(epoch / bucket_seconds)``; the dense grid spans
+    the observed min..max bucket for every pinned type; empty buckets
+    get cnt=0 and carry the last observed average value forward
+    (leading buckets before the first observation stay NULL).
+    """
+    hb = F.floor(F.col("ts").cast("long") / bucket_seconds).cast("long")
+    hourly = events.groupBy(
+        "event_type", hb.alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        exact_avg("value", "avg_val"),
+    )
+    bounds = events.agg(
+        F.min(hb).alias("lo"), F.max(hb).alias("hi")
+    )
+    grid = (
+        bounds.select(F.explode(F.sequence("lo", "hi")).alias("bucket"))
+        .repartition("bucket")
+        .crossJoin(
+            events.sparkSession.createDataFrame(
+                [(t,) for t in types], ["event_type"]
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "bucket"], "left")
+        .na.fill(0, ["cnt"])
+        .withColumn("filled_val", F.last("avg_val", ignorenulls=True).over(w))
+        .select("event_type", "bucket", "cnt", "filled_val")
+    )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    width: float = HIST_BIN_WIDTH,
+    n_bins: int = HIST_N_BINS,
+) -> DataFrame:
+    """(bin, lo, cnt) — fixed-width histogram with clamped edge bins.
+    floor-divide bucketing evaluates identically in IEEE double on any
+    engine, so the bin assignment is reproducible bit-for-bit."""
+    b = F.least(
+        F.greatest(F.floor(F.col(col) / width), F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("bin", (F.col("bin") * width).alias("lo"), "cnt")
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declared queries + oracles
+# ---------------------------------------------------------------------------
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        hash_sample(events, "event_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            exact_avg("value", "avg_val"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return resample_fill(events).orderBy("event_type", "bucket")
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return histogram(events, "value")
+
+
+ORACLES: dict[str, str] = {
+    "q_sample_hash": f"""
+        SELECT event_type, count(1)::BIGINT AS n_sample,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)
+                   AS avg_val
+        FROM events
+        WHERE md5(event_id::VARCHAR) LIKE '{SAMPLE_PREFIX}%'
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "q_gap_fill": """
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS bucket,
+                   count(1) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(value) AS avg_val
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT min(bucket) AS lo, max(bucket) AS hi FROM hourly
+        ),
+        grid AS (
+            SELECT t.event_type, unnest(generate_series(lo, hi)) AS bucket
+            FROM bounds
+            CROSS JOIN (VALUES ('click'), ('purchase'), ('view')) t(event_type)
+        )
+        SELECT grid.event_type, grid.bucket,
+               coalesce(cnt, 0)::BIGINT AS cnt,
+               last_value(avg_val IGNORE NULLS) OVER (
+                   PARTITION BY grid.event_type ORDER BY grid.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_val
+        FROM grid LEFT JOIN hourly USING (event_type, bucket)
+        ORDER BY event_type, bucket
+    """,
+    "q_histogram": f"""
+        SELECT bin, bin * {HIST_BIN_WIDTH} AS lo, count(1)::BIGINT AS cnt
+        FROM (
+            SELECT least(greatest(floor(value / {HIST_BIN_WIDTH}), 0),
+                         {HIST_N_BINS - 1})::INT AS bin
+            FROM events
+        ) GROUP BY bin ORDER BY bin
+    """,
+}
+
+QUERIES = {
+    "q_sample_hash": q_sample_hash,
+    "q_gap_fill": q_gap_fill,
+    "q_histogram": q_histogram,
+}
+
+BENCH = ["q_sample_hash", "q_gap_fill"]

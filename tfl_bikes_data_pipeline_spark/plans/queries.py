@@ -460,6 +460,114 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_unpivot — wide→long melt, the inverse of q_pivot (survey gap "not
+# present: unpivot/melt"). Aggregate FIRST (4 exact sums per return
+# flag), melt the 3-row wide result after — the unpivot touches a
+# constant-size relation, so at 100 TB the only real work is the one
+# partial+final aggregate over lineitem.
+# ---------------------------------------------------------------------------
+
+UNPIVOT_MEASURES = ("sum_qty", "sum_price", "sum_disc", "sum_tax")
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    wide = lineitem.groupBy("l_returnflag").agg(
+        exact_sum("l_quantity", "sum_qty"),
+        exact_sum("l_extendedprice", "sum_price"),
+        exact_sum("l_discount", "sum_disc"),
+        exact_sum("l_tax", "sum_tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=list(UNPIVOT_MEASURES),
+        variableColumnName="measure",
+        valueColumnName="total",
+    ).orderBy("l_returnflag", "measure")
+
+
+# ---------------------------------------------------------------------------
+# q_cube — full cube subtotals + grouping_id bitmask (complements
+# q_rollup's hierarchy; survey gap "not present: cube/grouping sets").
+# One Expand (4 grouping sets) feeding one hash aggregate — not 4
+# passes over lineitem. Sentinel '<all>' replaces grouping NULLs so the
+# engine-agnostic hash compare never sorts NULL differently.
+# ---------------------------------------------------------------------------
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            exact_sum("l_quantity", "sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "gid",
+            "cnt",
+            "sum_qty",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_full_outer — FULL OUTER alignment of two aggregates (survey gap:
+# the reference only exercises LEFT/INNER). Customer-count vs
+# supplier-count per nation; the supplier side is deliberately
+# restricted so unmatched rows exist on both sides and the
+# key-coalescing + zero-fill semantics are actually exercised. Both
+# inputs are pre-aggregated to nation grain (25 rows), so the outer
+# join itself is trivially broadcastable at any SF.
+# ---------------------------------------------------------------------------
+
+FULL_OUTER_NATION_CUT = 13
+
+
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.groupBy(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    ).agg(F.count(F.lit(1)).alias("n_cust"))
+    s = (
+        supplier.where(F.col("s_nationkey") < FULL_OUTER_NATION_CUT)
+        .groupBy(F.col("s_nationkey").cast("int").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    # USING-style join coalesces the key across both sides
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .na.fill(0, ["n_cust", "n_supp"])
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ntile_window — distribution-rank window family: ntile / percent_rank
+# / cume_dist (completes the window surface next to q_rank_lag and
+# q_moving_avg). The ORDER BY carries the unique event_id tie-break, so
+# every rank is deterministic; percent_rank and cume_dist are exact
+# integer ratios evaluated in IEEE double — bit-identical across
+# engines, no rounding needed.
+# ---------------------------------------------------------------------------
+
+def q_ntile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).orderBy("event_type", "event_id")
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle SQL — same semantics, same aliases, same determinism
 # rules. Exact decimal sums mirror functions.exact_sum.
 # ---------------------------------------------------------------------------
@@ -601,6 +709,57 @@ ORACLES: dict[str, str] = {
                count(1) FILTER (event_type = 'view')::BIGINT AS n_view
         FROM events GROUP BY 1 ORDER BY hour
     """,
+    "q_unpivot": """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+                   CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
+                   CAST(sum(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS sum_tax
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS total FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_tax', sum_tax FROM wide
+        ORDER BY l_returnflag, measure
+    """,
+    "q_cube": """
+        SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+               coalesce(l_linestatus, '<all>') AS l_linestatus,
+               GROUPING(l_returnflag, l_linestatus)::INT AS gid,
+               count(1)::BIGINT AS cnt,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q_full_outer": """
+        SELECT nationkey,
+               coalesce(n_cust, 0)::BIGINT AS n_cust,
+               coalesce(n_supp, 0)::BIGINT AS n_supp
+        FROM (
+            SELECT c_nationkey::INT AS nationkey, count(1) AS n_cust
+            FROM customer GROUP BY 1
+        ) c
+        FULL OUTER JOIN (
+            SELECT s_nationkey::INT AS nationkey, count(1) AS n_supp
+            FROM supplier WHERE s_nationkey < 13 GROUP BY 1
+        ) s USING (nationkey)
+        ORDER BY nationkey
+    """,
+    "q_ntile_window": """
+        SELECT event_id, event_type,
+               ntile(4) OVER w::INT AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        ORDER BY event_type, event_id
+    """,
     "q_rank_lag": """
         SELECT user_id, event_id, rn, prev_event_id, next_event_id FROM (
             SELECT user_id, event_id,
@@ -633,4 +792,8 @@ QUERIES = {
     "q_quantiles": q_quantiles,
     "q_set_ops": q_set_ops,
     "q_pivot": q_pivot,
+    "q_unpivot": q_unpivot,
+    "q_cube": q_cube,
+    "q_full_outer": q_full_outer,
+    "q_ntile_window": q_ntile_window,
 }

@@ -37,9 +37,17 @@ def _load_all() -> None:
     _register(pipelines.QUERIES, pipelines.ORACLES, pipelines.BENCH)
     _register(sql_surface.QUERIES, sql_surface.ORACLES, list(sql_surface.QUERIES))
 
-    from .operators import asof, dedup, multimodal, profile, similarity, text
+    from .operators import (
+        asof,
+        dedup,
+        multimodal,
+        profile,
+        similarity,
+        text,
+        timeseries,
+    )
 
-    for mod in (dedup, similarity, text, multimodal, profile, asof):
+    for mod in (dedup, similarity, text, multimodal, profile, asof, timeseries):
         _register(mod.QUERIES, mod.ORACLES, getattr(mod, "BENCH", list(mod.QUERIES)))
 
     from .sources import raw, spatial, xml_feed
