@@ -14,9 +14,9 @@ Scale notes:
   partition-layout dependent).
 - The gap-fill grid derives from a 1-row min/max aggregate and a
   ``sequence``/``explode`` — the grid is O(time-span), independent of
-  fact cardinality, and is repartitioned after the explode so the
-  downstream join parallelizes. At warehouse scale the bounds would come
-  from partition metadata instead of a data pass.
+  fact cardinality, and the per-type window's own Exchange spreads it
+  across executors. At warehouse scale the bounds would come from
+  partition metadata instead of a data pass.
 - Histogram bucketing is arithmetic (floor-divide) — fully codegen'd,
   one partial+final aggregate.
 """
@@ -73,14 +73,14 @@ def resample_fill(
     bounds = events.agg(
         F.min(hb).alias("lo"), F.max(hb).alias("hi")
     )
-    grid = (
-        bounds.select(F.explode(F.sequence("lo", "hi")).alias("bucket"))
-        .repartition("bucket")
-        .crossJoin(
-            events.sparkSession.createDataFrame(
-                [(t,) for t in types], ["event_type"]
-            )
-        )
+    # all-JVM grid: explode(sequence) × explode(array-of-literals) —
+    # no Python-RDD scan, no nested-loop join; the per-type window's
+    # own Exchange redistributes the grid, so no pre-repartition.
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("bucket")
+    ).select(
+        "bucket",
+        F.explode(F.array(*[F.lit(t) for t in types])).alias("event_type"),
     )
     w = (
         Window.partitionBy("event_type")
