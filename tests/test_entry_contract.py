@@ -4,7 +4,8 @@ the driver loads it, stable entry schema, oracle coverage accounted."""
 import importlib.util
 import os
 
-KNOWN_ROWS_ONLY = {"q_ann_kmeans_assign"}  # iterative — documented
+# iterative / sketch-valued — documented in their modules
+KNOWN_ROWS_ONLY = {"q_ann_kmeans_assign", "q_approx_distinct"}
 
 
 def _load_entry():

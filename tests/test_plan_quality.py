@@ -157,3 +157,28 @@ def test_no_python_in_parity_hot_path(spark, sf_dir, name):
     plan = plan_of(registry.QUERIES[name](spark, sf_dir))
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, f"{name}: Python in the hot path ({marker})"
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """The SCD-2 gaps-and-islands build keys every window and the
+    collapse aggregate on user_id — Catalyst must reuse ONE hash
+    Exchange for all four operators, not shuffle per step."""
+    from tfl_bikes_data_pipeline_spark.operators.scd import q_scd2_history
+
+    import re
+
+    plan = plan_of(q_scd2_history(spark, sf_dir))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, f"SCD2 build shuffles {n_exchange}× (want 1)"
+
+
+def test_merge_upsert_single_shuffle_per_side(spark, sf_dir):
+    """MERGE is one full-outer key join: at most one hash Exchange per
+    input side, nothing downstream of the join."""
+    from tfl_bikes_data_pipeline_spark.operators.merge import q_merge_upsert
+
+    import re
+
+    plan = plan_of(q_merge_upsert(spark, sf_dir))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 2, f"merge shuffles {n_exchange}× (want ≤2)"

@@ -1,0 +1,53 @@
+"""Profile-stats operators (moments, HLL distinct) and MERGE upsert.
+
+The differential oracle suite already hash-checks q_stats_moments /
+q_merge_upsert / q_orc_roundtrip against DuckDB; here we pin the
+semantics the hash can't see: the HLL estimate's error bound versus
+the exact count, and the whole-row (NULL-wins) update rule of MERGE.
+"""
+
+import pyspark.sql.functions as F
+
+from tfl_bikes_data_pipeline_spark.operators.merge import merge_upsert
+from tfl_bikes_data_pipeline_spark.operators.profile import q_approx_distinct
+from tfl_bikes_data_pipeline_spark.tables import load_table
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {r["event_type"]: r["approx_users"] for r in q_approx_distinct(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for etype, est in approx.items():
+        # rsd=0.02 → 3σ ≈ 6%; allow 10% for tiny-cardinality lumpiness
+        assert abs(est - exact[etype]) <= max(0.10 * exact[etype], 5), etype
+
+
+def test_merge_upsert_null_update_wins(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k INT, s STRING, v DOUBLE"
+    )
+    updates = spark.createDataFrame(
+        [(2, None, 99.0), (4, "d", 40.0)], "k INT, s STRING, v DOUBLE"
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {
+        1: ("a", 10.0),
+        2: (None, 99.0),  # UPDATE SET *: the update's NULL replaces 'b'
+        3: ("c", 30.0),
+        4: ("d", 40.0),
+    }
+
+
+def test_merge_upsert_duplicate_update_keys_rejected_by_contract(spark):
+    # Not an engine error — documents that dup update keys fan out, so
+    # the contract (docstring) requires upstream dedup. Pin the fan-out
+    # so a future "helpful" dedup inside merge_upsert is a conscious choice.
+    base = spark.createDataFrame([(1, 1.0)], "k INT, v DOUBLE")
+    updates = spark.createDataFrame([(1, 2.0), (1, 3.0)], "k INT, v DOUBLE")
+    assert merge_upsert(base, updates, ["k"]).count() == 2

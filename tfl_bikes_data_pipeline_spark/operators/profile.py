@@ -49,6 +49,74 @@ def scan_bounds(df: DataFrame, ts_col: str) -> tuple:
     return row["lo"], row["hi"]
 
 
+def moments(df: DataFrame, group: str, x: Column, y: Column) -> DataFrame:
+    """Grouped second-moment statistics (mean/variance/stddev of ``x``,
+    Pearson correlation of ``x`` vs ``y``) computed the
+    order-independent way: one hash aggregate of exact DECIMAL power
+    sums (n, Σx, Σx², Σy, Σy², Σxy — associative, so identical under
+    any partitioning), then the closed-form double formulas. Spark's
+    built-in ``stddev``/``corr`` stream doubles in partition order and
+    are not bit-reproducible across engines or shuffles; this is, and
+    it costs the same single partial+final aggregate."""
+    sums = df.groupBy(group).agg(
+        F.count(x).alias("n"),
+        F.sum(x.cast("decimal(27,6)")).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(27,6)")).cast("double").alias("sxx"),
+        F.sum(y.cast("decimal(27,6)")).cast("double").alias("sy"),
+        F.sum((y * y).cast("decimal(38,6)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(38,6)")).cast("double").alias("sxy"),
+    )
+    # textual twins of the oracle SQL — same IEEE op sequence
+    return sums.selectExpr(
+        group,
+        "n",
+        "sx / n AS mean_x",
+        "sxx / n - (sx / n) * (sx / n) AS var_x",
+        "sqrt(sxx / n - (sx / n) * (sx / n)) AS std_x",
+        "(sxy / n - (sx / n) * (sy / n)) / "
+        "(sqrt(sxx / n - (sx / n) * (sx / n)) * "
+        "sqrt(syy / n - (sy / n) * (sy / n))) AS corr_xy",
+    )
+
+
+#: Epoch baseline (2023-11-14) + hour scaling for the time axis of the
+#: drift correlation. Pearson corr is invariant under affine transforms
+#: of either variable, so this changes nothing semantically — but it
+#: keeps y ≲ 3e4 and every power-sum product ≲ 1e15, inside the range
+#: where double→DECIMAL conversion is exact. Raw epoch seconds put
+#: Σy²·1e6 near 1e27, where DuckDB's and the JVM's double→decimal
+#: rounding algorithms disagree in the last bits (observed at sf0.01).
+_EPOCH_BASE = 1_700_000_000
+_SECS_PER_HOUR = 3600.0
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distribution profile of event values, with value-vs-time
+    correlation (drift detector: a nonzero corr means the value scale
+    moves over the capture window). Time axis: hours since _EPOCH_BASE."""
+    events = load_table(spark, sf_dir, "events")
+    hours = (
+        (F.col("ts").cast("long") - F.lit(_EPOCH_BASE)).cast("double")
+        / F.lit(_SECS_PER_HOUR)
+    )
+    return moments(events, "event_type", F.col("value"), hours).orderBy("event_type")
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type — the
+    sketch path for cardinalities where exact ``q_count_distinct``'s
+    two-phase shuffle is not worth it at 100 TB. No DuckDB oracle (the
+    two engines' HLL implementations differ by design); the driver
+    records a rows-only check and ``tests/test_profile_stats.py``
+    bounds the relative error against the exact count."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
 def q_profile_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     aligned = build_aligned_weather(load_table(spark, sf_dir, "events"))
     return profile_nulls(aligned, ["click_value", "view_value", "purchase_value"])
@@ -67,6 +135,8 @@ def q_minmax_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_profile_nulls": q_profile_nulls,
     "q_minmax_bounds": q_minmax_bounds,
+    "q_stats_moments": q_stats_moments,
+    "q_approx_distinct": q_approx_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -85,5 +155,34 @@ ORACLES: dict[str, str] = {
                date_trunc('microsecond', min(ts)) AS min_ts,
                date_trunc('microsecond', max(ts)) AS max_ts
         FROM events
+    """,
+    # identical power-sum → closed-form-double pipeline as the Spark
+    # side; the DECIMAL sums make the inputs to the double formulas
+    # bit-equal, and the formulas are textual twins.
+    "q_stats_moments": """
+        WITH h AS (
+            SELECT event_type, value,
+                   CAST(floor(epoch(ts))::BIGINT - 1700000000 AS DOUBLE)
+                       / 3600.0 AS y
+            FROM events
+        ),
+        s AS (
+            SELECT event_type,
+                   count(value)::BIGINT AS n,
+                   CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+                   CAST(sum(CAST(value * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+            FROM h GROUP BY event_type
+        )
+        SELECT event_type, n,
+               sx / n AS mean_x,
+               sxx / n - (sx / n) * (sx / n) AS var_x,
+               sqrt(sxx / n - (sx / n) * (sx / n)) AS std_x,
+               (sxy / n - (sx / n) * (sy / n)) /
+               (sqrt(sxx / n - (sx / n) * (sx / n)) *
+                sqrt(syy / n - (sy / n) * (sy / n))) AS corr_xy
+        FROM s ORDER BY event_type
     """,
 }

@@ -1,0 +1,120 @@
+"""Slowly-changing-dimension (type 2) history build.
+
+The reference keeps dimensions current-state-only (its station /
+weather dims are overwritten per load — ``spark/transform_load.py``
+write stages; our ``warehouse.py`` twin). A warehouse that feeds
+training pipelines needs the *history*: "what was this entity's state
+when the fact happened" requires validity intervals, not snapshots.
+
+``scd2_collapse`` turns an event log into type-2 history rows: per
+key, consecutive runs of the same attribute value collapse into one
+row with ``[valid_from, valid_to)`` bounds (``valid_to`` NULL for the
+open current row). The classic gaps-and-islands build:
+
+1. change-point flag — ``attr != lag(attr)`` over (key, order);
+2. run id — running sum of the flag (same window);
+3. collapse — one hash aggregate per (key, run);
+4. interval close — ``lead(valid_from)`` over (key, run order).
+
+Scale notes:
+- One shuffle on the key; steps 1, 2 and 4 share the same
+  partitioning, so Catalyst plans a single Exchange with three Window
+  operators and one partial+final aggregate on top — verified in
+  ``tests/test_plan_quality.py::test_scd2_single_exchange``.
+- Per-key state is a window frame, never collected: skewed entities
+  (one user with millions of events) stream through the sort rather
+  than materializing a per-key array.
+- The order column must be unique per key ((ts, event_id) here) or
+  run boundaries are nondeterministic under shuffle — same rule as
+  every ranked query in this repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+
+def scd2_collapse(
+    df: DataFrame, key: str, attr: str, order: list[str]
+) -> DataFrame:
+    """Collapse an event log into SCD-2 validity intervals.
+
+    Returns one row per (key, run of identical ``attr``):
+    ``key, attr, valid_from, valid_to, n_events`` where ``valid_from``
+    is the first order-timestamp of the run and ``valid_to`` the start
+    of the next run (NULL on the current row). ``order`` must be a
+    deterministic total order within each key.
+    """
+    w = Window.partitionBy(key).orderBy(*order)
+    ts = F.col(order[0])
+    changed = (
+        F.when(F.lag(attr).over(w).isNull(), F.lit(1))
+        .when(F.col(attr) != F.lag(attr).over(w), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    runs = df.withColumn("__run", F.sum(changed).over(w))
+    collapsed = runs.groupBy(key, "__run").agg(
+        F.first(attr).alias(attr),
+        F.min(ts).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_runs = Window.partitionBy(key).orderBy("__run")
+    return collapsed.select(
+        key,
+        attr,
+        "valid_from",
+        F.lead("valid_from").over(w_runs).alias("valid_to"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declared query + oracle
+# ---------------------------------------------------------------------------
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each user's event-type state: one row per run
+    of consecutive same-type events, with its validity interval."""
+    events = load_table(spark, sf_dir, "events")
+    return scd2_collapse(events, "user_id", "event_type", ["ts", "event_id"])
+
+
+ORACLES: dict[str, str] = {
+    # same 4-step build in DuckDB SQL; (ts, event_id) gives both
+    # engines the identical total order, so run boundaries agree.
+    "q_scd2_history": """
+        WITH flagged AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                             OR event_type <> lag(event_type) OVER w
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        runs AS (
+            SELECT *, sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS run
+            FROM flagged
+        ),
+        collapsed AS (
+            SELECT user_id, run,
+                   min(event_type) AS event_type,
+                   date_trunc('microsecond', min(ts)) AS valid_from,
+                   count(1)::BIGINT AS n_events
+            FROM runs GROUP BY user_id, run
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY run) AS valid_to,
+               n_events
+        FROM collapsed
+    """,
+}
+
+QUERIES = {"q_scd2_history": q_scd2_history}
+
+BENCH = ["q_scd2_history"]

@@ -40,14 +40,17 @@ def _load_all() -> None:
     from .operators import (
         asof,
         dedup,
+        fuzzy,
+        merge,
         multimodal,
         profile,
+        scd,
         similarity,
         text,
         timeseries,
     )
 
-    for mod in (dedup, similarity, text, multimodal, profile, asof, timeseries):
+    for mod in (dedup, similarity, text, multimodal, profile, asof, timeseries, merge, scd, fuzzy):
         _register(mod.QUERIES, mod.ORACLES, getattr(mod, "BENCH", list(mod.QUERIES)))
 
     from .sources import raw, spatial, xml_feed

@@ -102,7 +102,32 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.select("event_id", "user_id", "event_type", "event_ts", "timestamp_id")
 
 
-QUERIES = {"q_csv_roundtrip": q_csv_roundtrip}
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip — the second columnar wire format
+    Spark ships natively (interchange with Hive/Trino warehouses).
+    Events go typed→ORC→typed with no string intermediary, so the
+    format must preserve int64 ids, doubles, and microsecond
+    timestamps exactly; the oracle reads the original parquet, so any
+    loss in the ORC layer fails the hash. (DuckDB cannot read ORC —
+    the differential oracle on the *result* is exactly how a
+    non-shared format stays inside the correctness gate.)"""
+    events = load_table(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="raw_orc_"), "events_orc")
+    events.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.min("ts").alias("min_ts"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {"q_csv_roundtrip": q_csv_roundtrip, "q_orc_roundtrip": q_orc_roundtrip}
 
 # Same semantics as p_fact_build: the CSV layer must be lossless at
 # minute grain (the reference's wire format drops sub-minute precision,
@@ -114,5 +139,12 @@ ORACLES: dict[str, str] = {
                date_trunc('minute', ts) AS event_ts,
                epoch(date_trunc('minute', ts))::INT AS timestamp_id
         FROM events
+    """,
+    "q_orc_roundtrip": """
+        SELECT event_type, count(1)::BIGINT AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+               date_trunc('microsecond', min(ts)) AS min_ts,
+               max(event_id)::BIGINT AS max_event_id
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
