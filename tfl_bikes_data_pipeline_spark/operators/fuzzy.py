@@ -3,29 +3,35 @@
 Entity resolution over names/titles is the string-side sibling of the
 embedding near-dup family in ``dedup.py``: find record pairs whose
 text differs by small edits (typos, re-keyed suppliers, OCR noise).
-The naive form is an O(n²) cross join; the scalable form is the
-classic **blocking → verify** shape used by every record-linkage
-system:
+The naive form is an O(n²) cross join; the scalable form composes two
+standard reductions:
 
-1. *Block*: derive a cheap equality key (here the first token of the
-   name) and self-join on it — candidate pairs collapse from n² to
-   Σ(block²), a shuffle-equality join Catalyst executes as a plain
-   SMJ/broadcast, never a cartesian.
-2. *Verify*: run the expensive metric (``levenshtein``, JVM builtin,
-   whole-stage codegen — no Python) only on candidates, keep pairs
-   under the threshold.
+1. *Distinct-text collapse.* Real corpora repeat strings heavily
+   (catalog names, user agents, addresses). Aggregate to
+   ``(text, multiplicity)`` first and verify each distinct pair ONCE,
+   then recover record-pair counts arithmetically: ``cnt_a · cnt_b``
+   for a ≠ b, ``cnt·(cnt−1)/2`` on the diagonal. The expensive metric
+   runs |distinct|² times instead of |rows|² — on this repo's part
+   table that is 64² vs 20 000² (sf0.1), a 10⁵× cut, and the ratio
+   *improves* with scale because multiplicities grow while the
+   distinct set saturates.
+2. *Block.* Among distinct texts, self-join only within a cheap
+   equality key (first token) — candidates collapse from |distinct|²
+   to Σ(block²), a plain shuffle-equality join, never a cartesian.
+
+The verify metric (``levenshtein``) is a JVM builtin inside
+whole-stage codegen — no Python in the pair loop.
 
 Scale notes:
-- The block key must keep blocks bounded: first-token blocking over a
-  ~90-word vocabulary keeps Σ(block²)/n² ≈ 1/90. A skewed block (one
-  token covering half the corpus) re-creates the n² problem locally —
-  at 100 TB, compose with ``functions.skew.salted_join`` or use two
-  blocking passes (token + length band).
-- ``a.key < b.key`` dedups unordered pairs inside the join condition,
-  so it prunes during the merge, not in a post-filter over 2× rows.
-- Output is a per-block aggregate (counts), not the pair list — at
-  scale you'd sink pairs to a table; the declared query keeps the
-  result driver-sized.
+- The oracle is the NAIVE quadratic SQL over raw rows — DuckDB
+  re-derives every record pair — so the collapse+block optimization
+  is differentially checked, not trusted.
+- A skewed block (one token covering half the distinct texts)
+  re-creates the local n² problem — compose with
+  ``functions.skew.salted_join`` or add a second blocking key
+  (length band) at 100 TB.
+- Output is a per-block aggregate; at scale you'd sink the verified
+  pair table instead — ``fuzzy_text_pairs`` returns it.
 """
 
 from __future__ import annotations
@@ -39,28 +45,41 @@ from ..tables import load_table
 FUZZY_MAX_DIST = 4
 
 
-def fuzzy_pairs(
-    df: DataFrame, key: str, text: str, max_dist: int = FUZZY_MAX_DIST
+def fuzzy_text_pairs(
+    df: DataFrame, text: str, max_dist: int = FUZZY_MAX_DIST
 ) -> DataFrame:
-    """Candidate pairs (a_key, b_key, dist) with
-    ``levenshtein(a.text, b.text) <= max_dist``, blocked on the first
-    token of ``text``. ``key`` must be unique."""
-    blocked = df.select(
-        F.col(key).alias("k"),
-        F.col(text).alias("t"),
-        F.split(F.col(text), " ").getItem(0).alias("blk"),
+    """Verified distinct-text pairs ``(blk, t_a, t_b, dist, n_pairs)``
+    with ``levenshtein ≤ max_dist``, blocked on the first token.
+
+    ``n_pairs`` is the number of underlying RECORD pairs the text pair
+    represents (multiplicity product; ``cnt·(cnt−1)/2`` when
+    ``t_a = t_b``). Diagonal entries with multiplicity 1 carry no
+    record pair and are dropped.
+    """
+    texts = (
+        df.groupBy(F.col(text).alias("t"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("blk", F.split(F.col("t"), " ").getItem(0))
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
+    a = texts.select(
+        F.col("blk"), F.col("t").alias("t_a"), F.col("cnt").alias("cnt_a")
+    )
+    b = texts.select(
+        F.col("blk").alias("blk_b"), F.col("t").alias("t_b"), F.col("cnt").alias("cnt_b")
+    )
+    diag = F.col("t_a") == F.col("t_b")
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.k") < F.col("b.k")))
-        .withColumn("dist", F.levenshtein(F.col("a.t"), F.col("b.t")))
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("t_a") <= F.col("t_b")))
+        .withColumn("dist", F.levenshtein("t_a", "t_b"))
         .where(F.col("dist") <= max_dist)
-        .select(
-            F.col("a.blk").alias("blk"),
-            F.col("a.k").alias("a_key"),
-            F.col("b.k").alias("b_key"),
-            "dist",
+        .withColumn(
+            "n_pairs",
+            F.when(diag, F.expr("cnt_a * (cnt_a - 1) DIV 2")).otherwise(
+                F.col("cnt_a") * F.col("cnt_b")
+            ),
         )
+        .where(F.col("n_pairs") > 0)
+        .select("blk", "t_a", "t_b", "dist", "n_pairs")
     )
 
 
@@ -69,16 +88,18 @@ def fuzzy_pairs(
 # ---------------------------------------------------------------------------
 
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-block fuzzy-match profile of part names: how many near-pairs
-    (edit distance ≤ 4) and how many exact-duplicate names each
-    first-token block contains."""
+    """Per-block fuzzy-match profile of part names: how many record
+    near-pairs (edit distance ≤ 4) and how many exact-duplicate-name
+    pairs each first-token block contains."""
     part = load_table(spark, sf_dir, "part")
-    pairs = fuzzy_pairs(part, "p_partkey", "p_name")
+    pairs = fuzzy_text_pairs(part, "p_name")
     return (
         pairs.groupBy("blk")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(F.when(F.col("dist") == 0, 1).otherwise(0)).alias("n_exact"),
+            F.sum("n_pairs").alias("n_pairs"),
+            F.sum(F.when(F.col("dist") == 0, F.col("n_pairs")).otherwise(F.lit(0))).alias(
+                "n_exact"
+            ),
             F.min("dist").alias("min_dist"),
         )
         .orderBy("blk")
@@ -86,9 +107,11 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
-    # DuckDB's levenshtein is the same unit-cost edit distance as
-    # Spark's (integer, case-sensitive), so the verify step is
-    # engine-portable; the blocking join is plain SQL.
+    # Deliberately the NAIVE record-pair formulation: DuckDB verifies
+    # every a<b key pair directly, so the Spark side's distinct-text
+    # collapse + multiplicity arithmetic is checked against first
+    # principles. DuckDB's levenshtein is the same unit-cost edit
+    # distance as Spark's (integer, case-sensitive).
     "q_fuzzy_pairs": """
         WITH blocked AS (
             SELECT p_partkey AS k, p_name AS t,
@@ -101,7 +124,7 @@ ORACLES: dict[str, str] = {
               ON a.blk = b.blk AND a.k < b.k
             WHERE levenshtein(a.t, b.t) <= 4
         )
-        SELECT blk, count(1)::BIGINT AS n_pairs,
+        SELECT blk, sum(1)::BIGINT AS n_pairs,
                sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END)::BIGINT AS n_exact,
                min(dist)::INT AS min_dist
         FROM pairs GROUP BY blk ORDER BY blk
