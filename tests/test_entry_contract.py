@@ -5,7 +5,7 @@ import importlib.util
 import os
 
 # iterative / sketch-valued — documented in their modules
-KNOWN_ROWS_ONLY = {"q_ann_kmeans_assign", "q_approx_distinct"}
+KNOWN_ROWS_ONLY = {"q_ann_kmeans_assign", "q_approx_distinct", "q_approx_quantiles"}
 
 
 def _load_entry():

@@ -51,3 +51,23 @@ def test_merge_upsert_duplicate_update_keys_rejected_by_contract(spark):
     base = spark.createDataFrame([(1, 1.0)], "k INT, v DOUBLE")
     updates = spark.createDataFrame([(1, 2.0), (1, 3.0)], "k INT, v DOUBLE")
     assert merge_upsert(base, updates, ["k"]).count() == 2
+
+
+def test_approx_quantiles_rank_error_bound(spark, sf_dir):
+    from tfl_bikes_data_pipeline_spark.operators.profile import q_approx_quantiles
+
+    approx = {r["event_type"]: r for r in q_approx_quantiles(spark, sf_dir).collect()}
+    # exact neighborhood: with accuracy=10000 the rank error is 1e-4,
+    # so each estimate must land between the exact (p±0.01) quantiles
+    events = load_table(spark, sf_dir, "events")
+    ps = [0.25, 0.5, 0.75, 0.95]
+    lo_hi = events.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({','.join(str(p - 0.01) for p in ps)}))").alias("lo"),
+        F.expr(f"percentile(value, array({','.join(str(p + 0.01) for p in ps)}))").alias("hi"),
+    )
+    bounds = {r["event_type"]: r for r in lo_hi.collect()}
+    assert set(approx) == set(bounds)
+    for etype, row in approx.items():
+        for i, col in enumerate(["p25", "p50", "p75", "p95"]):
+            lo, hi = bounds[etype]["lo"][i], bounds[etype]["hi"][i]
+            assert lo <= row[col] <= hi, (etype, col, row[col], lo, hi)

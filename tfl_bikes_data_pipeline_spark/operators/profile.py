@@ -117,6 +117,33 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantile sketch (Greenwald-Khanna via
+    ``percentile_approx``): the mergeable, single-pass path for
+    percentile dashboards at 100 TB, where exact ``q_quantiles``'s
+    per-group sort is the bottleneck. Rank error is bounded by
+    1/accuracy; no DuckDB oracle (sketch-valued by design) — the
+    driver records rows-only and ``tests/test_profile_stats.py``
+    bounds each estimate between neighboring exact quantiles."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value", [0.25, 0.5, 0.75, 0.95], 10000
+            ).alias("q")
+        )
+        .select(
+            "event_type",
+            F.col("q").getItem(0).alias("p25"),
+            F.col("q").getItem(1).alias("p50"),
+            F.col("q").getItem(2).alias("p75"),
+            F.col("q").getItem(3).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_profile_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     aligned = build_aligned_weather(load_table(spark, sf_dir, "events"))
     return profile_nulls(aligned, ["click_value", "view_value", "purchase_value"])
@@ -137,6 +164,7 @@ QUERIES = {
     "q_minmax_bounds": q_minmax_bounds,
     "q_stats_moments": q_stats_moments,
     "q_approx_distinct": q_approx_distinct,
+    "q_approx_quantiles": q_approx_quantiles,
 }
 
 ORACLES: dict[str, str] = {

@@ -361,12 +361,56 @@ ORACLES: dict[str, str] = {
 
 ORACLES["q_ann_brute_arrow"] = ORACLES["q_ann_brute_topk"]
 
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid, long-form ``(label, dim, mean_val)`` — class
+    prototypes for few-shot retrieval / cluster QA over the corpus.
+
+    ``posexplode`` melts vectors to (label, dim, val); one hash
+    aggregate of exact DECIMAL sums per (label, dim) gives
+    order-independent means (same [[exact-sum]] discipline as every
+    double aggregate here). Long form scales with dims × labels, stays
+    fully JVM-side, and re-assembles to vectors with
+    ``array_agg(... ORDER BY dim)`` only at the consumer edge —
+    aggregating whole arrays element-wise would put a Python UDF or a
+    ragged struct fold in the hot path instead of a codegen aggregate."""
+    melted = embeddings.select(
+        "label", F.posexplode(to_double_vec("embedding", "v")).alias("dim", "val")
+    )
+    return (
+        melted.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast("decimal(27,6)")).cast("double").alias("sv"),
+        )
+        .selectExpr("label", "dim", "n", "sv / n AS mean_val")
+    )
+
+
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb).orderBy("label", "dim")
+
+
+ORACLES["q_embed_centroid"] = """
+    WITH melted AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding) AS val
+        FROM embeddings
+    )
+    SELECT label, dim, count(1)::BIGINT AS n,
+           CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE)
+               / count(1) AS mean_val
+    FROM melted GROUP BY label, dim ORDER BY label, dim
+"""
+
 QUERIES = {
     "q_ann_brute_topk": q_ann_brute_topk,
     "q_ann_brute_arrow": q_ann_brute_arrow,
     "q_ann_ivf_assign": q_ann_ivf_assign,
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_ann_kmeans_assign": q_ann_kmeans_assign,
+    "q_embed_centroid": q_embed_centroid,
 }
 
 BENCH = ["q_ann_brute_topk", "q_ann_brute_arrow", "q_ann_ivf_topk"]
+

@@ -132,6 +132,30 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATA_K = 50
+
+
+def stratified_sample(df, group: str, key: str, k: int = STRATA_K):
+    """Deterministic per-stratum quota sample: the k smallest content
+    hashes in each group. Fixes ``hash_sample``'s weakness for skewed
+    strata — every group yields EXACTLY k rows (or all it has), so rare
+    classes are never starved, and the subset is engine- and
+    partitioning-independent (same property as [[hash_sample]], plus
+    the per-group guarantee). One shuffle on the group key; the sort is
+    per-stratum top-k (window rank + filter), not a global sort."""
+    w = Window.partitionBy(group).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    return df.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return stratified_sample(events, "event_type", "event_id").select(
+        "event_type", "rk", "event_id"
+    ).orderBy("event_type", "rk")
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return resample_fill(events).orderBy("event_type", "bucket")
@@ -143,6 +167,19 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    # same md5-of-decimal-string ranking; identical hex digests on
+    # both engines make the quota sample engine-portable.
+    "q_sample_stratified": """
+        SELECT event_type, rk, event_id
+        FROM (
+            SELECT event_type, event_id,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY md5(event_id::VARCHAR), event_id
+                   )::INT AS rk
+            FROM events
+        ) WHERE rk <= 50 ORDER BY event_type, rk
+    """,
     "q_sample_hash": f"""
         SELECT event_type, count(1)::BIGINT AS n_sample,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)
@@ -189,8 +226,9 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "q_sample_hash": q_sample_hash,
+    "q_sample_stratified": q_sample_stratified,
     "q_gap_fill": q_gap_fill,
     "q_histogram": q_histogram,
 }
 
-BENCH = ["q_sample_hash", "q_gap_fill"]
+BENCH = ["q_sample_hash", "q_sample_stratified", "q_gap_fill"]

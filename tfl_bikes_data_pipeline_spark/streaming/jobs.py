@@ -233,3 +233,58 @@ QUERIES = {
     "q_stream_sliding": q_stream_sliding,
     "q_stream_join": q_stream_join,
 }
+
+
+def stage_landing_dir_with_redelivery(sf_dir: str) -> str:
+    """Landing zone where the SAME weekly file arrives twice (the
+    at-least-once delivery failure mode: upstream retries re-drop a
+    file it already delivered). Two files → two micro-batches, so the
+    duplicate set crosses a batch boundary and only cross-batch state
+    can catch it."""
+    landing = tempfile.mkdtemp(prefix="events_redelivered_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events_a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events_b.parquet")
+    return landing
+
+
+def stream_exact_dedup(events: DataFrame) -> DataFrame:
+    """Exactly-once ingestion: key-based streaming dedup across
+    micro-batches via ``dropDuplicates`` state. Unbounded state by
+    design — the deterministic choice when re-delivery can be
+    arbitrarily late (the fixture replays a whole historical file, so
+    every event is "late"). Production variant for bounded lateness:
+    ``dropDuplicatesWithinWatermark`` evicts keys older than the
+    watermark, trading state size for a dup-leak window; with ~1e9
+    keys/day a 1-day watermark holds ~8 GB of key state per 1000
+    executors — fine; unbounded state is the thing to cap."""
+    return events.dropDuplicates(["event_id"])
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type profile of the deduplicated stream: a redelivered file
+    must leave counts and value sums exactly as if delivered once."""
+    events = read_events_stream(spark, stage_landing_dir_with_redelivery(sf_dir))
+    out = run_available_now(stream_exact_dedup(events), spark, output_mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# the oracle reads the file ONCE — streaming dedup of the double
+# delivery must reproduce the single-delivery profile bit-for-bit.
+ORACLES["q_stream_dedup"] = """
+    SELECT event_type, count(1)::BIGINT AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           min(event_id)::BIGINT AS min_event_id,
+           max(event_id)::BIGINT AS max_event_id
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["q_stream_dedup"] = q_stream_dedup
