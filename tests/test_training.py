@@ -1,0 +1,54 @@
+"""Training-set assembly semantics the oracle hash can't see:
+split exhaustiveness, mixture rate calibration, packing contiguity."""
+
+import pyspark.sql.functions as F
+
+from tfl_bikes_data_pipeline_spark.operators.training import (
+    CONTEXT_TOKENS,
+    mixture_filter,
+    pack_sequences,
+    split_assign,
+)
+from tfl_bikes_data_pipeline_spark.tables import load_table
+
+
+def test_split_partitions_rows_exhaustively(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    split = split_assign(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    total = sum(counts.values())
+    # thresholds e6/f3 → 89.8% / 5.1% / 5.1%; generous tolerance at small sf
+    assert abs(counts["train"] / total - 0.898) < 0.03
+
+
+def test_mixture_rate_calibration(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    base = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = {r["source"]: r["n"] for r in mixture_filter(docs, "source", "doc_id").groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # src0 cycles to the 25% tier, src3 to the keep-all tier
+    assert kept.get("src3", 0) == base["src3"]
+    low_rate = kept.get("src0", 0) / base["src0"]
+    assert low_rate < 0.6  # 25% expected; generous at tiny sf
+
+
+def test_pack_bins_are_contiguous_per_shard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("n_chars DIV 5").alias("toks")
+    )
+    packed = pack_sequences(docs, "doc_id", "toks")
+    per_shard = packed.groupBy("shard").agg(
+        F.countDistinct("bin").alias("n_bins"), F.max("bin").alias("max_bin")
+    )
+    for r in per_shard.collect():
+        # contiguous fill: every bin id 0..max_bin is occupied
+        assert r["n_bins"] == r["max_bin"] + 1, r
+    # no bin (except ones holding a single oversized doc) exceeds the
+    # window by more than one document's tokens: with contiguous fill, a
+    # bin's pre-offset span is < context + its last doc
+    fill = packed.groupBy("shard", "bin").agg(
+        F.sum("toks").alias("t"), F.max("toks").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    bad = fill.where((F.col("t") >= CONTEXT_TOKENS + F.col("m")) & (F.col("n") > 1))
+    assert bad.count() == 0

@@ -1,0 +1,209 @@
+"""Training-set assembly operators: split assignment, mixture
+sampling, and sequence packing.
+
+The last mile of a training-data pipeline, downstream of cleaning
+(``text.py``), dedup (``dedup.py``) and sampling (``timeseries.py``):
+decide which split each document belongs to, how much of each source
+enters the mix, and how documents pack into fixed-size context
+windows. All three must be **deterministic functions of content** —
+re-running the pipeline (or running it on a different engine /
+partitioning) must produce the identical dataset, or training runs are
+not reproducible and eval splits silently leak. Hence everything here
+derives from md5 of the stable key, never from RNG or row order
+(same discipline as ``timeseries.hash_sample``).
+
+Scale notes:
+- Split + mixture are pure narrow filters/projections — they fuse into
+  the scan stage, zero shuffle, trivially 100 TB-safe.
+- Packing needs an order-sensitive running sum, which cannot be global
+  at scale: a single unpartitioned window serializes the corpus
+  through one task. We shard by a hash prefix and pack within shards
+  — each shard is an independent stream of context windows (training
+  consumers read shards independently anyway), and the window's
+  Exchange spreads shards across executors. Bin boundaries are exact
+  within a shard and never cross shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+#: hex-string thresholds on the first 2 md5 chars (256 buckets):
+#: bucket < 'e6' → train (~90%), < 'f3' → val (~5%), rest → test.
+SPLIT_TRAIN_HEX = "e6"
+SPLIT_VAL_HEX = "f3"
+
+#: per-source keep-rate thresholds for the mixture, as 2-hex-char
+#: ceilings (lexicographic compare — portable across engines, no
+#: hex→int conversion needed). The fixture corpus has sources
+#: src0..src19; rates cycle 25%/50%/75%/100% by suffix — low-quality
+#: tiers downsampled hard, highest kept whole.
+_RATE_CYCLE = ("40", "80", "c0", "ff")
+MIXTURE_RATES = {f"src{i}": _RATE_CYCLE[i % 4] for i in range(20)}
+
+CONTEXT_TOKENS = 2048
+N_PACK_SHARDS = 16
+
+
+def split_assign(df: DataFrame, key: str) -> DataFrame:
+    """Add a deterministic ``split`` column (train/val/test) from the
+    content hash of ``key`` — engine-, run- and partitioning-stable."""
+    h2 = F.substring(F.md5(F.col(key).cast("string")), 1, 2)
+    return df.withColumn(
+        "split",
+        F.when(h2 < SPLIT_TRAIN_HEX, F.lit("train"))
+        .when(h2 < SPLIT_VAL_HEX, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def mixture_filter(df: DataFrame, source_col: str, key: str) -> DataFrame:
+    """Keep each row iff its hash bucket falls under its source's
+    mixture rate — deterministic weighted downsampling by source
+    (dataset mixing). Unknown sources are dropped."""
+    h2 = F.substring(F.md5(F.col(key).cast("string")), 1, 2)
+    rate = F.create_map(
+        *[F.lit(x) for kv in MIXTURE_RATES.items() for x in kv]
+    )[F.col(source_col)]
+    return df.where(h2 < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    context: int = CONTEXT_TOKENS,
+    shards: int = N_PACK_SHARDS,
+) -> DataFrame:
+    """Assign each document a (shard, bin) — contiguous-fill packing of
+    hash-ordered documents into ``context``-token windows, independent
+    per shard. A document starts a new bin when the running token count
+    before it has crossed a window boundary (documents longer than
+    ``context`` occupy ≥1 bin alone; the stream stays contiguous, the
+    standard concat-then-chunk pretraining layout)."""
+    h = F.md5(F.col(key).cast("string"))
+    sharded = df.select(
+        F.col(key).alias("k"),
+        F.col(token_col).alias("toks"),
+        F.substring(h, 1, 1).alias("shard"),
+        h.alias("h"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "k")
+    running = F.sum("toks").over(w) - F.col("toks")  # tokens before this doc
+    # integer floor-div keeps bin ids exact even when a shard's running
+    # token count exceeds double's 2^53 integer range (real at 100 TB)
+    return sharded.select(
+        "k",
+        "shard",
+        "toks",
+        running.alias("__run"),
+    ).select(
+        "k", "shard", "toks", F.expr(f"__run DIV {context}").alias("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declared queries + oracles
+# ---------------------------------------------------------------------------
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-size audit: per (source, split) document and token counts
+    — the table you eyeball before any training run."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        split_assign(docs, "doc_id")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture audit: per-source kept-document counts under the
+    configured mixing rates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        mixture_filter(docs, "source", "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing audit: per-shard window counts and fill statistics
+    (whitespace token proxy = n_chars/5, the plumbing is tokenizer-
+    agnostic). Bins per shard ≈ shard tokens / context."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("n_chars DIV 5").alias("toks")
+    )
+    packed = pack_sequences(docs, "doc_id", "toks")
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("bin").alias("max_bin"),
+            F.sum("toks").alias("total_toks"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "q_split_assign": """
+        SELECT source,
+               CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'train'
+                    WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'f3' THEN 'val'
+                    ELSE 'test' END AS split,
+               count(1)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS total_chars
+        FROM documents GROUP BY source, split ORDER BY source, split
+    """,
+    "q_mixture_sample": f"""
+        WITH rates(source, r) AS (
+            VALUES {", ".join(f"('{s_}', '{r_}')" for s_, r_ in MIXTURE_RATES.items())}
+        )
+        SELECT d.source, count(1)::BIGINT AS n_kept,
+               sum(d.n_chars)::BIGINT AS total_chars
+        FROM documents d JOIN rates USING (source)
+        WHERE substr(md5(d.doc_id::VARCHAR), 1, 2) < rates.r
+        GROUP BY d.source ORDER BY d.source
+    """,
+    "q_pack_sequences": """
+        WITH toks AS (
+            SELECT doc_id, n_chars // 5 AS toks,
+                   md5(doc_id::VARCHAR) AS h,
+                   substr(md5(doc_id::VARCHAR), 1, 1) AS shard
+            FROM documents
+        ),
+        packed AS (
+            SELECT shard, toks,
+                   (sum(toks) OVER (
+                        PARTITION BY shard ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) - toks)
+                    // 2048 AS bin
+            FROM toks
+        )
+        SELECT shard, count(1)::BIGINT AS n_docs,
+               max(bin)::BIGINT AS max_bin,
+               sum(toks)::BIGINT AS total_toks
+        FROM packed GROUP BY shard ORDER BY shard
+    """,
+}
+
+QUERIES = {
+    "q_split_assign": q_split_assign,
+    "q_mixture_sample": q_mixture_sample,
+    "q_pack_sequences": q_pack_sequences,
+}
+
+BENCH = ["q_split_assign", "q_pack_sequences"]

@@ -48,9 +48,10 @@ def _load_all() -> None:
         similarity,
         text,
         timeseries,
+        training,
     )
 
-    for mod in (dedup, similarity, text, multimodal, profile, asof, timeseries, merge, scd, fuzzy):
+    for mod in (dedup, similarity, text, multimodal, profile, asof, timeseries, merge, scd, fuzzy, training):
         _register(mod.QUERIES, mod.ORACLES, getattr(mod, "BENCH", list(mod.QUERIES)))
 
     from .sources import raw, spatial, xml_feed
