@@ -182,3 +182,30 @@ def test_merge_upsert_single_shuffle_per_side(spark, sf_dir):
     plan = plan_of(q_merge_upsert(spark, sf_dir))
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchange <= 2, f"merge shuffles {n_exchange}× (want ≤2)"
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """At warehouse scale a selective dim filter should semi-prune the
+    fact scan before the shuffle: Spark's runtime bloom filter injects
+    a might_contain() predicate on the probe side, built from the
+    filtered build side. Thresholds are lowered to surface the rewrite
+    at fixture size; the assertion is the injection itself."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 400000
+        ).select("o_orderkey")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = plan_of(j)
+        assert "might_contain" in plan, "no runtime bloom filter on probe side"
+        assert "bloom_filter_agg" in plan, "no bloom filter built from dim side"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -514,6 +514,28 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third subtotal shape next to
+    rollup/cube: exactly (returnflag), (linestatus), and grand total,
+    NOT the full cross — declared via SQL (the DataFrame API has no
+    grouping-sets builder; Spark plans one Expand, same as cube)."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+               coalesce(l_linestatus, '<all>') AS l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               count(1) AS cnt,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # q_full_outer — FULL OUTER alignment of two aggregates (survey gap:
 # the reference only exercises LEFT/INNER). Customer-count vs
@@ -737,6 +759,16 @@ ORACLES: dict[str, str] = {
         GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY l_returnflag, l_linestatus
     """,
+    "q_grouping_sets": """
+        SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+               coalesce(l_linestatus, '<all>') AS l_linestatus,
+               GROUPING(l_returnflag, l_linestatus)::INT AS gid,
+               count(1)::BIGINT AS cnt,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag, l_linestatus
+    """,
     "q_full_outer": """
         SELECT nationkey,
                coalesce(n_cust, 0)::BIGINT AS n_cust,
@@ -794,6 +826,7 @@ QUERIES = {
     "q_pivot": q_pivot,
     "q_unpivot": q_unpivot,
     "q_cube": q_cube,
+    "q_grouping_sets": q_grouping_sets,
     "q_full_outer": q_full_outer,
     "q_ntile_window": q_ntile_window,
 }
