@@ -81,9 +81,46 @@ def q_sql_view_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_sql_view_topk": q_sql_view_topk}
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — big-spender orders, defined
+    relative to each customer's own average spend. Catalyst de-
+    correlates this into an aggregate + join (no per-row re-execution,
+    unlike a naive interpreter); the threshold arithmetic goes through
+    the exact-DECIMAL-sum discipline so both engines compare against
+    bit-identical doubles."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_totalprice AS DOUBLE) AS totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 1.8 * (
+            SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(1)
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o.o_orderkey
+        """
+    )
+
+
+QUERIES = {
+    "q_sql_view_topk": q_sql_view_topk,
+    "q_scalar_subquery": q_scalar_subquery,
+}
 
 ORACLES: dict[str, str] = {
+    "q_scalar_subquery": """
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_totalprice AS DOUBLE) AS totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 1.8 * (
+            SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(1)
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o.o_orderkey
+    """,
     "q_sql_view_topk": """
         SELECT sn.n_name AS s_nation_name, count(1)::BIGINT AS cnt
         FROM lineitem l

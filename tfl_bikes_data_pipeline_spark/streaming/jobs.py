@@ -288,3 +288,40 @@ ORACLES["q_stream_dedup"] = """
 """
 
 QUERIES["q_stream_dedup"] = q_stream_dedup
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch joins against a *batch*
+    dimension — no state, no watermark needed (the static side is
+    re-resolved per batch, so a warehouse dim refresh is picked up
+    mid-stream). The planner broadcasts the dim under AQE exactly as
+    in batch; this is the canonical enrichment shape before any
+    stateful op, and the cheap half of what ``stream_stream_
+    conversion_join`` does with state."""
+    return events.join(dim, events.user_id == dim.c_custkey, "inner")
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream enriched with the static customer dim, rolled up
+    per (nation, event_type) — counts + exact value sums."""
+    from ..tables import load_table
+
+    events = read_events_stream(spark, stage_landing_dir(sf_dir))
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    enriched = stream_static_enrich(events, dim)
+    agg = enriched.groupBy("c_nationkey", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+    return run_available_now(agg, spark).orderBy("c_nationkey", "event_type")
+
+
+ORACLES["q_stream_static_join"] = """
+    SELECT c.c_nationkey, e.event_type, count(1)::BIGINT AS cnt,
+           CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey, e.event_type
+    ORDER BY c.c_nationkey, e.event_type
+"""
+
+QUERIES["q_stream_static_join"] = q_stream_static_join
