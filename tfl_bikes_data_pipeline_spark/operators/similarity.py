@@ -391,6 +391,32 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb).orderBy("label", "dim")
 
 
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector component stats via higher-order array functions —
+    ``filter``/``size`` and ``array_position``/``array_max`` run inside
+    codegen on the JVM, the idiomatic way to compute per-row array
+    facts without exploding (the melt in ``label_centroids``) or
+    Python. Integer outputs (count, argmax index) keep the result
+    engine-exact; float32 equality in argmax is bit-equality of the
+    same stored value on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr("CAST(size(filter(embedding, x -> x > 0)) AS INT)").alias("n_pos"),
+        F.expr(
+            "CAST(array_position(embedding, array_max(embedding)) - 1 AS INT)"
+        ).alias("argmax_dim"),
+    ).orderBy("vec_id")
+
+
+ORACLES["q_vector_stats"] = """
+    SELECT vec_id, label,
+           len(list_filter(embedding, x -> x > 0))::INT AS n_pos,
+           (list_position(embedding, list_max(embedding)) - 1)::INT AS argmax_dim
+    FROM embeddings ORDER BY vec_id
+"""
+
 ORACLES["q_embed_centroid"] = """
     WITH melted AS (
         SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
@@ -410,6 +436,7 @@ QUERIES = {
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_ann_kmeans_assign": q_ann_kmeans_assign,
     "q_embed_centroid": q_embed_centroid,
+    "q_vector_stats": q_vector_stats,
 }
 
 BENCH = ["q_ann_brute_topk", "q_ann_brute_arrow", "q_ann_ivf_topk"]
