@@ -73,3 +73,41 @@ def test_weather_ids_resolve_or_null(spark, warehouse):
     # and the join is actually effective: most events have an observation
     resolved = fact.where(F.col("weather_id").isNotNull()).count()
     assert resolved > 0
+
+
+def test_compact_partitions_merges_small_files(spark, sf_dir, tmp_path):
+    """Fragmented months (one file per weekly append) compact to one
+    file per month with byte-identical content and untouched layout."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+    from tfl_bikes_data_pipeline_spark.warehouse import (
+        compact_partitions,
+        month_partition,
+        write_partitioned,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ym", month_partition("ts")
+    )
+    out = str(tmp_path / "wh")
+    # simulate 4 weekly appends → ≥4 files in every month directory
+    for i in range(4):
+        write_partitioned(
+            events.where(F.pmod(F.col("event_id"), F.lit(4)) == i), out, ["ym"]
+        )
+    months = glob.glob(f"{out}/ym=*")
+    assert months and all(
+        len(glob.glob(f"{m}/*.parquet")) >= 4 for m in months
+    ), "fixture didn't fragment"
+    before = spark.read.parquet(out).groupBy("event_type").count().collect()
+    n_before = spark.read.parquet(out).count()
+
+    compact_partitions(spark, out, ["ym"], files_per_partition=1)
+
+    for m in glob.glob(f"{out}/ym=*"):
+        assert len(glob.glob(f"{m}/*.parquet")) == 1, f"{m} not compacted"
+    assert spark.read.parquet(out).count() == n_before
+    assert sorted(map(tuple, spark.read.parquet(out).groupBy("event_type").count().collect())) == sorted(map(tuple, before))

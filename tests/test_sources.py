@@ -93,3 +93,24 @@ def test_csv_malformed_rows_tolerated(spark, tmp_path):
     assert rows["1"] == "x"
     assert rows["2"] is None
     assert rows["3"] == "y"
+
+
+def test_csv_quarantine_splits_malformed_rows(spark, tmp_path):
+    """Structurally broken rows must be quarantined verbatim, not
+    silently dropped or nulled into the clean stream."""
+    from tfl_bikes_data_pipeline_spark.sources.raw import (
+        read_csv_quarantine,
+        split_quarantine,
+    )
+
+    p = tmp_path / "in.csv"
+    good = ['id,name,qty', '1,alpha,10', '2,beta,20', '4,delta,40']
+    bad = ['3,"unclosed quote,30']
+    p.write_text("\n".join(good + bad) + "\n")
+    raw = read_csv_quarantine(spark, str(p), ["id", "name", "qty"])
+    clean, dead = split_quarantine(raw)
+    assert {r["id"] for r in clean.collect()} == {"1", "2", "4"}
+    dead_rows = [r["raw_line"] for r in dead.collect()]
+    assert len(dead_rows) == 1 and "unclosed quote" in dead_rows[0]
+    # accounting: nothing lost
+    assert clean.count() + dead.count() == 4

