@@ -1,0 +1,79 @@
+"""Z-order clustering effectiveness, measured on real parquet footers:
+the fraction of files a selective predicate can skip via min/max
+stats must improve materially over a single-column sort layout on the
+*other* dimension — the property that makes the layout worth a write
+at 100 TB."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+
+from tfl_bikes_data_pipeline_spark.functions.zorder import write_zordered, zvalue
+from tfl_bikes_data_pipeline_spark.tables import load_table
+
+N_FILES = 8
+
+
+def _skip_fraction(files: list[str], col: str, probe) -> float:
+    """Fraction of files whose [min, max] for col excludes probe."""
+    skipped = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None and not (lo <= probe <= hi):
+            skipped += 1
+    return skipped / len(files)
+
+
+def test_zvalue_interleaves_bits(spark):
+    df = spark.createDataFrame([(0b101, 0b011)], "a LONG, b LONG")
+    got = df.select(zvalue(F.col("a"), F.col("b"), 3).alias("z")).first()["z"]
+    # a bits → even positions (1,0,1 → 0b010001), b → odd (0,1,1 → 0b101010 >> shifted)
+    want = (1 << 0) | (0 << 2) | (1 << 4) | (1 << 1) | (1 << 3) | (0 << 5)
+    assert got == want
+
+
+def test_zorder_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts"
+    ).withColumn("vint", F.col("value").cast("long"))
+
+    z_path = str(tmp_path / "zorder")
+    s_path = str(tmp_path / "single")
+    write_zordered(events, z_path, "user_id", "vint", n_files=N_FILES)
+    # baseline: clustered on user_id only (the usual single-key sort)
+    (
+        events.repartitionByRange(N_FILES, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(s_path)
+    )
+
+    z_files = sorted(glob.glob(f"{z_path}/*.parquet"))
+    s_files = sorted(glob.glob(f"{s_path}/*.parquet"))
+    assert len(z_files) == len(s_files) == N_FILES
+
+    mid_user = events.agg(F.expr("percentile(user_id, 0.5)")).first()[0]
+    mid_val = events.agg(F.expr("percentile(vint, 0.5)")).first()[0]
+
+    # single-key layout: perfect on its key, useless on the other
+    assert _skip_fraction(s_files, "user_id", int(mid_user)) >= 0.5
+    assert _skip_fraction(s_files, "vint", int(mid_val)) == 0.0
+    # z-order: substantial skipping on BOTH
+    z_user = _skip_fraction(z_files, "user_id", int(mid_user))
+    z_val = _skip_fraction(z_files, "vint", int(mid_val))
+    assert z_user >= 0.25, f"z-order skips too little on user_id: {z_user}"
+    assert z_val >= 0.25, f"z-order skips too little on value: {z_val}"
+
+    # content preserved
+    assert (
+        spark.read.parquet(z_path).count() == events.count()
+    )

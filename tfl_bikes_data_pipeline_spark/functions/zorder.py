@@ -1,0 +1,87 @@
+"""Z-order (Morton) clustering for multi-dimensional scan pruning.
+
+Partition pruning handles the time dimension; inside a partition,
+parquet row-group min/max stats can skip data on OTHER columns — but
+only if the layout correlates with them. Sorting by one column ruins
+skipping on the second; interleaving the bits of both (the Z-curve)
+keeps row-group min/max ranges tight on *each* dimension at once. This
+is the layout trick behind Delta/Iceberg ``OPTIMIZE ZORDER BY``,
+expressed here with plain Spark: a JVM bit-interleave expression +
+``repartitionByRange`` + ``sortWithinPartitions``.
+
+Everything is `pyspark.sql.functions` bit arithmetic — codegen'd, no
+UDF; the write is one range shuffle (the sort a clustered write pays
+by definition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bits per dimension (2 dims × 6 → 64 equal-mass buckets each,
+#: 12-bit z-values — plenty of resolution above any practical file count)
+Z_BITS = 6
+
+
+def quantile_rank(df: DataFrame, col: str, bits: int) -> Column:
+    """Rank ``col`` into [0, 2^bits) by EQUAL-MASS buckets: boundaries
+    from one ``percentile_approx`` sketch pass, rank = how many
+    boundaries the value passes (higher-order ``filter``/``size``,
+    codegen'd). Linear min/max scaling dies on skew — one hot band
+    absorbs every rank and the curve degenerates to a single-column
+    sort; quantile ranks guarantee each bucket carries ~equal rows, so
+    row-group min/max stay tight on both dimensions regardless of the
+    data's shape."""
+    n = 1 << bits
+    probs = [i / n for i in range(1, n)]
+    bounds = df.agg(F.percentile_approx(col, probs, 10000).alias("b")).first()["b"]
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    c = F.col(col).cast("double")
+    return F.size(F.filter(arr, lambda b: b <= c)).cast("long")
+
+
+def zvalue(a: Column, b: Column, bits: int = Z_BITS) -> Column:
+    """Morton interleave of two pre-scaled non-negative ints (< 2^bits):
+    bit i of ``a`` lands at position 2i, of ``b`` at 2i+1. Fixed
+    ``bits``-step unrolled expression — wide but branch-free, fully
+    inside whole-stage codegen."""
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        parts.append(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = Z_BITS,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-curve of (col_a,
+    col_b): scale both to equal-mass rank space (quantile sketch),
+    range-partition + sort by z-value, drop the helper column. Each
+    output file (and row group) then covers a tight hyper-rectangle in
+    (a, b) space, so predicates on EITHER column skip most files via
+    min/max stats."""
+    z = zvalue(
+        quantile_rank(df, col_a, bits),
+        quantile_rank(df, col_b, bits),
+        bits,
+    )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
