@@ -110,3 +110,129 @@ ORACLES: dict[str, str] = {
 QUERIES = {"q_merge_upsert": q_merge_upsert}
 
 BENCH = ["q_merge_upsert"]
+
+
+def merge_partial_aggs(
+    base: DataFrame, delta: DataFrame, keys: list[str], sums: list[str]
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: combine a stored
+    aggregate table with the aggregate of a new batch by SUMMING the
+    additive measures per key (counts are sums; avg = sum/cnt at read
+    time; min/max are monotone merges — anything algebraic works, only
+    holistic measures like exact medians force recompute). The grouped
+    union is one shuffle over |keys| aggregate rows, never a re-scan of
+    history — at 100 TB the difference between maintaining a rollup
+    and rebuilding it."""
+    return (
+        base.unionByName(delta)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in sums])
+    )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """CDC between two snapshots of a keyed table: one full-outer join,
+    rows classified inserted / deleted / changed / unchanged. Value
+    comparison is null-safe (``<=>``) column-wise, so NULL→value and
+    value→NULL transitions count as changes — the audit you run before
+    promoting a rebuilt table over the serving copy."""
+    cols = [c for c in old.columns if c not in keys]
+    o = old.select(*keys, F.lit(1).alias("__in_old"),
+                   *[F.col(c).alias(f"__o_{c}") for c in cols])
+    n = new.select(*keys, F.lit(1).alias("__in_new"),
+                   *[F.col(c).alias(f"__n_{c}") for c in cols])
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    return o.join(n, keys, "full_outer").select(
+        *keys,
+        F.when(F.col("__in_old").isNull(), F.lit("inserted"))
+        .when(F.col("__in_new").isNull(), F.lit("deleted"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    )
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a per-custkey order rollup: base = pre-1996 history's
+    aggregate, delta = the 1996+ batch; merged partials must equal the
+    full recompute (which is exactly what the oracle does)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("p"),
+    )
+    cut = "1996-01-01"
+    def agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("p").alias("total"),
+        )
+    base = agg(orders.where(F.col("o_orderdate") < cut))
+    delta = agg(orders.where(F.col("o_orderdate") >= cut))
+    merged = merge_partial_aggs(base, delta, ["o_custkey"], ["n_orders", "total"])
+    return merged.select(
+        "o_custkey", "n_orders", F.col("total").cast("double").alias("total")
+    ).orderBy("o_custkey")
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two synthetic snapshots of orders: the 'new' snapshot
+    drops every 11th order, re-prices every 7th, inserts re-keyed
+    copies of every 13th — per-class counts."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    k = F.col("o_orderkey")
+    new = (
+        base.where(k % 11 != 0)
+        .select(
+            "o_orderkey",
+            F.when(k % 7 == 0, F.col("price") * 1.1).otherwise(F.col("price")).alias("price"),
+        )
+        .unionByName(
+            base.where(k % 13 == 0).select(
+                (k + 200000000).alias("o_orderkey"), F.col("price")
+            )
+        )
+    )
+    return (
+        snapshot_diff(base, new, ["o_orderkey"])
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("change")
+    )
+
+
+ORACLES["q_incremental_agg"] = """
+    SELECT o_custkey, count(1)::BIGINT AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+ORACLES["q_snapshot_diff"] = """
+    WITH base AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders
+    ),
+    new_snap AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN price * 1.1 ELSE price END AS price
+        FROM base WHERE o_orderkey % 11 <> 0
+        UNION ALL
+        SELECT o_orderkey + 200000000, price FROM base WHERE o_orderkey % 13 = 0
+    ),
+    classified AS (
+        SELECT CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+                    WHEN n.o_orderkey IS NULL THEN 'deleted'
+                    WHEN b.price IS NOT DISTINCT FROM n.price THEN 'unchanged'
+                    ELSE 'changed' END AS change
+        FROM base b FULL OUTER JOIN new_snap n USING (o_orderkey)
+    )
+    SELECT change, count(1)::BIGINT AS cnt
+    FROM classified GROUP BY change ORDER BY change
+"""
+
+QUERIES["q_incremental_agg"] = q_incremental_agg
+QUERIES["q_snapshot_diff"] = q_snapshot_diff
+BENCH.extend(["q_incremental_agg", "q_snapshot_diff"])
