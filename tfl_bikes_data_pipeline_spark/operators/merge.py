@@ -28,7 +28,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -236,3 +236,42 @@ ORACLES["q_snapshot_diff"] = """
 QUERIES["q_incremental_agg"] = q_incremental_agg
 QUERIES["q_snapshot_diff"] = q_snapshot_diff
 BENCH.extend(["q_incremental_agg", "q_snapshot_diff"])
+
+
+def latest_per_key(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
+    """Change-log compaction: the newest record per key (row_number = 1
+    over the key by descending ``order``) — how an append-only CDC/event
+    log becomes a queryable current-state snapshot without a MERGE per
+    batch. One shuffle on the key; with the log stored bucketed on the
+    key even that disappears. ``order`` must totally order each key's
+    records (ts + a unique tiebreak), or "latest" is shuffle-dependent."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current state per user from the event log: the newest event's
+    type and value, with its timestamp."""
+    events = load_table(spark, sf_dir, "events")
+    return latest_per_key(
+        events.select("user_id", "ts", "event_id", "event_type", "value"),
+        ["user_id"],
+        ["ts", "event_id"],
+    ).orderBy("user_id")
+
+
+ORACLES["q_latest_snapshot"] = """
+    SELECT user_id, date_trunc('microsecond', ts) AS ts, event_id,
+           event_type, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ORDER BY user_id
+"""
+
+QUERIES["q_latest_snapshot"] = q_latest_snapshot
+BENCH.append("q_latest_snapshot")
