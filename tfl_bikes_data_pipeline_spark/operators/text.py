@@ -372,3 +372,79 @@ QUERIES = {
 }
 
 BENCH = ["q_text_quality", "q_doc_fingerprint", "q_text_tfidf"]
+
+
+def bigram_rel(documents: DataFrame) -> DataFrame:
+    """(doc_id, bigram) WITH duplicates — frequency-weighted, unlike
+    the distinct shingle relation dedup uses."""
+    words = documents.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    )
+    bigrams = (
+        "CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1])) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return words.select("doc_id", F.explode(F.expr(bigrams)).alias("bigram"))
+
+
+def bigram_quality(documents: DataFrame) -> DataFrame:
+    """LM-proxy quality score: how 'typical' each document's bigrams
+    are of the corpus. Two aggregates + one join, all integers until
+    the final exact long/long division:
+
+    1. corpus bigram frequencies (one shuffle on bigram);
+    2. doc score = Σ freq(bigram) / n_bigrams over the doc's bigrams.
+
+    Repetitive/boilerplate docs score high, lexically odd docs score
+    low — the cheap statistical stand-in for model-based quality
+    filters, entirely engine-portable (no log/exp: integer sums and a
+    single double division). At 100 TB the bigram join is skewed by
+    stop-bigrams ('of the') — compose with skew.salted_join, or prune
+    the head of the frequency table into a broadcast map."""
+    rel = bigram_rel(documents)
+    freqs = rel.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        rel.join(freqs, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("freq").alias("freq_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "freq_sum",
+            (F.col("freq_sum").cast("double") / F.col("n_bigrams").cast("double")).alias(
+                "avg_freq"
+            ),
+        )
+    )
+
+
+def q_text_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_quality(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLES["q_text_bigram_quality"] = """
+    WITH words AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id, concat_ws(' ', w[i], w[i+1]) AS bigram
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+              FROM words)
+    ),
+    freqs AS (
+        SELECT bigram, count(1) AS freq FROM bigrams GROUP BY bigram
+    )
+    SELECT b.doc_id, count(1)::BIGINT AS n_bigrams,
+           sum(f.freq)::BIGINT AS freq_sum,
+           CAST(sum(f.freq) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS avg_freq
+    FROM bigrams b JOIN freqs f USING (bigram)
+    GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+QUERIES["q_text_bigram_quality"] = q_text_bigram_quality
+BENCH.append("q_text_bigram_quality")
