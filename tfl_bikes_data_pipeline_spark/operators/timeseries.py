@@ -232,3 +232,87 @@ QUERIES = {
 }
 
 BENCH = ["q_sample_hash", "q_sample_stratified", "q_gap_fill"]
+
+
+def hourly_profile(events: DataFrame) -> DataFrame:
+    """(user_id, hour, avg_val) — each user's hour-of-day activity
+    profile, a 24-dim PAA-style series summary (piecewise aggregate
+    over the daily cycle). Exact DECIMAL sums → one double division,
+    the engine-portable aggregate discipline."""
+    return (
+        events.groupBy("user_id", F.hour("ts").alias("hour"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "user_id",
+            "hour",
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias("avg_val"),
+        )
+    )
+
+
+def profile_distances(profiles: DataFrame, dims: int = 24) -> DataFrame:
+    """All-pairs squared-euclidean distance between per-user profiles,
+    computed in LONG form: self-join on the dimension key, one exact
+    aggregate of squared diffs per pair. Order-independent (DECIMAL
+    sum), so identical under any shuffle — unlike folding a per-user
+    array. Pairs are kept only at full dimensional overlap (``dims``
+    shared hours), making the metric well-defined without imputation.
+    The dimension-key join fans out |users|·dims rows per side — at
+    corpus scale you'd block first (e.g. LSH over the profiles, the
+    ``dedup.py`` machinery) and use this as the verify step."""
+    a = profiles.select(
+        F.col("user_id").alias("user_a"), "hour", F.col("avg_val").alias("va")
+    )
+    b = profiles.select(
+        F.col("user_id").alias("user_b"), "hour", F.col("avg_val").alias("vb")
+    )
+    d = F.col("va") - F.col("vb")
+    return (
+        a.join(b, "hour")
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum((d * d).cast("decimal(38,6)")).cast("double").alias("dist_sq"),
+        )
+        .where(F.col("n_shared") == dims)
+    )
+
+
+def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most similar user pairs by hour-of-day profile distance —
+    time-series similarity search over entity behavior series."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        profile_distances(hourly_profile(events))
+        .orderBy("dist_sq", "user_a", "user_b")
+        .limit(10)
+    )
+
+
+ORACLES["q_ts_similarity"] = """
+    WITH prof AS (
+        SELECT user_id, extract(hour FROM ts)::INT AS hour,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(count(1) AS DOUBLE) AS avg_val
+        FROM events GROUP BY user_id, hour
+    ),
+    pairs AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               count(1)::BIGINT AS n_shared,
+               CAST(sum(CAST((a.avg_val - b.avg_val) * (a.avg_val - b.avg_val)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS dist_sq
+        FROM prof a JOIN prof b
+          ON a.hour = b.hour AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+    )
+    SELECT user_a, user_b, n_shared, dist_sq
+    FROM pairs WHERE n_shared = 24
+    ORDER BY dist_sq, user_a, user_b LIMIT 10
+"""
+
+QUERIES["q_ts_similarity"] = q_ts_similarity
+BENCH.append("q_ts_similarity")
