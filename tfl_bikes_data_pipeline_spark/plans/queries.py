@@ -830,3 +830,117 @@ QUERIES = {
     "q_full_outer": q_full_outer,
     "q_ntile_window": q_ntile_window,
 }
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who clicked; of those, users
+    whose first click was followed by a purchase; of those, a later
+    view (post-purchase engagement). Stage timestamps are each user's
+    FIRST qualifying event at or after the prior stage — the standard
+    strictly-sequenced funnel, all joins + min aggregates, no state."""
+    events = load_table(spark, sf_dir, "events")
+    s1 = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.where(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.where(F.col("event_type") == "view")
+        .join(s2, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return spark.createDataFrame(
+        [("1_click", 0), ("2_purchase", 1), ("3_view", 2)], "stage STRING, ord INT"
+    ).join(
+        s1.agg(F.count(F.lit(1)).alias("c1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("c2")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("c3")))
+    ).select(
+        "stage",
+        F.when(F.col("ord") == 0, F.col("c1"))
+        .when(F.col("ord") == 1, F.col("c2"))
+        .otherwise(F.col("c3"))
+        .alias("n_users"),
+    ).orderBy("stage")
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted distinct in each subsequent week offset — the standard
+    retention triangle, exact integers end to end."""
+    events = load_table(spark, sf_dir, "events")
+    first_week = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        active.join(first_week, "user_id")
+        .select(
+            F.to_date("cohort_week").cast("string").alias("cohort"),
+            (F.datediff(F.to_date("week"), F.to_date("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort", "week_offset")
+    )
+
+
+ORACLES["q_funnel"] = """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts >= s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT stage, n_users::BIGINT AS n_users FROM (
+        SELECT '1_click' AS stage, (SELECT count(1) FROM s1) AS n_users
+        UNION ALL
+        SELECT '2_purchase', (SELECT count(1) FROM s2)
+        UNION ALL
+        SELECT '3_view', (SELECT count(1) FROM s3)
+    ) ORDER BY stage
+"""
+
+ORACLES["q_cohort_retention"] = """
+    WITH first_week AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT CAST(cohort_week::DATE AS VARCHAR) AS cohort,
+           (date_diff('day', cohort_week::DATE, week::DATE) / 7)::INT
+               AS week_offset,
+           count(DISTINCT user_id)::BIGINT AS n_active
+    FROM active JOIN first_week USING (user_id)
+    GROUP BY cohort, week_offset
+    ORDER BY cohort, week_offset
+"""
+
+QUERIES["q_funnel"] = q_funnel
+QUERIES["q_cohort_retention"] = q_cohort_retention
