@@ -282,23 +282,48 @@ def profile_distances(profiles: DataFrame, dims: int = 24) -> DataFrame:
     )
 
 
+#: candidate-set bound for the all-pairs verify (all-pairs is
+#: O(candidates² · dims) — 100 candidates ≈ 5k pairs at any SF; the
+#: blocking stage, not this constant, is what changes at 100 TB)
+TS_SIM_CANDIDATES = 100
+
+
 def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 most similar user pairs by hour-of-day profile distance —
-    time-series similarity search over entity behavior series."""
+    time-series similarity search over entity behavior series. The
+    all-pairs distance runs over a bounded candidate set (the top
+    ``TS_SIM_CANDIDATES`` most-active users, deterministic tie-break):
+    unblocked all-pairs is quadratic in users and already took 35 s at
+    sf0.1 (1 500 users); candidate selection IS the scale knob — swap
+    in an LSH/IVF block (``dedup.py`` / ``similarity.py`` machinery)
+    for content-based candidates at corpus scale."""
     events = load_table(spark, sf_dir, "events")
+    top_users = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(TS_SIM_CANDIDATES)
+        .select("user_id")
+    )
+    prof = hourly_profile(events).join(F.broadcast(top_users), "user_id")
     return (
-        profile_distances(hourly_profile(events))
+        profile_distances(prof)
         .orderBy("dist_sq", "user_a", "user_b")
         .limit(10)
     )
 
 
 ORACLES["q_ts_similarity"] = """
-    WITH prof AS (
+    WITH top_users AS (
+        SELECT user_id FROM events
+        GROUP BY user_id ORDER BY count(1) DESC, user_id LIMIT 100
+    ),
+    prof AS (
         SELECT user_id, extract(hour FROM ts)::INT AS hour,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                    / CAST(count(1) AS DOUBLE) AS avg_val
-        FROM events GROUP BY user_id, hour
+        FROM events JOIN top_users USING (user_id)
+        GROUP BY user_id, hour
     ),
     pairs AS (
         SELECT a.user_id AS user_a, b.user_id AS user_b,
