@@ -58,13 +58,21 @@ def moments(df: DataFrame, group: str, x: Column, y: Column) -> DataFrame:
     built-in ``stddev``/``corr`` stream doubles in partition order and
     are not bit-reproducible across engines or shuffles; this is, and
     it costs the same single partial+final aggregate."""
+    # decimal totals go to double VIA STRING: both engines' string→double
+    # parsers are correctly rounded (strtod semantics), while their
+    # direct decimal→double casts round differently once the scaled
+    # integer exceeds ~2^53 (bit observed at sf0.1 on Σx·y). The string
+    # hop makes the one lossy step engine-independent at ANY magnitude.
+    def to_dbl(c):
+        return c.cast("string").cast("double")
+
     sums = df.groupBy(group).agg(
         F.count(x).alias("n"),
-        F.sum(x.cast("decimal(27,6)")).cast("double").alias("sx"),
-        F.sum((x * x).cast("decimal(27,6)")).cast("double").alias("sxx"),
-        F.sum(y.cast("decimal(27,6)")).cast("double").alias("sy"),
-        F.sum((y * y).cast("decimal(38,6)")).cast("double").alias("syy"),
-        F.sum((x * y).cast("decimal(38,6)")).cast("double").alias("sxy"),
+        to_dbl(F.sum(x.cast("decimal(27,6)"))).alias("sx"),
+        to_dbl(F.sum((x * x).cast("decimal(27,6)"))).alias("sxx"),
+        to_dbl(F.sum(y.cast("decimal(27,6)"))).alias("sy"),
+        to_dbl(F.sum((y * y).cast("decimal(38,6)"))).alias("syy"),
+        to_dbl(F.sum((x * y).cast("decimal(38,6)"))).alias("sxy"),
     )
     # textual twins of the oracle SQL — same IEEE op sequence
     return sums.selectExpr(
@@ -197,11 +205,11 @@ ORACLES: dict[str, str] = {
         s AS (
             SELECT event_type,
                    count(value)::BIGINT AS n,
-                   CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sx,
-                   CAST(sum(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
-                   CAST(sum(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
-                   CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-                   CAST(sum(CAST(value * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+                   CAST(CAST(sum(CAST(value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(sum(CAST(value * value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(sum(CAST(y AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS syy,
+                   CAST(CAST(sum(CAST(value * y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxy
             FROM h GROUP BY event_type
         )
         SELECT event_type, n,
