@@ -25,14 +25,14 @@ def exact_sum(col: str | Column, alias: str, scale: str = EXACT_DECIMAL) -> Colu
     any row order; the double conversion of the exact decimal total is a
     single well-defined rounding."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(scale)).cast("double").alias(alias)
+    return F.sum(c.cast(scale)).cast("string").cast("double").alias(alias)
 
 
 def exact_avg(col: str | Column, alias: str, scale: str = EXACT_DECIMAL) -> Column:
     """Order-independent mean: exact decimal SUM divided by COUNT as
     double (avoids engine-specific decimal-avg result types)."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(c.cast(scale)).cast("double") / F.count(c)).alias(alias)
+    return (F.sum(c.cast(scale)).cast("string").cast("double") / F.count(c)).alias(alias)
 
 
 def day_number(ts_col: str | Column) -> Column:

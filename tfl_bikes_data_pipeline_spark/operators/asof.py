@@ -159,7 +159,7 @@ ORACLES: dict[str, str] = {
         WITH obs AS (
             SELECT user_id,
                    CAST(CAST(ts AS DATE) AS TIMESTAMP) AS obs_ts,
-                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS obs_value
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS obs_value
             FROM events GROUP BY user_id, CAST(ts AS DATE)
         )
         SELECT e.event_id, e.user_id, o.obs_value

@@ -173,7 +173,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = agg(orders.where(F.col("o_orderdate") >= cut))
     merged = merge_partial_aggs(base, delta, ["o_custkey"], ["n_orders", "total"])
     return merged.select(
-        "o_custkey", "n_orders", F.col("total").cast("double").alias("total")
+        "o_custkey", "n_orders", F.col("total").cast("string").cast("double").alias("total")
     ).orderBy("o_custkey")
 
 
@@ -207,7 +207,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["q_incremental_agg"] = """
     SELECT o_custkey, count(1)::BIGINT AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """
 

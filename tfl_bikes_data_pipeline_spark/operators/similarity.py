@@ -380,7 +380,7 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
         melted.groupBy("label", "dim")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("val").cast("decimal(27,6)")).cast("double").alias("sv"),
+            F.sum(F.col("val").cast("decimal(27,6)")).cast("string").cast("double").alias("sv"),
         )
         .selectExpr("label", "dim", "n", "sv / n AS mean_val")
     )
@@ -424,7 +424,7 @@ ORACLES["q_embed_centroid"] = """
         FROM embeddings
     )
     SELECT label, dim, count(1)::BIGINT AS n,
-           CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE)
+           CAST(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
                / count(1) AS mean_val
     FROM melted GROUP BY label, dim ORDER BY label, dim
 """

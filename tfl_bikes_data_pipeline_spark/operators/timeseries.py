@@ -182,7 +182,7 @@ ORACLES: dict[str, str] = {
     """,
     "q_sample_hash": f"""
         SELECT event_type, count(1)::BIGINT AS n_sample,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(value)
                    AS avg_val
         FROM events
         WHERE md5(event_id::VARCHAR) LIKE '{SAMPLE_PREFIX}%'
@@ -193,7 +193,7 @@ ORACLES: dict[str, str] = {
             SELECT event_type,
                    CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS bucket,
                    count(1) AS cnt,
-                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                        / count(value) AS avg_val
             FROM events GROUP BY 1, 2
         ),
@@ -248,7 +248,7 @@ def hourly_profile(events: DataFrame) -> DataFrame:
         .select(
             "user_id",
             "hour",
-            (F.col("s").cast("double") / F.col("n").cast("double")).alias("avg_val"),
+            (F.col("s").cast("string").cast("double") / F.col("n").cast("double")).alias("avg_val"),
         )
     )
 
@@ -276,7 +276,7 @@ def profile_distances(profiles: DataFrame, dims: int = 24) -> DataFrame:
         .groupBy("user_a", "user_b")
         .agg(
             F.count(F.lit(1)).alias("n_shared"),
-            F.sum((d * d).cast("decimal(38,6)")).cast("double").alias("dist_sq"),
+            F.sum((d * d).cast("decimal(38,6)")).cast("string").cast("double").alias("dist_sq"),
         )
         .where(F.col("n_shared") == dims)
     )
@@ -320,7 +320,7 @@ ORACLES["q_ts_similarity"] = """
     ),
     prof AS (
         SELECT user_id, extract(hour FROM ts)::INT AS hour,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                    / CAST(count(1) AS DOUBLE) AS avg_val
         FROM events JOIN top_users USING (user_id)
         GROUP BY user_id, hour
@@ -328,8 +328,8 @@ ORACLES["q_ts_similarity"] = """
     pairs AS (
         SELECT a.user_id AS user_a, b.user_id AS user_b,
                count(1)::BIGINT AS n_shared,
-               CAST(sum(CAST((a.avg_val - b.avg_val) * (a.avg_val - b.avg_val)
-                             AS DECIMAL(38,6))) AS DOUBLE) AS dist_sq
+               CAST(CAST(sum(CAST((a.avg_val - b.avg_val) * (a.avg_val - b.avg_val)
+                             AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS dist_sq
         FROM prof a JOIN prof b
           ON a.hour = b.hour AND a.user_id < b.user_id
         GROUP BY a.user_id, b.user_id

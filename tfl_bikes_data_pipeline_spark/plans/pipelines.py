@@ -216,15 +216,15 @@ ORACLES: dict[str, str] = {
     "p_weather_align": """
         WITH click AS (
             SELECT user_id, CAST(ts AS DATE) AS day,
-                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS click_value
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS click_value
             FROM events WHERE event_type = 'click' GROUP BY 1, 2
         ), v AS (
             SELECT user_id, CAST(ts AS DATE) AS day,
-                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS view_value
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS view_value
             FROM events WHERE event_type = 'view' GROUP BY 1, 2
         ), p AS (
             SELECT user_id, CAST(ts AS DATE) AS day,
-                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS purchase_value
             FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
         )
         SELECT concat_ws('_', click.user_id, epoch(CAST(click.day AS TIMESTAMP))::INT) AS id,

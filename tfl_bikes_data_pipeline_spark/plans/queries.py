@@ -121,7 +121,7 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "day_num",
         (
-            F.sum(F.col("daily_value").cast("decimal(18,6)")).over(w).cast("double")
+            F.sum(F.col("daily_value").cast("decimal(18,6)")).over(w).cast("string").cast("double")
             / F.count(F.lit(1)).over(w)
         ).alias("avg_7d"),
     )
@@ -274,7 +274,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("l_extendedprice", "sum_base_price"),
             exact_sum(disc_price, "sum_disc_price"),
             (
-                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("string").cast("double")
                 / F.count(F.lit(1))
             ).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
@@ -528,7 +528,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(l_linestatus, '<all>') AS l_linestatus,
                CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
                count(1) AS cnt,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag, l_linestatus
@@ -621,13 +621,13 @@ ORACLES: dict[str, str] = {
         WITH daily AS (
             SELECT user_id,
                    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::INT AS day_num,
-                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS daily_value
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS daily_value
             FROM events GROUP BY 1, 2
         )
         SELECT user_id, day_num,
-               CAST(sum(CAST(daily_value AS DECIMAL(18,6)))
+               CAST(CAST(sum(CAST(daily_value AS DECIMAL(18,6)))
                         OVER (PARTITION BY user_id ORDER BY day_num
-                              RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                              RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
                / count(1) OVER (PARTITION BY user_id ORDER BY day_num
                                 RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS avg_7d
         FROM daily
@@ -664,10 +664,10 @@ ORACLES: dict[str, str] = {
     """,
     "q_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(1) AS avg_qty,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(1) AS avg_qty,
                count(1)::BIGINT AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -685,7 +685,7 @@ ORACLES: dict[str, str] = {
         SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
                coalesce(o_orderpriority, '<all>') AS o_orderpriority,
                count(1)::BIGINT AS cnt,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_price
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus, o_orderpriority
@@ -734,10 +734,10 @@ ORACLES: dict[str, str] = {
     "q_unpivot": """
         WITH wide AS (
             SELECT l_returnflag,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
-                   CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
-                   CAST(sum(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS sum_tax
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
+                   CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc,
+                   CAST(CAST(sum(CAST(l_tax AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_tax
             FROM lineitem GROUP BY l_returnflag
         )
         SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS total FROM wide
@@ -754,7 +754,7 @@ ORACLES: dict[str, str] = {
                coalesce(l_linestatus, '<all>') AS l_linestatus,
                GROUPING(l_returnflag, l_linestatus)::INT AS gid,
                count(1)::BIGINT AS cnt,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY l_returnflag, l_linestatus
@@ -764,7 +764,7 @@ ORACLES: dict[str, str] = {
                coalesce(l_linestatus, '<all>') AS l_linestatus,
                GROUPING(l_returnflag, l_linestatus)::INT AS gid,
                count(1)::BIGINT AS cnt,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag, l_linestatus

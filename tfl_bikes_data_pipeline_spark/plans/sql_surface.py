@@ -95,7 +95,7 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(o.o_totalprice AS DOUBLE) AS totalprice
         FROM orders o
         WHERE o.o_totalprice > 1.8 * (
-            SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+            SELECT CAST(CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
                    / count(1)
             FROM orders o2 WHERE o2.o_custkey = o.o_custkey
         )
@@ -115,7 +115,7 @@ ORACLES: dict[str, str] = {
                CAST(o.o_totalprice AS DOUBLE) AS totalprice
         FROM orders o
         WHERE o.o_totalprice > 1.8 * (
-            SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+            SELECT CAST(CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                    / count(1)
             FROM orders o2 WHERE o2.o_custkey = o.o_custkey
         )

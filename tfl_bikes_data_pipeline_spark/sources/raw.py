@@ -119,7 +119,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("total_value"),
             F.min("ts").alias("min_ts"),
             F.max("event_id").alias("max_event_id"),
         )
@@ -142,7 +142,7 @@ ORACLES: dict[str, str] = {
     """,
     "q_orc_roundtrip": """
         SELECT event_type, count(1)::BIGINT AS cnt,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value,
                date_trunc('microsecond', min(ts)) AS min_ts,
                max(event_id)::BIGINT AS max_event_id
         FROM events GROUP BY event_type ORDER BY event_type

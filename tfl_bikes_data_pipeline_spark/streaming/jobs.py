@@ -68,7 +68,7 @@ def tumbling_window_counts(
         .groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -196,7 +196,7 @@ ORACLES: dict[str, str] = {
     "q_stream_tumbling": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(1)::BIGINT AS cnt,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1, 2 ORDER BY window_start, event_type
     """,
@@ -269,7 +269,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("total_value"),
             F.min("event_id").alias("min_event_id"),
             F.max("event_id").alias("max_event_id"),
         )
@@ -281,7 +281,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # delivery must reproduce the single-delivery profile bit-for-bit.
 ORACLES["q_stream_dedup"] = """
     SELECT event_type, count(1)::BIGINT AS cnt,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value,
            min(event_id)::BIGINT AS min_event_id,
            max(event_id)::BIGINT AS max_event_id
     FROM events GROUP BY event_type ORDER BY event_type
@@ -311,14 +311,14 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = stream_static_enrich(events, dim)
     agg = enriched.groupBy("c_nationkey", "event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("total_value"),
     )
     return run_available_now(agg, spark).orderBy("c_nationkey", "event_type")
 
 
 ORACLES["q_stream_static_join"] = """
     SELECT c.c_nationkey, e.event_type, count(1)::BIGINT AS cnt,
-           CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_nationkey, e.event_type
     ORDER BY c.c_nationkey, e.event_type

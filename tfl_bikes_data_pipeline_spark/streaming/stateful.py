@@ -158,7 +158,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT user_id, min(ts) AS session_start,
                count(1)::BIGINT AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
         FROM numbered
         GROUP BY user_id, session_id
     """,
