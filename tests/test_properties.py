@@ -110,3 +110,22 @@ def test_scd2_collapse_matches_run_model(spark, events):
         (k, a, vf, vt, n) for (k, _i), (a, vf, vt, n) in model.items()
     }
     assert got_rows == want_rows
+
+
+def test_exact_sums_partition_independent(spark, sf_dir):
+    """The determinism claim behind every oracle: exact-decimal
+    aggregates must be bit-identical under different shuffle layouts
+    (3 partitions vs the session default 8 stands in for local[32]
+    vs a 1000-executor cluster)."""
+    from tfl_bikes_data_pipeline_spark.plans.queries import q_pricing_summary
+
+    def run():
+        return [tuple(r) for r in q_pricing_summary(spark, sf_dir).collect()]
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        baseline = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        assert run() == baseline
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
