@@ -77,3 +77,50 @@ def test_zorder_skips_on_both_dimensions(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(z_path).count() == events.count()
     )
+
+
+def test_optimize_table_compacts_and_clusters(spark, sf_dir, tmp_path):
+    """OPTIMIZE ZORDER façade: fragmented months → 1 z-clustered file
+    per month, identical content, tighter per-row-group user_id spans
+    than the unclustered layout."""
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+    from tfl_bikes_data_pipeline_spark.warehouse import (
+        month_partition,
+        optimize_table,
+        write_partitioned,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts"
+    ).withColumn("ym", month_partition("ts")).withColumn(
+        "vint", F.col("value").cast("long")
+    )
+    out = str(tmp_path / "wh")
+    for i in range(3):
+        write_partitioned(
+            events.where(F.col("event_id") % 3 == i), out, ["ym"]
+        )
+    n_before = spark.read.parquet(out).count()
+
+    optimize_table(spark, out, ["ym"], zorder_by=("user_id", "vint"))
+
+    for m in glob.glob(f"{out}/ym=*"):
+        assert len(glob.glob(f"{m}/*.parquet")) == 1, f"{m} not compacted"
+    after = spark.read.parquet(out)
+    assert after.count() == n_before
+    # z-layout: within a file, user_id min/max per row group must not
+    # all span the full domain (clustering leaves a footprint)
+    f = glob.glob(f"{out}/ym=*/*.parquet")[0]
+    md = pq.ParquetFile(f).metadata
+    spans = []
+    lo_all, hi_all = None, None
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            c = md.row_group(rg).column(ci)
+            if c.path_in_schema == "user_id" and c.statistics:
+                s = c.statistics
+                spans.append(s.max - s.min)
+                lo_all = s.min if lo_all is None else min(lo_all, s.min)
+                hi_all = s.max if hi_all is None else max(hi_all, s.max)
+    if md.num_row_groups > 1:
+        assert min(spans) < (hi_all - lo_all), "no clustering footprint"

@@ -98,3 +98,40 @@ def compact_partitions(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    zorder_by: tuple[str, str] | None = None,
+    files_per_partition: int = 1,
+) -> None:
+    """Table maintenance in one pass — the ``OPTIMIZE [ZORDER BY]``
+    equivalent for the plain-parquet warehouse: compact each partition
+    to ``files_per_partition`` files and, when ``zorder_by`` is given,
+    lay rows inside each partition along the Morton curve of the two
+    columns (``functions.zorder``), so row-group min/max stats prune on
+    both dimensions in addition to the partition key. One read + one
+    clustered dynamic-overwrite write; same in-place safety note as
+    ``compact_partitions``."""
+    df = spark.read.parquet(path)
+    if zorder_by is None:
+        compact_partitions(spark, path, partition_cols, files_per_partition)
+        return
+    from .functions.zorder import quantile_rank, zvalue
+
+    z = zvalue(
+        quantile_rank(df, zorder_by[0], bits=6),
+        quantile_rank(df, zorder_by[1], bits=6),
+        bits=6,
+    )
+    (
+        df.withColumn("__z", z)
+        .repartition(files_per_partition, *[F.col(c) for c in partition_cols])
+        .sortWithinPartitions(*partition_cols, "__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
