@@ -209,3 +209,28 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_training_and_maintenance_plan_shapes(spark, sf_dir):
+    """Shuffle budgets for the newest operator families, pinned the
+    same way as SCD2/merge: plans may get cheaper, never chattier."""
+    import re
+
+    from tfl_bikes_data_pipeline_spark import registry
+
+    budgets = {
+        # shard window + final groupBy reuse one hash partitioning;
+        # + 1 range exchange for the presentation sort
+        "q_pack_sequences": 2,
+        # base agg + delta agg + merged agg + sort: union-aware Catalyst
+        # plans one hash exchange per input branch + final agg + sort
+        "q_incremental_agg": 4,
+        # window + presentation sort
+        "q_latest_snapshot": 2,
+        # profile agg + candidate agg/limit + pair agg + top-k
+        "q_ts_similarity": 5,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(registry.QUERIES[name](spark, sf_dir))
+        n = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
