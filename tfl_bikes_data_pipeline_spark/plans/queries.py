@@ -899,6 +899,37 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running revenue: cumulative exact-decimal sum over the
+    (ts, event_id) total order — the balance/ledger window every
+    event-sourced table needs. ROWS UNBOUNDED PRECEDING on a unique
+    order, so every prefix is well-defined; one Exchange on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("string")
+        .cast("double")
+        .alias("running_value"),
+    ).orderBy("user_id", "event_id")
+
+
+ORACLES["q_running_total"] = """
+    SELECT user_id, event_id,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)
+               AS running_value
+    FROM events ORDER BY user_id, event_id
+"""
+
 ORACLES["q_funnel"] = """
     WITH s1 AS (
         SELECT user_id, min(ts) AS t1 FROM events
@@ -942,5 +973,6 @@ ORACLES["q_cohort_retention"] = """
     ORDER BY cohort, week_offset
 """
 
+QUERIES["q_running_total"] = q_running_total
 QUERIES["q_funnel"] = q_funnel
 QUERIES["q_cohort_retention"] = q_cohort_retention
