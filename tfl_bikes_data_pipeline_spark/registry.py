@@ -7,9 +7,12 @@ from here. Each entry: name → callable(spark, sf_dir) -> DataFrame, and
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .session import ensure_runtime_confs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -21,8 +24,22 @@ ORACLES: dict[str, str] = {}
 BENCH_QUERIES: list[str] = []
 
 
+def _self_sufficient(fn: QueryFn) -> QueryFn:
+    """Wrap a query so it works on ANY live session, including the plain
+    (no builder confs) SparkSession the driver's correctness harness builds.
+    Applies the runtime SQL confs (nanos-parquet read, UTC TZ, AQE, ...)
+    before the query declares its plan."""
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_runtime_confs(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def _register(queries: dict[str, QueryFn], oracles: dict[str, str], bench: list[str]) -> None:
-    QUERIES.update(queries)
+    QUERIES.update({name: _self_sufficient(fn) for name, fn in queries.items()})
     ORACLES.update(oracles)
     BENCH_QUERIES.extend(bench)
 

@@ -17,6 +17,50 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: Correctness-bearing SQL confs every entry point must hold, regardless of
+#: how the session was built. The driver's harness constructs a *plain*
+#: ``SparkSession`` (no builder confs) and calls registry queries directly,
+#: so relying on :func:`get_spark` alone silently breaks there (round-1
+#: lesson: 16 queries died on the nanos-parquet read). All of these are
+#: runtime-settable SQL confs, so they can be applied to any live session.
+RUNTIME_SQL_CONFS: dict[str, str] = {
+    # parquet TIMESTAMP(NANOS) (the events fixture) is otherwise unreadable;
+    # read as long, convert in tables.load_table — stays distributed.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # hour()/date_format()/unix_timestamp()/window() are session-TZ
+    # dependent while the DuckDB oracles are TZ-free; pin UTC so results
+    # are host-independent.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow transfer for the Pandas-UDF extension operators.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # idempotent month re-runs overwrite only the months present in the
+    # incoming frame (reference append/overwrite flip,
+    # spark/transform_load.py:438,:496).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # reference disables partition-column type inference
+    # (transform_load.py:525); keep partition values as strings.
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+    # runtime re-planning: coalesce post-shuffle partitions, split skewed
+    # join partitions.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply :data:`RUNTIME_SQL_CONFS` to a live session.
+
+    Safe to call repeatedly (conf sets are cheap no-ops when unchanged);
+    tolerates confs that a particular build treats as static.
+    """
+    for key, value in RUNTIME_SQL_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - static conf on this build
+            pass
+    return spark
+
 
 def get_spark(
     app_name: str = "tfl_bikes_data_pipeline_spark",

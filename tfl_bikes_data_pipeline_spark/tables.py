@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .session import ensure_runtime_confs
+
 TABLE_NAMES = (
     "region",
     "nation",
@@ -33,6 +35,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Entry points must be self-sufficient: the caller may hold a *plain*
+    # SparkSession (the driver harness does), so correctness-bearing confs
+    # (nanos-parquet read, UTC session TZ, ...) are applied here at runtime
+    # rather than assumed from the session factory.
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # nanosecond-precision timestamp columns arrive as long (see
     # spark.sql.legacy.parquet.nanosAsLong in session.py); convert to
