@@ -104,7 +104,7 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves over the capture window). Time axis: hours since _EPOCH_BASE."""
     events = load_table(spark, sf_dir, "events")
     hours = (
-        (F.col("ts").cast("long") - F.lit(_EPOCH_BASE)).cast("double")
+        (F.unix_timestamp("ts") - F.lit(_EPOCH_BASE)).cast("double")
         / F.lit(_SECS_PER_HOUR)
     )
     return moments(events, "event_type", F.col("value"), hours).orderBy("event_type")

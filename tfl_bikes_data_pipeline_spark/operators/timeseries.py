@@ -63,7 +63,7 @@ def resample_fill(
     get cnt=0 and carry the last observed average value forward
     (leading buckets before the first observation stay NULL).
     """
-    hb = F.floor(F.col("ts").cast("long") / bucket_seconds).cast("long")
+    hb = F.floor(F.unix_timestamp("ts") / bucket_seconds).cast("long")
     hourly = events.groupBy(
         "event_type", hb.alias("bucket")
     ).agg(

@@ -20,22 +20,10 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
+from ..session import ensure_runtime_confs
+from ..tables import normalize_event_ts
 from ..warehouse import month_partition
-
-#: events.parquet read schema for the stream source — ts arrives as
-#: long nanos (see session.py nanosAsLong note).
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 
 def stage_landing_dir(sf_dir: str) -> str:
@@ -48,13 +36,24 @@ def stage_landing_dir(sf_dir: str) -> str:
 
 def read_events_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     """File-source stream over a landing directory (one file per batch —
-    mirrors the reference's weekly file drops)."""
+    mirrors the reference's weekly file drops).
+
+    The stream source needs a declared schema, but the arrival type of
+    the nanosecond ``ts`` column is Spark-build-dependent (long nanos vs
+    TIMESTAMP_NTZ — see :func:`..tables.normalize_event_ts`). Probing the
+    batch reader's resolved schema (a footer read, no data scan) keeps the
+    declared stream schema in lockstep with however *this* build decodes
+    the file, and the shared normalizer then converts exactly as the
+    batch path does — the round-2 wrong-answer bug was these two paths
+    drifting apart."""
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(landing_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(landing_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(raw)
 
 
 def tumbling_window_counts(

@@ -71,7 +71,8 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: micro-timestamp stream schema (the landing files below are written by
-#: Spark itself, so no nanos shim is needed — contrast jobs.EVENTS_STREAM_SCHEMA).
+#: Spark itself, so no nanos shim is needed — contrast the probed schema
+#: + normalize_event_ts path in jobs.read_events_stream).
 EVENTS_MICRO_SCHEMA = (
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"

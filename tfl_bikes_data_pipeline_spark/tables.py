@@ -32,6 +32,33 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events fixture's TIMESTAMP(NANOS) column to a plain
+    ``TimestampType``, whatever way this Spark build decoded it.
+
+    Parquet nanosecond timestamps have no stable arrival type across
+    Spark versions: with ``spark.sql.legacy.parquet.nanosAsLong=true``
+    some builds deliver ``LongType`` nanos, others ignore the conf and
+    deliver ``TimestampNTZType`` (observed on 4.1.x). Every downstream
+    site assumes session-TZ ``TimestampType``, so both batch
+    (:func:`load_table`) and streaming (``streaming.jobs``) reads route
+    through this one converter — the two paths cannot drift apart again.
+
+    - ``LongType`` (nanos-as-long): integer ns→µs math, then
+      ``timestamp_micros`` (ns magnitudes exceed double precision, so no
+      float division).
+    - ``TimestampNTZType``: reinterpreted under the pinned UTC session TZ
+      (``ensure_runtime_confs``), which is value-identical.
+    - ``TimestampType``: already normalized, no-op.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -41,12 +68,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # rather than assumed from the session factory.
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # nanosecond-precision timestamp columns arrive as long (see
-    # spark.sql.legacy.parquet.nanosAsLong in session.py); convert to
-    # microsecond timestamps with integer math (ns magnitudes exceed
-    # double precision, so no float division).
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 
