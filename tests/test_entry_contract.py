@@ -4,8 +4,9 @@ the driver loads it, stable entry schema, oracle coverage accounted."""
 import importlib.util
 import os
 
-# iterative / sketch-valued — documented in their modules
-KNOWN_ROWS_ONLY = {"q_ann_kmeans_assign", "q_approx_distinct", "q_approx_quantiles"}
+# sketch-valued (engine-specific HLL / GK internals) — documented in
+# operators/profile.py; everything else carries a DuckDB oracle.
+KNOWN_ROWS_ONLY = {"q_approx_distinct", "q_approx_quantiles"}
 
 
 def _load_entry():

@@ -141,6 +141,12 @@ def kmeans_refine(
 
     Empty clusters keep their previous centroid (standard Lloyd fix) —
     the left join + coalesce below.
+
+    The per-component mean is an exact DECIMAL sum divided once in
+    double (not ``F.avg``, whose double streaming sum is partition-order
+    dependent): refined centroids are therefore bit-identical under any
+    shuffle AND engine-portable, which is what lets a fixed-round Lloyd
+    run have a DuckDB oracle at all.
     """
     for _ in range(iterations):
         assign = assign_to_centroids(corpus, centroids)
@@ -148,7 +154,14 @@ def kmeans_refine(
             corpus.join(assign, "vec_id")
             .select("centroid_id", F.posexplode("cv").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("x").cast("decimal(27,6)"))
+                .cast("string")
+                .cast("double")
+                .alias("sx"),
+            )
+            .select("centroid_id", "pos", (F.col("sx") / F.col("n")).alias("m"))
             .groupBy("centroid_id")
             .agg(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s")
@@ -274,8 +287,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index build with refined centroids (2 Lloyd rounds from the
     deterministic seeds): cluster population per refined centroid.
-    Iterative — no SQL oracle; semantics pinned by
-    tests/test_similarity.py (inertia must not increase)."""
+    Deterministic seeds + a fixed iteration count + exact-decimal means
+    make the whole run SQL-expressible, so the iterated algorithm gets a
+    full DuckDB oracle (2 unrolled Lloyd rounds) — plus the inertia
+    regression check in tests/test_similarity.py."""
     embeddings = load_table(spark, sf_dir, "embeddings")
     corpus = _vecs(embeddings, "vec_id", "cv")
     seeds = _vecs(
@@ -360,6 +375,70 @@ ORACLES: dict[str, str] = {
 }
 
 ORACLES["q_ann_brute_arrow"] = ORACLES["q_ann_brute_topk"]
+
+
+def _lloyd_round_sql(i: int, prev: str) -> str:
+    """One unrolled Lloyd round as CTE text: argmax-cosine assignment
+    against ``prev`` centroids, exact-decimal per-dimension means
+    (textual twin of kmeans_refine's aggregate), empty clusters keep
+    their previous centroid."""
+    return f"""
+        assign{i} AS (
+            SELECT c.vec_id, k.centroid_id, c.cv
+            FROM corpus c CROSS JOIN {prev} k
+            QUALIFY row_number() OVER (
+                PARTITION BY c.vec_id
+                ORDER BY round(list_cosine_similarity(k.qv, c.cv), 6) DESC,
+                         k.centroid_id
+            ) = 1
+        ),
+        means{i} AS (
+            SELECT centroid_id, list(m ORDER BY dim) AS qv
+            FROM (
+                SELECT centroid_id, dim,
+                       CAST(CAST(sum(CAST(val AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+                           / count(1) AS m
+                FROM (
+                    SELECT centroid_id,
+                           generate_subscripts(cv, 1) - 1 AS dim,
+                           unnest(cv) AS val
+                    FROM assign{i}
+                )
+                GROUP BY centroid_id, dim
+            )
+            GROUP BY centroid_id
+        ),
+        cent{i} AS (
+            SELECT k.centroid_id, coalesce(m.qv, k.qv) AS qv
+            FROM {prev} k LEFT JOIN means{i} m USING (centroid_id)
+        )"""
+
+
+# 2 fixed Lloyd rounds, unrolled: the Spark side's exact-decimal means
+# make each round's refined centroids bit-equal across engines, so the
+# final assignment counts are exact-integer comparable.
+ORACLES["q_ann_kmeans_assign"] = f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ),
+    cent0 AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {NUM_CENTROIDS}
+    ),
+    {_lloyd_round_sql(1, "cent0")},
+    {_lloyd_round_sql(2, "cent1")},
+    final_assign AS (
+        SELECT c.vec_id, k.centroid_id
+        FROM corpus c CROSS JOIN cent2 k
+        QUALIFY row_number() OVER (
+            PARTITION BY c.vec_id
+            ORDER BY round(list_cosine_similarity(k.qv, c.cv), 6) DESC,
+                     k.centroid_id
+        ) = 1
+    )
+    SELECT centroid_id, count(1)::BIGINT AS n_assigned
+    FROM final_assign GROUP BY centroid_id ORDER BY centroid_id
+"""
 
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid, long-form ``(label, dim, mean_val)`` — class
