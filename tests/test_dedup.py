@@ -6,7 +6,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from tfl_bikes_data_pipeline_spark.operators.dedup import (
+    COSINE_DUP_THRESHOLD,
     embedding_cosine_pairs,
+    embedding_cosine_pairs_blocked,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -70,6 +72,27 @@ def test_embedding_near_dup_planted(spark):
     ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
     pairs = {(r.vec_a, r.vec_b) for r in embedding_cosine_pairs(emb, 0.95).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_embedding_blocked_precision_and_recall(spark, sf_dir):
+    """The IVF-blocked near-dup must be a SUBSET of the exact all-pairs
+    result (blocking can only drop pairs, never invent them) with high
+    recall on the fixture — the knob being nassign/num_centroids."""
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs(emb, COSINE_DUP_THRESHOLD).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs_blocked(emb, COSINE_DUP_THRESHOLD).collect()
+    }
+    assert blocked <= exact, "blocking must never invent pairs"
+    assert exact, "fixture should contain planted embedding near-dups"
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.5, f"blocked recall {recall:.2f} too low"
 
 
 def test_planted_near_dups_in_fixture_found(spark, sf_dir):

@@ -211,6 +211,20 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
             spark.conf.set(k, v)
 
 
+def test_embedding_dedup_has_no_unbounded_cartesian(spark, sf_dir):
+    """The declared embedding near-dup must never plan an n² cartesian
+    over the corpus: the only nested-loop allowed is against the
+    broadcast (fixed-size) centroid relation, and candidate pairing
+    must be a hash join on the bucket key."""
+    from tfl_bikes_data_pipeline_spark import registry
+
+    plan = plan_of(registry.QUERIES["q_dedup_embedding"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, "corpus×corpus cartesian in dedup plan"
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "centroid scoring should be a broadcast nested loop"
+    )
+
+
 def test_training_and_maintenance_plan_shapes(spark, sf_dir):
     """Shuffle budgets for the newest operator families, pinned the
     same way as SCD2/merge: plans may get cheaper, never chattier."""

@@ -9,7 +9,8 @@ dedup keys):
                           join → candidate pairs → jaccard verify
 - SimHash               : per-bit majority over token hashes
 - n-gram Jaccard        : exact jaccard over shingle-sharing pairs
-- embedding near-dup    : pairwise cosine over ``array<float>``
+- embedding near-dup    : IVF-blocked cosine over ``array<float>``
+                          (exact all-pairs kept as the recall baseline)
 
 Scale notes: the LSH path is the 100 TB design — candidate generation
 cost is O(docs × bands) with a shuffle keyed on (band_id, band_key);
@@ -313,6 +314,70 @@ def embedding_cosine_pairs(embeddings: DataFrame, threshold: float) -> DataFrame
     )
 
 
+#: IVF blocking knobs for the embedding near-dup (same deterministic
+#: seed-centroid scheme as operators.similarity.ivf_assign).
+EMBED_BLOCK_CENTROIDS = 8
+EMBED_BLOCK_NASSIGN = 2
+
+
+def embedding_cosine_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float,
+    num_centroids: int = EMBED_BLOCK_CENTROIDS,
+    nassign: int = EMBED_BLOCK_NASSIGN,
+) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) — embedding near-dup with IVF blocking:
+    every vector is multi-assigned to its ``nassign`` nearest seed
+    centroids (multi-probe indexing, the recall knob), candidate pairs
+    are vectors sharing ≥1 bucket, and exact cosine verifies only those.
+
+    This is the 100 TB shape: candidate generation is O(n·k) against a
+    broadcast centroid relation (bounded — never an unbounded
+    crossJoin), the only wide shuffle keys on ``centroid_id``, and the
+    quadratic term is confined within buckets (~(n/k)² per bucket,
+    driven to any target by raising ``num_centroids``). Cross-bucket
+    pairs are missed by construction — recall vs the exact all-pairs
+    form ([[embedding_cosine_pairs]], kept as the test-scale baseline)
+    is pinned in tests/test_dedup.py.
+    """
+    from ..functions.vectors import cosine_expr
+
+    e = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
+    )
+    centroids = (
+        e.where(F.col("vec_id") < num_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("cv").alias("qv"))
+    )
+    scored = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "centroid_id", cosine_expr("qv", "cv").alias("c_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nassign)
+        .select("vec_id", "centroid_id")
+    )
+    cand = (
+        assign.alias("x")
+        .join(assign.alias("y"), "centroid_id")
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("cv").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("cv").alias("vb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cosine_expr("va", "vb").alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """(doc_id, cluster_id) — connected components over near-dup pairs:
     min-label propagation iterated to fixpoint (cluster_id = smallest
@@ -468,8 +533,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-blocked embedding near-dup — the production plan (bounded
+    candidate generation, no unbounded crossJoin). The exact all-pairs
+    form stays available as :func:`embedding_cosine_pairs` and its
+    recall is measured against this plan in tests/test_dedup.py."""
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(embeddings, COSINE_DUP_THRESHOLD).orderBy(
+    return embedding_cosine_pairs_blocked(embeddings, COSINE_DUP_THRESHOLD).orderBy(
         "vec_a", "vec_b"
     )
 
@@ -640,10 +709,38 @@ ORACLES: dict[str, str] = {
         SELECT node AS doc_id, min(root)::BIGINT AS cluster_id
         FROM reach GROUP BY node ORDER BY doc_id
     """,
+    # exact textual mirror of the IVF blocking: top-nassign centroid
+    # multi-assignment, same-bucket candidates, cosine verify.
     "q_dedup_embedding": f"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < {EMBED_BLOCK_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, centroid_id
+            FROM (
+                SELECT c.vec_id, k.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY round(list_cosine_similarity(k.qv, c.cv), 6) DESC,
+                                    k.centroid_id
+                       ) AS rn
+                FROM corpus c CROSS JOIN cent k
+            ) WHERE rn <= {EMBED_BLOCK_NASSIGN}
+        ),
+        cand AS (
+            SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+            FROM assign x JOIN assign y ON x.centroid_id = y.centroid_id
+            WHERE x.vec_id < y.vec_id
+        )
+        SELECT c.vec_a, c.vec_b,
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.vec_a
+        JOIN embeddings b ON b.vec_id = c.vec_b
         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {COSINE_DUP_THRESHOLD}
         ORDER BY vec_a, vec_b
     """,
@@ -665,6 +762,11 @@ QUERIES = {
     "q_dedup_embedding": q_dedup_embedding,
 }
 
-# embedding brute-force pairs excluded from bench (quadratic by design;
-# the similarity module benches the bucketed path instead).
-BENCH = ["q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_dedup_simhash"]
+BENCH = [
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    # IVF-blocked plan — bench-safe (bounded candidates, no n² crossJoin)
+    "q_dedup_embedding",
+]
