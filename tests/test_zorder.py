@@ -79,6 +79,69 @@ def test_zorder_skips_on_both_dimensions(spark, sf_dir, tmp_path):
     )
 
 
+def test_optimize_table_all_null_zorder_column(spark, tmp_path):
+    """An entirely-NULL z-order column must not crash the maintenance
+    job: its rank degenerates to 0 and the curve falls back to the
+    other dimension (round-1 advice: quantile_rank raised TypeError)."""
+    from tfl_bikes_data_pipeline_spark.warehouse import (
+        optimize_table,
+        write_partitioned,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.lit(None).cast("long").alias("all_null"),
+        (F.col("id") % 2).cast("string").alias("ym"),
+    )
+    out = str(tmp_path / "wh_null")
+    write_partitioned(df, out, ["ym"], mode="overwrite")
+
+    optimize_table(spark, out, ["ym"], zorder_by=("all_null", "id"))
+
+    after = spark.read.parquet(out)
+    assert after.count() == 100
+    assert after.where(F.col("all_null").isNull()).count() == 100
+
+
+def test_failed_rewrite_leaves_table_intact(spark, sf_dir, tmp_path):
+    """Crash-mid-maintenance safety: a rewrite that fails while STAGING
+    must leave the live table byte-identical and fully readable (the
+    old in-place dynamic overwrite could delete partitions it had not
+    yet rewritten). Leftover dot-prefixed trash/staging dirs must be
+    invisible to readers."""
+    import pytest
+
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+    from tfl_bikes_data_pipeline_spark.warehouse import (
+        _stage_and_swap_rewrite,
+        month_partition,
+        write_partitioned,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", "ts"
+    ).withColumn("ym", month_partition("ts"))
+    out = str(tmp_path / "wh_crash")
+    write_partitioned(events, out, ["ym"], mode="overwrite")
+    n0 = spark.read.parquet(out).count()
+
+    # a rewrite whose job fails mid-write (assert_true raises per-row)
+    bad = spark.read.parquet(out).withColumn(
+        "boom", F.expr("assert_true(event_id < 0)")
+    )
+    with pytest.raises(Exception):
+        _stage_and_swap_rewrite(spark, bad, out, ["ym"])
+
+    assert spark.read.parquet(out).count() == n0, "live table lost rows"
+
+    # leftover dot-trash dirs (the mid-swap window) are reader-invisible
+    import os
+
+    ym_dirs = [d for d in os.listdir(out) if d.startswith("ym=")]
+    os.makedirs(os.path.join(out, f".{ym_dirs[0]}.old-deadbeef"), exist_ok=True)
+    assert spark.read.parquet(out).count() == n0
+
+
 def test_optimize_table_compacts_and_clusters(spark, sf_dir, tmp_path):
     """OPTIMIZE ZORDER façade: fragmented months → 1 z-clustered file
     per month, identical content, tighter per-row-group user_id spans

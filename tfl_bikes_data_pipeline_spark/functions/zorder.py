@@ -24,28 +24,55 @@ from pyspark.sql import functions as F
 Z_BITS = 6
 
 
-def quantile_rank(df: DataFrame, col: str, bits: int) -> Column:
-    """Rank ``col`` into [0, 2^bits) by EQUAL-MASS buckets: boundaries
-    from one ``percentile_approx`` sketch pass, rank = how many
-    boundaries the value passes (higher-order ``filter``/``size``,
-    codegen'd). Linear min/max scaling dies on skew — one hot band
-    absorbs every rank and the curve degenerates to a single-column
-    sort; quantile ranks guarantee each bucket carries ~equal rows, so
-    row-group min/max stay tight on both dimensions regardless of the
-    data's shape."""
+def quantile_bounds(
+    df: DataFrame, cols: list[str], bits: int
+) -> dict[str, list | None]:
+    """Equal-mass bucket boundaries for several columns in ONE
+    ``percentile_approx`` sketch pass (one scan regardless of how many
+    dimensions get z-ordered). A column that is entirely NULL has no
+    quantiles — its entry is ``None`` and its rank expression
+    degenerates to the constant 0 (that dimension simply contributes
+    nothing to the curve instead of crashing the maintenance job)."""
     n = 1 << bits
     probs = [i / n for i in range(1, n)]
-    bounds = df.agg(F.percentile_approx(col, probs, 10000).alias("b")).first()["b"]
+    row = df.agg(
+        *[F.percentile_approx(c, probs, 10000).alias(c) for c in cols]
+    ).first()
+    return {c: row[c] for c in cols}
+
+
+def rank_expr(col: str, bounds: list | None) -> Column:
+    """Rank ``col`` into [0, 2^bits) against precomputed boundaries:
+    rank = how many boundaries the value passes (higher-order
+    ``filter``/``size``, codegen'd). NULL values (and all-NULL columns,
+    ``bounds is None``) rank 0. Linear min/max scaling dies on skew —
+    one hot band absorbs every rank and the curve degenerates to a
+    single-column sort; quantile ranks guarantee each bucket carries
+    ~equal rows, so row-group min/max stay tight on both dimensions
+    regardless of the data's shape."""
+    if bounds is None:
+        return F.lit(0).cast("long")
     arr = F.array(*[F.lit(float(b)) for b in bounds])
     c = F.col(col).cast("double")
     return F.size(F.filter(arr, lambda b: b <= c)).cast("long")
+
+
+def quantile_rank(df: DataFrame, col: str, bits: int) -> Column:
+    """Single-column convenience wrapper: sketch pass + rank expression.
+    Multi-column callers use :func:`quantile_bounds` once +
+    :func:`rank_expr` per column to pay one scan, not one per column."""
+    return rank_expr(col, quantile_bounds(df, [col], bits)[col])
 
 
 def zvalue(a: Column, b: Column, bits: int = Z_BITS) -> Column:
     """Morton interleave of two pre-scaled non-negative ints (< 2^bits):
     bit i of ``a`` lands at position 2i, of ``b`` at 2i+1. Fixed
     ``bits``-step unrolled expression — wide but branch-free, fully
-    inside whole-stage codegen."""
+    inside whole-stage codegen.
+
+    Reference parity note: the reference has no clustering maintenance
+    (BigQuery handles layout); this is part of the beyond-reference
+    warehouse-maintenance surface."""
     parts = []
     for i in range(bits):
         parts.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
@@ -71,10 +98,11 @@ def write_zordered(
     range-partition + sort by z-value, drop the helper column. Each
     output file (and row group) then covers a tight hyper-rectangle in
     (a, b) space, so predicates on EITHER column skip most files via
-    min/max stats."""
+    min/max stats. Both columns' boundaries come from ONE sketch scan."""
+    bounds = quantile_bounds(df, [col_a, col_b], bits)
     z = zvalue(
-        quantile_rank(df, col_a, bits),
-        quantile_rank(df, col_b, bits),
+        rank_expr(col_a, bounds[col_a]),
+        rank_expr(col_b, bounds[col_b]),
         bits,
     )
     (

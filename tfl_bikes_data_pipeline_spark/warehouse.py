@@ -64,6 +64,76 @@ def write_bucketed(
     writer.saveAsTable(name)
 
 
+def _swap_staged_partitions(
+    spark: SparkSession, staging: str, path: str, depth: int
+) -> None:
+    """Promote every leaf partition directory written under ``staging``
+    into the live table at ``path`` via filesystem renames (Hadoop
+    FileSystem API — metadata moves on HDFS/local, the same code path a
+    cluster deployment uses).
+
+    Crash safety: each partition swap is (1) rename live dir to a
+    dot-prefixed trash name, (2) rename staged dir into place, (3)
+    delete trash. A failure between (1) and (2) leaves that one
+    partition's data in the trash dir and in staging — both recoverable
+    by re-running the swap — while dot-/underscore-prefixed dirs are
+    invisible to Spark's parquet reader, so the table stays READABLE
+    (minus at most the one in-flight partition) at every instant.
+    Contrast in-place dynamic overwrite, whose mid-commit failure can
+    delete partitions it has not yet rewritten."""
+    import uuid
+
+    jvm = spark._jvm
+    JPath = jvm.org.apache.hadoop.fs.Path
+    live_root = JPath(path)
+    fs = live_root.getFileSystem(spark._jsc.hadoopConfiguration())
+    staging_root = JPath(staging)
+
+    # walk to leaf partition dirs (depth = number of partition columns)
+    leaves = [staging_root]
+    for _ in range(depth):
+        nxt = []
+        for d in leaves:
+            for s in fs.listStatus(d):
+                if s.isDirectory():
+                    nxt.append(s.getPath())
+        leaves = nxt
+
+    staging_uri = staging_root.toUri().getPath()
+    for leaf in leaves:
+        rel = leaf.toUri().getPath()[len(staging_uri) :].lstrip("/")
+        dst = JPath(live_root, rel)
+        trash = JPath(
+            dst.getParent(), f".{dst.getName()}.old-{uuid.uuid4().hex[:8]}"
+        )
+        fs.mkdirs(dst.getParent())
+        had_old = fs.exists(dst)
+        if had_old:
+            fs.rename(dst, trash)
+        fs.rename(leaf, dst)
+        if had_old:
+            fs.delete(trash, True)
+    fs.delete(staging_root, True)
+
+
+def _stage_and_swap_rewrite(
+    spark: SparkSession,
+    df,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Write ``df`` partitioned into a sibling staging directory, then
+    swap each written partition into the live table. Only partitions
+    present in ``df`` are touched (dynamic-overwrite semantics), the
+    source read never races its own overwrite, and readers see each
+    partition flip atomically."""
+    import uuid
+
+    staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
+    _swap_staged_partitions(spark, staging, path, len(partition_cols))
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -77,27 +147,22 @@ def compact_partitions(
     file per batch per month; a year later each month is hundreds of
     tiny files and scan planning drowns in footer reads).
 
-    Content is untouched: the rewrite is read → repartition → dynamic
-    partition overwrite, so only the listed ``partitions`` (default:
-    all) are replaced, atomically per partition, and concurrent readers
-    of other partitions never see a change. ``repartition(n, cols)``
+    Content is untouched: read → repartition → stage-and-swap. The
+    rewrite lands in a sibling staging dir first, then each partition
+    directory is renamed into place (``_swap_staged_partitions``), so
+    only the listed ``partitions`` (default: all) are replaced, a crash
+    at ANY point leaves the table readable, and concurrent readers of
+    other partitions never see a change. ``repartition(n, cols)``
     hashes rows to exactly ``n`` files per partition directory — at
     cluster scale pick n from target file size (~128 MB), here the
-    mechanism is what's under test.
-
-    In-place rewrite is safe because dynamic partition overwrite
-    commits (deletes + swaps) only after the read job's tasks finish;
-    for belt-and-braces on a live table, stage to a sibling dir and
-    swap, or take a partition-level maintenance lock."""
+    mechanism is what's under test."""
     df = spark.read.parquet(path)
     if partitions is not None:
         df = df.where(F.col(partition_cols[0]).isin(partitions))
-    (
-        df.repartition(files_per_partition, *[F.col(c) for c in partition_cols])
-        .write.mode("overwrite")
-        .partitionBy(*partition_cols)
-        .parquet(path)
+    compacted = df.repartition(
+        files_per_partition, *[F.col(c) for c in partition_cols]
     )
+    _stage_and_swap_rewrite(spark, compacted, path, partition_cols)
 
 
 def optimize_table(
@@ -112,26 +177,25 @@ def optimize_table(
     to ``files_per_partition`` files and, when ``zorder_by`` is given,
     lay rows inside each partition along the Morton curve of the two
     columns (``functions.zorder``), so row-group min/max stats prune on
-    both dimensions in addition to the partition key. One read + one
-    clustered dynamic-overwrite write; same in-place safety note as
-    ``compact_partitions``."""
+    both dimensions in addition to the partition key. Both columns'
+    quantile boundaries come from ONE sketch scan; the rewrite is the
+    same crash-safe stage-and-swap as ``compact_partitions``."""
     df = spark.read.parquet(path)
     if zorder_by is None:
         compact_partitions(spark, path, partition_cols, files_per_partition)
         return
-    from .functions.zorder import quantile_rank, zvalue
+    from .functions.zorder import quantile_bounds, rank_expr, zvalue
 
+    bounds = quantile_bounds(df, list(zorder_by), bits=6)
     z = zvalue(
-        quantile_rank(df, zorder_by[0], bits=6),
-        quantile_rank(df, zorder_by[1], bits=6),
+        rank_expr(zorder_by[0], bounds[zorder_by[0]]),
+        rank_expr(zorder_by[1], bounds[zorder_by[1]]),
         bits=6,
     )
-    (
+    clustered = (
         df.withColumn("__z", z)
         .repartition(files_per_partition, *[F.col(c) for c in partition_cols])
         .sortWithinPartitions(*partition_cols, "__z")
         .drop("__z")
-        .write.mode("overwrite")
-        .partitionBy(*partition_cols)
-        .parquet(path)
     )
+    _stage_and_swap_rewrite(spark, clustered, path, partition_cols)
