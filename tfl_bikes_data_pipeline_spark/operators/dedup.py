@@ -315,15 +315,20 @@ def embedding_cosine_pairs(embeddings: DataFrame, threshold: float) -> DataFrame
 
 
 #: IVF blocking knobs for the embedding near-dup (same deterministic
-#: seed-centroid scheme as operators.similarity.ivf_assign).
-EMBED_BLOCK_CENTROIDS = 8
-EMBED_BLOCK_NASSIGN = 2
+#: seed-centroid scheme as operators.similarity.ivf_assign). Centroid
+#: count scales with corpus size so the per-bucket population — and
+#: with it the quadratic verify term — stays CONSTANT as the corpus
+#: grows: k = max(MIN_CENTROIDS, n // DOCS_PER_CENTROID) keeps total
+#: candidate pairs ~O(n · nassign · DOCS_PER_CENTROID), i.e. linear.
+EMBED_BLOCK_MIN_CENTROIDS = 8
+EMBED_BLOCK_DOCS_PER_CENTROID = 50
+EMBED_BLOCK_NASSIGN = 3
 
 
 def embedding_cosine_pairs_blocked(
     embeddings: DataFrame,
     threshold: float,
-    num_centroids: int = EMBED_BLOCK_CENTROIDS,
+    num_centroids: int | None = None,
     nassign: int = EMBED_BLOCK_NASSIGN,
 ) -> DataFrame:
     """(vec_a, vec_b, cos_sim) — embedding near-dup with IVF blocking:
@@ -334,24 +339,42 @@ def embedding_cosine_pairs_blocked(
     This is the 100 TB shape: candidate generation is O(n·k) against a
     broadcast centroid relation (bounded — never an unbounded
     crossJoin), the only wide shuffle keys on ``centroid_id``, and the
-    quadratic term is confined within buckets (~(n/k)² per bucket,
-    driven to any target by raising ``num_centroids``). Cross-bucket
-    pairs are missed by construction — recall vs the exact all-pairs
-    form ([[embedding_cosine_pairs]], kept as the test-scale baseline)
-    is pinned in tests/test_dedup.py.
+    quadratic term is confined within buckets. With the default
+    corpus-scaled centroid count the expected bucket population is the
+    constant ``DOCS_PER_CENTROID``, so total verify cost is LINEAR in
+    corpus size. L2 norms are computed once per vector (not once per
+    pair) and reused by both the assignment scoring and the verify.
+    Cross-bucket pairs are missed by construction — recall vs the exact
+    all-pairs form ([[embedding_cosine_pairs]], kept as the test-scale
+    baseline) is pinned in tests/test_dedup.py.
     """
-    from ..functions.vectors import cosine_expr
+    from ..functions.vectors import dot_expr, norm_expr
+
+    if num_centroids is None:
+        # one tiny count action; at warehouse scale this comes from
+        # table metadata instead of a scan.
+        n = embeddings.count()
+        num_centroids = max(
+            EMBED_BLOCK_MIN_CENTROIDS, n // EMBED_BLOCK_DOCS_PER_CENTROID
+        )
 
     e = embeddings.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
+    ).withColumn("nv", F.expr(norm_expr("cv")))
+    centroids = e.where(F.col("vec_id") < num_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("cv").alias("qv"),
+        F.col("nv").alias("nq"),
     )
-    centroids = (
-        e.where(F.col("vec_id") < num_centroids)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("cv").alias("qv"))
-    )
+    # same IEEE sequence as functions.vectors.cosine_expr: the
+    # precomputed norm IS sqrt(dot(v, v)), so dot/(nq*nv) is bit-equal.
     scored = e.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "centroid_id", cosine_expr("qv", "cv").alias("c_sim")
+        "vec_id",
+        "centroid_id",
+        F.round(
+            F.expr(dot_expr("qv", "cv")) / (F.col("nq") * F.col("nv")), 6
+        ).alias("c_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
     assign = (
@@ -368,12 +391,22 @@ def embedding_cosine_pairs_blocked(
         )
         .distinct()
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("cv").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("cv").alias("vb"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("cv").alias("va"), F.col("nv").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("cv").alias("vb"), F.col("nv").alias("nb")
+    )
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")
-        .select("vec_a", "vec_b", cosine_expr("va", "vb").alias("cos_sim"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                F.expr(dot_expr("va", "vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
         .where(F.col("cos_sim") >= threshold)
     )
 
@@ -710,14 +743,21 @@ ORACLES: dict[str, str] = {
         FROM reach GROUP BY node ORDER BY doc_id
     """,
     # exact textual mirror of the IVF blocking: top-nassign centroid
-    # multi-assignment, same-bucket candidates, cosine verify.
+    # multi-assignment (corpus-scaled centroid count via the same
+    # max(MIN, n // DOCS_PER) formula), same-bucket candidates, cosine
+    # verify.
     "q_dedup_embedding": f"""
         WITH corpus AS (
             SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
         ),
         cent AS (
             SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS qv
-            FROM embeddings WHERE vec_id < {EMBED_BLOCK_CENTROIDS}
+            FROM embeddings
+            WHERE vec_id < (
+                SELECT greatest({EMBED_BLOCK_MIN_CENTROIDS},
+                                count(*) // {EMBED_BLOCK_DOCS_PER_CENTROID})
+                FROM embeddings
+            )
         ),
         assign AS (
             SELECT vec_id, centroid_id
