@@ -5,11 +5,30 @@ import pyspark.sql.functions as F
 
 from tfl_bikes_data_pipeline_spark.operators.training import (
     CONTEXT_TOKENS,
+    decontaminate,
     mixture_filter,
     pack_sequences,
     split_assign,
 )
 from tfl_bikes_data_pipeline_spark.tables import load_table
+
+
+def test_decontaminate_finds_planted_leak(spark):
+    """A train doc sharing a 3-gram with a benchmark doc must surface
+    with the exact shared-shingle count; disjoint docs must not."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox yesterday"),  # leaks 2 shingles
+            (2, "completely unrelated text about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.n_shared for r in decontaminate(train, bench).collect()}
+    # "the quick brown" and "quick brown fox" are the shared trigrams
+    assert got == {1: 2}
 
 
 def test_split_partitions_rows_exhaustively(spark, sf_dir):

@@ -448,3 +448,111 @@ ORACLES["q_text_bigram_quality"] = """
 
 QUERIES["q_text_bigram_quality"] = q_text_bigram_quality
 BENCH.append("q_text_bigram_quality")
+
+
+#: Gopher-style repetition gates (Rae et al. 2021 §A1.1 analogues):
+#: documents dominated by one word or by repeated n-grams are
+#: boilerplate/spam and get filtered before training.
+TOP_WORD_FRAC_MAX = 0.2
+DUP_TRIGRAM_FRAC_MAX = 0.55
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_words, top_word_frac, dup_trigram_frac, keep) — the
+    within-document repetition profile behind Gopher-style quality
+    gates: the mass of the single most frequent word, and the fraction
+    of word trigrams that are repeats of an earlier trigram in the SAME
+    document (1 - distinct/total).
+
+    Contrast ``bigram_quality`` (cross-corpus typicality): these
+    features never leave the document, so the whole operator is two
+    doc_id-keyed aggregates — embarrassingly parallel, no corpus-wide
+    join, linear at any scale."""
+    words_rel = documents.select(
+        "doc_id", F.explode(F.expr(_words())).alias("word")
+    )
+    wstats = (
+        words_rel.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_words"), F.max("c").alias("top_cnt"))
+    )
+    trigrams = (
+        "CASE WHEN size(w) >= 3 THEN "
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    tri_rel = documents.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    ).select("doc_id", F.explode(F.expr(trigrams)).alias("trigram"))
+    tstats = tri_rel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.countDistinct("trigram").alias("n_tri_distinct"),
+    )
+    out = (
+        wstats.join(tstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("top_cnt").cast("double") / F.col("n_words").cast("double")).alias(
+                "top_word_frac"
+            ),
+            F.when(
+                F.col("n_tri").isNotNull() & (F.col("n_tri") > 0),
+                F.lit(1.0)
+                - F.col("n_tri_distinct").cast("double") / F.col("n_tri").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_trigram_frac"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top_word_frac") <= TOP_WORD_FRAC_MAX)
+        & (F.col("dup_trigram_frac") <= DUP_TRIGRAM_FRAC_MAX),
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLES["q_text_repetition"] = f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+        FROM documents
+    ),
+    wstats AS (
+        SELECT doc_id, sum(c)::BIGINT AS n_words, max(c)::BIGINT AS top_cnt
+        FROM (SELECT doc_id, word, count(1) AS c FROM words GROUP BY doc_id, word)
+        GROUP BY doc_id
+    ),
+    warr AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ),
+    tri AS (
+        SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS trigram
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+              FROM warr)
+    ),
+    tstats AS (
+        SELECT doc_id, count(1) AS n_tri,
+               count(DISTINCT trigram) AS n_tri_distinct
+        FROM tri GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.n_words,
+           CAST(w.top_cnt AS DOUBLE) / CAST(w.n_words AS DOUBLE) AS top_word_frac,
+           CASE WHEN t.n_tri IS NOT NULL AND t.n_tri > 0
+                THEN 1.0 - CAST(t.n_tri_distinct AS DOUBLE) / CAST(t.n_tri AS DOUBLE)
+                ELSE 0.0 END AS dup_trigram_frac,
+           (CAST(w.top_cnt AS DOUBLE) / CAST(w.n_words AS DOUBLE) <= {TOP_WORD_FRAC_MAX}
+            AND (CASE WHEN t.n_tri IS NOT NULL AND t.n_tri > 0
+                      THEN 1.0 - CAST(t.n_tri_distinct AS DOUBLE) / CAST(t.n_tri AS DOUBLE)
+                      ELSE 0.0 END) <= {DUP_TRIGRAM_FRAC_MAX}) AS keep
+    FROM wstats w LEFT JOIN tstats t USING (doc_id)
+    ORDER BY w.doc_id
+"""
+
+QUERIES["q_text_repetition"] = q_text_repetition
+BENCH.append("q_text_repetition")

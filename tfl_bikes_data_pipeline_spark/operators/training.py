@@ -105,6 +105,38 @@ def pack_sequences(
     )
 
 
+#: held-out benchmark designation: every BENCH_DOC_MOD-th doc plays the
+#: eval set the training corpus must not leak (fixture stand-in for a
+#: real benchmark suite).
+BENCH_DOC_MOD = 25
+
+
+def decontaminate(train_docs: DataFrame, benchmark_docs: DataFrame) -> DataFrame:
+    """(doc_id, n_shared) — training documents that overlap the
+    held-out benchmark by ≥1 word 3-gram, with the count of distinct
+    shared shingles. The kept corpus is ``train_docs`` anti-joined on
+    this relation; surfacing the contaminated side (rather than the
+    survivors) is what an eval-leakage audit reads.
+
+    Scale shape: the benchmark side is SMALL by definition (eval suites
+    are a few million shingles at most), so its distinct shingle set is
+    **broadcast** — the 100 TB training corpus is never shuffled, only
+    its shingle stream map-side probed, and the one real shuffle is the
+    per-doc count aggregate keyed on contaminated doc_ids (a vanishing
+    fraction of the corpus). Reuses dedup.shingle_rel, so "overlap"
+    means exactly what the near-dup pipeline means by it.
+    """
+    from .dedup import shingle_rel
+
+    bench = shingle_rel(benchmark_docs).select("shingle").distinct()
+    return (
+        shingle_rel(train_docs)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Declared queries + oracles
 # ---------------------------------------------------------------------------
@@ -158,7 +190,38 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage audit: training docs (doc_id % MOD != 0) sharing
+    any 3-gram with the benchmark docs (doc_id % MOD == 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % BENCH_DOC_MOD != 0)
+    bench = docs.where(F.col("doc_id") % BENCH_DOC_MOD == 0)
+    return decontaminate(train, bench).orderBy("doc_id")
+
+
 ORACLES: dict[str, str] = {
+    # same distinct-shingle relation the dedup oracles use
+    # (dedup._SHINGLES_CTE textual twin), split into bench/train sides.
+    "q_decontaminate": f"""
+        WITH words AS (
+            SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id,
+                   concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+                  FROM words)
+        ),
+        bench AS (
+            SELECT DISTINCT shingle FROM shingles
+            WHERE doc_id % {BENCH_DOC_MOD} = 0
+        )
+        SELECT s.doc_id, count(1)::BIGINT AS n_shared
+        FROM shingles s JOIN bench b USING (shingle)
+        WHERE s.doc_id % {BENCH_DOC_MOD} != 0
+        GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
     "q_split_assign": """
         SELECT source,
                CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'train'
@@ -204,6 +267,7 @@ QUERIES = {
     "q_split_assign": q_split_assign,
     "q_mixture_sample": q_mixture_sample,
     "q_pack_sequences": q_pack_sequences,
+    "q_decontaminate": q_decontaminate,
 }
 
-BENCH = ["q_split_assign", "q_pack_sequences"]
+BENCH = ["q_split_assign", "q_pack_sequences", "q_decontaminate"]
