@@ -3,11 +3,13 @@
 from pyspark.sql import functions as F
 
 from tfl_bikes_data_pipeline_spark.operators.similarity import (
+    INT8_LEVELS,
     NUM_QUERIES,
     cosine_topk,
     ivf_search,
     q_ann_brute_topk,
     q_ann_ivf_topk,
+    quantize_int8,
 )
 from tfl_bikes_data_pipeline_spark.functions.vectors import to_double_vec
 from tfl_bikes_data_pipeline_spark.tables import load_table
@@ -75,3 +77,36 @@ def test_kmeans_refinement_does_not_worsen_inertia(spark, sf_dir):
     refined = kmeans_refine(corpus, seeds, iterations=2)
     assert refined.count() == NUM_CENTROIDS
     assert inertia(corpus, refined) <= inertia(corpus, seeds) + 1e-9
+
+
+def test_quantize_int8_saturation_and_reconstruction(spark, sf_dir):
+    """Quantization invariants the oracle hash can't express: codes
+    live in [-127, 127], the max-|x| element saturates to ±127 for
+    every nonzero vector, and per-element reconstruction error is
+    bounded by scale/2 (round-to-nearest guarantee)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb)
+    joined = q.join(
+        emb.select("vec_id", to_double_vec("embedding", "cv")), "vec_id"
+    )
+    checked = joined.select(
+        "vec_id",
+        F.expr("array_min(codes)").alias("qmin"),
+        F.expr("array_max(codes)").alias("qmax"),
+        F.expr(
+            "array_max(transform(zip_with(cv, codes, (x, c) -> abs(x - c * scale)), e -> e))"
+        ).alias("max_err"),
+        F.expr("array_max(transform(codes, c -> abs(c)))").alias("max_abs_code"),
+        "scale",
+    )
+    bad_range = checked.where(
+        (F.col("qmin") < -INT8_LEVELS) | (F.col("qmax") > INT8_LEVELS)
+    ).count()
+    assert bad_range == 0
+    nonzero = checked.where(F.col("scale") > 0)
+    no_saturation = nonzero.where(F.col("max_abs_code") != INT8_LEVELS).count()
+    assert no_saturation == 0, "max-|x| element must quantize to ±127"
+    err_violation = nonzero.where(
+        F.col("max_err") > F.col("scale") * 0.5 + 1e-12
+    ).count()
+    assert err_violation == 0, "reconstruction error exceeds scale/2"

@@ -508,6 +508,74 @@ ORACLES["q_embed_centroid"] = """
     FROM melted GROUP BY label, dim ORDER BY label, dim
 """
 
+#: symmetric int8 quantization range
+INT8_LEVELS = 127
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, scale, codes) — per-vector symmetric int8 quantization:
+    ``scale = max|x| / 127``, ``code = round(x / scale) ∈ [-127, 127]``.
+    The storage/serving compression step of an embedding pipeline (4×
+    smaller than float32, dot products stay integer); a pure narrow
+    ``transform`` projection — fuses into the scan, zero shuffle, the
+    ideal 100 TB shape. All-zero vectors quantize to all-zero codes
+    (scale 0 guard). ``round`` runs on an exactly-representable double
+    in both engines, and the cast happens on an integral value, so the
+    codes are engine-exact."""
+    e = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
+    ).withColumn(
+        "mx", F.expr("array_max(transform(cv, x -> abs(x)))")
+    ).withColumn(
+        "scale", F.col("mx") / F.lit(float(INT8_LEVELS))
+    )
+    codes = (
+        "CASE WHEN mx = 0.0 THEN transform(cv, x -> 0) "
+        "ELSE transform(cv, x -> CAST(round(x / scale) AS INT)) END"
+    )
+    return e.select("vec_id", "scale", F.expr(codes).alias("codes"))
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization audit: per-vector scale + integer code profile
+    (min/max/sum — saturation and bias checks, all engine-exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.expr("array_min(codes)").alias("qmin"),
+        F.expr("array_max(codes)").alias("qmax"),
+        F.expr(
+            "aggregate(codes, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("qsum"),
+    ).orderBy("vec_id")
+
+
+ORACLES["q_embed_quantize"] = f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ),
+    m AS (
+        SELECT vec_id, cv,
+               list_max(list_transform(cv, x -> abs(x))) AS mx
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, mx / {float(INT8_LEVELS)} AS scale,
+               CASE WHEN mx = 0.0 THEN list_transform(cv, x -> 0)
+                    ELSE list_transform(cv, x -> CAST(round(x / (mx / {float(INT8_LEVELS)})) AS INT))
+               END AS codes
+        FROM m
+    )
+    SELECT vec_id, scale,
+           list_min(codes)::INT AS qmin,
+           list_max(codes)::INT AS qmax,
+           list_sum(codes)::BIGINT AS qsum
+    FROM q ORDER BY vec_id
+"""
+
 QUERIES = {
     "q_ann_brute_topk": q_ann_brute_topk,
     "q_ann_brute_arrow": q_ann_brute_arrow,
@@ -516,7 +584,8 @@ QUERIES = {
     "q_ann_kmeans_assign": q_ann_kmeans_assign,
     "q_embed_centroid": q_embed_centroid,
     "q_vector_stats": q_vector_stats,
+    "q_embed_quantize": q_embed_quantize,
 }
 
-BENCH = ["q_ann_brute_topk", "q_ann_brute_arrow", "q_ann_ivf_topk"]
+BENCH = ["q_ann_brute_topk", "q_ann_brute_arrow", "q_ann_ivf_topk", "q_embed_quantize"]
 
