@@ -110,3 +110,39 @@ def test_quantize_int8_saturation_and_reconstruction(spark, sf_dir):
         F.col("max_err") > F.col("scale") * 0.5 + 1e-12
     ).count()
     assert err_violation == 0, "reconstruction error exceeds scale/2"
+
+
+def test_quantized_mips_recall_vs_float(spark, sf_dir):
+    """Int8 MIPS must rank nearly as well as the float inner-product
+    path: per-query top-10 overlap >= 0.8 on the fixture (quantization
+    error ~scale/2 per element rarely reorders neighbors)."""
+    from tfl_bikes_data_pipeline_spark.operators.similarity import (
+        TOP_K,
+        quantized_mips_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = quantized_mips_topk(emb)
+
+    e = emb.select("vec_id", to_double_vec("embedding", "cv"))
+    qs = e.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("cv").alias("qv")
+    )
+    dot = (
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    exact = (
+        e.crossJoin(F.broadcast(qs))
+        .where(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", F.expr(dot).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+    got = {(r.qid, r.vec_id) for r in quant.collect()}
+    want = {(r.qid, r.vec_id) for r in exact.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, f"quantized MIPS recall {recall:.2f} too low"
