@@ -556,3 +556,72 @@ ORACLES["q_text_repetition"] = f"""
 
 QUERIES["q_text_repetition"] = q_text_repetition
 BENCH.append("q_text_repetition")
+
+
+#: character-window chunking: chunk size and stride (overlap =
+#: CHUNK_CHARS - CHUNK_STRIDE keeps boundary context in both chunks).
+CHUNK_CHARS = 120
+CHUNK_STRIDE = 100
+
+
+def chunk_documents(
+    documents: DataFrame, chunk: int = CHUNK_CHARS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """(doc_id, chunk_id, off, chunk_len, chunk_text) — overlapping
+    fixed-width character windows: chunk ``i`` covers
+    ``[i·stride, i·stride + chunk)``; ``ceil(len/stride)`` chunks cover
+    every character, the last may be short, and consecutive chunks
+    share ``chunk - stride`` characters of boundary context (what keeps
+    sentences split across a boundary learnable).
+
+    The pre-tokenization layout step of a pretraining pipeline
+    (long documents → model-sized pieces; token-exact chunking swaps
+    the char arithmetic for a tokenizer UDF, same dataflow). A pure
+    narrow ``sequence``/``explode``/``substring`` projection — fuses
+    into the scan, zero shuffle, row-expanding by the constant factor
+    len/stride."""
+    n_chunks = f"(greatest(length(text), 1) + {stride - 1}) DIV {stride}"
+    offs = f"transform(sequence(0, {n_chunks} - 1), i -> i * {stride})"
+    return (
+        documents.select(
+            "doc_id", "text", F.posexplode(F.expr(offs)).alias("chunk_id", "off")
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "off",
+            F.expr(f"substring(text, off + 1, {chunk})").alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+        .select("doc_id", "chunk_id", "off", "chunk_len", "chunk_text")
+    )
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+ORACLES["q_text_chunks"] = f"""
+    WITH n AS (
+        SELECT doc_id, text,
+               (greatest(length(text), 1) + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
+                   AS n_chunks
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(generate_series(0, n_chunks - 1))::INT AS chunk_id,
+               text
+        FROM n
+    )
+    SELECT doc_id, chunk_id,
+           (chunk_id * {CHUNK_STRIDE})::INT AS off,
+           length(substr(text, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_CHARS}))::INT
+               AS chunk_len,
+           substr(text, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_CHARS}) AS chunk_text
+    FROM chunks ORDER BY doc_id, chunk_id
+"""
+
+QUERIES["q_text_chunks"] = q_text_chunks
