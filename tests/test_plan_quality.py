@@ -225,6 +225,48 @@ def test_embedding_dedup_has_no_unbounded_cartesian(spark, sf_dir):
     )
 
 
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """Decontamination must probe the benchmark shingle set as a
+    broadcast hash join — the training corpus is never shuffled on the
+    shingle key (the property that makes it viable at 100 TB)."""
+    from tfl_bikes_data_pipeline_spark import registry
+
+    plan = plan_of(registry.QUERIES["q_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "benchmark shingles not broadcast"
+    import re
+
+    probe = plan.split("BroadcastHashJoin")[0]
+    assert not re.search(r"Exchange hashpartitioning", probe), (
+        "corpus shuffled before the broadcast probe"
+    )
+
+
+def test_chunking_is_narrow(spark, sf_dir):
+    """Chunking must stay a pure scan-side projection: no hash Exchange
+    anywhere (the only allowed Exchange is the presentation sort)."""
+    import re
+
+    from tfl_bikes_data_pipeline_spark import registry
+
+    plan = plan_of(registry.QUERIES["q_text_chunks"](spark, sf_dir))
+    assert not re.search(r"Exchange hashpartitioning", plan), (
+        "chunking plan shuffles"
+    )
+
+
+def test_quantize_is_narrow(spark, sf_dir):
+    """Int8 quantization audit: per-vector transform only — no hash
+    Exchange (sort for presentation is the single allowed Exchange)."""
+    import re
+
+    from tfl_bikes_data_pipeline_spark import registry
+
+    plan = plan_of(registry.QUERIES["q_embed_quantize"](spark, sf_dir))
+    assert not re.search(r"Exchange hashpartitioning", plan), (
+        "quantization plan shuffles"
+    )
+
+
 def test_training_and_maintenance_plan_shapes(spark, sf_dir):
     """Shuffle budgets for the newest operator families, pinned the
     same way as SCD2/merge: plans may get cheaper, never chattier."""
