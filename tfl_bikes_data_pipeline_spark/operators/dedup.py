@@ -382,24 +382,28 @@ def embedding_cosine_pairs_blocked(
         .where(F.col("rn") <= nassign)
         .select("vec_id", "centroid_id")
     )
-    cand = (
-        assign.alias("x")
-        .join(assign.alias("y"), "centroid_id")
-        .where(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
-        )
-        .distinct()
+    # attach vectors to the assignments ONCE and score inside the
+    # bucket self-join, projecting the arrays away immediately — the
+    # only array-bearing shuffle is the |corpus|·nassign bucket
+    # relation, never the candidate-pair fan-out. A pair sharing
+    # several buckets scores identically in each, so the groupBy-max
+    # dedup is exact (equivalent to distinct-candidates-then-verify).
+    bucketed = assign.join(e, "vec_id")
+    a = bucketed.select(
+        "centroid_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("cv").alias("va"),
+        F.col("nv").alias("na"),
     )
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("cv").alias("va"), F.col("nv").alias("na")
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("cv").alias("vb"), F.col("nv").alias("nb")
+    b = bucketed.select(
+        "centroid_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("cv").alias("vb"),
+        F.col("nv").alias("nb"),
     )
     return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
+        a.join(b, "centroid_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
@@ -408,6 +412,8 @@ def embedding_cosine_pairs_blocked(
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
 
 
