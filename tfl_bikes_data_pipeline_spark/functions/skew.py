@@ -70,3 +70,58 @@ def salted_group_count(
         .agg(F.count(F.lit(1)).alias("__pc"))
     )
     return partial.groupBy(key).agg(F.sum("__pc").cast("long").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# declared query: the salted plan must produce the PLAIN join's answer
+# ---------------------------------------------------------------------------
+
+#: tiny enrichment dim keyed on the 3-value (maximally hot) event_type
+#: — the canonical skewed-join shape.
+TYPE_WEIGHTS = (("click", 1), ("purchase", 5), ("view", 2))
+
+
+def q_skew_salted_join(spark, sf_dir: str) -> DataFrame:
+    """Events ⋈ type-weight dim via the salted join (salt from the
+    high-cardinality event_id), rolled up per type with exact-decimal
+    weighted sums. The oracle is the UNSALTED join — correctness of
+    salting IS result-identity with the plain plan; the salted shape is
+    what survives a hot key that AQE cannot split (giant per-key state,
+    pre-partitioned inputs)."""
+    from ..tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        list(TYPE_WEIGHTS), ["event_type", "weight"]
+    )
+    joined = salted_join(events, dim, "event_type", "event_id")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                (F.col("value") * F.col("weight")).cast("decimal(18,6)")
+            )
+            .cast("string")
+            .cast("double")
+            .alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "q_skew_salted_join": f"""
+        WITH dim(event_type, weight) AS (
+            VALUES {", ".join(f"('{t}', {w})" for t, w in TYPE_WEIGHTS)}
+        )
+        SELECT e.event_type, count(1)::BIGINT AS cnt,
+               CAST(CAST(sum(CAST(e.value * d.weight AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                   AS weighted_value
+        FROM events e JOIN dim d USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type
+    """,
+}
+
+QUERIES = {"q_skew_salted_join": q_skew_salted_join}
+BENCH = ["q_skew_salted_join"]

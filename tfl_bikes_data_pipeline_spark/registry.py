@@ -77,6 +77,10 @@ def _load_all() -> None:
         _register(mod.QUERIES, mod.ORACLES, getattr(mod, "BENCH", list(mod.QUERIES)))
 
     from .streaming import jobs as streaming_jobs
+    from .functions import skew
+
+    _register(skew.QUERIES, skew.ORACLES, skew.BENCH)
+
     from .streaming import stateful as streaming_stateful
 
     _register(streaming_jobs.QUERIES, streaming_jobs.ORACLES, [])
