@@ -625,3 +625,4 @@ ORACLES["q_text_chunks"] = f"""
 """
 
 QUERIES["q_text_chunks"] = q_text_chunks
+BENCH.append("q_text_chunks")
