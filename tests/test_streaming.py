@@ -112,3 +112,20 @@ def test_stateful_counts_accumulate_across_batches(spark, sf_dir):
     assert per_user.where("count > 1").count() > 0, (
         "no user emitted twice — state never crossed a micro-batch boundary"
     )
+
+
+def test_stream_defined_on_empty_landing_dir(spark):
+    """The stream must be definable BEFORE the first file drop (the
+    production order): an empty landing dir falls back to the static
+    schema instead of failing the batch probe, and the normalized ts
+    column is a session-TZ timestamp either way."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from tfl_bikes_data_pipeline_spark.streaming.jobs import read_events_stream
+
+    landing = tempfile.mkdtemp(prefix="events_empty_")
+    stream = read_events_stream(spark, landing)
+    assert stream.isStreaming
+    assert isinstance(stream.schema["ts"].dataType, T.TimestampType)

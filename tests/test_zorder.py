@@ -82,7 +82,7 @@ def test_zorder_skips_on_both_dimensions(spark, sf_dir, tmp_path):
 def test_optimize_table_all_null_zorder_column(spark, tmp_path):
     """An entirely-NULL z-order column must not crash the maintenance
     job: its rank degenerates to 0 and the curve falls back to the
-    other dimension (round-1 advice: quantile_rank raised TypeError)."""
+    other dimension (round-1 advice: the rank bounds raised TypeError)."""
     from tfl_bikes_data_pipeline_spark.warehouse import (
         optimize_table,
         write_partitioned,

@@ -57,13 +57,6 @@ def rank_expr(col: str, bounds: list | None) -> Column:
     return F.size(F.filter(arr, lambda b: b <= c)).cast("long")
 
 
-def quantile_rank(df: DataFrame, col: str, bits: int) -> Column:
-    """Single-column convenience wrapper: sketch pass + rank expression.
-    Multi-column callers use :func:`quantile_bounds` once +
-    :func:`rank_expr` per column to pay one scan, not one per column."""
-    return rank_expr(col, quantile_bounds(df, [col], bits)[col])
-
-
 def zvalue(a: Column, b: Column, bits: int = Z_BITS) -> Column:
     """Morton interleave of two pre-scaled non-negative ints (< 2^bits):
     bit i of ``a`` lands at position 2i, of ``b`` at 2i+1. Fixed

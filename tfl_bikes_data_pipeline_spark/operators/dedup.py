@@ -388,7 +388,10 @@ def embedding_cosine_pairs_blocked(
     # relation, never the candidate-pair fan-out. A pair sharing
     # several buckets scores identically in each, so the groupBy-max
     # dedup is exact (equivalent to distinct-candidates-then-verify).
-    bucketed = assign.join(e, "vec_id")
+    # Both self-join sides read this relation — persist it so the
+    # centroid-scoring + window pipeline runs once, not twice (same
+    # persist-reused-relation convention as the LSH path).
+    bucketed = assign.join(e, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
     a = bucketed.select(
         "centroid_id",
         F.col("vec_id").alias("vec_a"),

@@ -120,18 +120,34 @@ def decontaminate(train_docs: DataFrame, benchmark_docs: DataFrame) -> DataFrame
 
     Scale shape: the benchmark side is SMALL by definition (eval suites
     are a few million shingles at most), so its distinct shingle set is
-    **broadcast** — the 100 TB training corpus is never shuffled, only
-    its shingle stream map-side probed, and the one real shuffle is the
-    per-doc count aggregate keyed on contaminated doc_ids (a vanishing
-    fraction of the corpus). Reuses dedup.shingle_rel, so "overlap"
-    means exactly what the near-dup pipeline means by it.
+    **broadcast** — the 100 TB training corpus is never shuffled before
+    the contaminated-doc aggregate. The train side's per-document
+    shingle dedup is the NARROW ``array_distinct`` (inside the shingle
+    array, before explode), not a corpus-wide ``.distinct()`` — the one
+    real shuffle is the per-doc count aggregate keyed on contaminated
+    doc_ids (a vanishing fraction of the corpus). The shingle
+    definition matches dedup.shingle_rel exactly, so "overlap" means
+    what the near-dup pipeline means by it (plan shape pinned in
+    tests/test_plan_quality.py).
     """
-    from .dedup import shingle_rel
+    from .dedup import DEFAULT_SHINGLE, shingle_rel
 
+    n = DEFAULT_SHINGLE
     bench = shingle_rel(benchmark_docs).select("shingle").distinct()
+    words = train_docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    )
+    shingles = (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(w) - {n}), "
+        f"i -> concat_ws(' ', slice(w, i + 1, {n})))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    train_shingles = words.select(
+        "doc_id", F.explode(F.expr(shingles)).alias("shingle")
+    )
     return (
-        shingle_rel(train_docs)
-        .join(F.broadcast(bench), "shingle")
+        train_shingles.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

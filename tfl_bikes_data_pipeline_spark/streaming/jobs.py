@@ -21,9 +21,27 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from ..session import ensure_runtime_confs
 from ..tables import normalize_event_ts
 from ..warehouse import month_partition
+
+#: Fallback stream schema when the landing dir has no files yet (the
+#: schema probe needs at least one footer). ``ts`` is declared as the
+#: type THIS Spark build decodes TIMESTAMP(NANOS) to (TIMESTAMP_NTZ on
+#: 4.1.x — see tables.normalize_event_ts); the normalizer converts it
+#: the same way as the probed path.
+EVENTS_STREAM_FALLBACK_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
 
 
 def stage_landing_dir(sf_dir: str) -> str:
@@ -45,9 +63,14 @@ def read_events_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     declared stream schema in lockstep with however *this* build decodes
     the file, and the shared normalizer then converts exactly as the
     batch path does — the round-2 wrong-answer bug was these two paths
-    drifting apart."""
+    drifting apart. An EMPTY landing dir (stream defined before the
+    first file drop — the normal production order) falls back to
+    :data:`EVENTS_STREAM_FALLBACK_SCHEMA` instead of failing the probe."""
     ensure_runtime_confs(spark)
-    schema = spark.read.parquet(landing_dir).schema
+    try:
+        schema = spark.read.parquet(landing_dir).schema
+    except Exception:  # no files yet — cannot infer
+        schema = EVENTS_STREAM_FALLBACK_SCHEMA
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

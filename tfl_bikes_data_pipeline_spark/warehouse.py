@@ -74,13 +74,15 @@ def _swap_staged_partitions(
 
     Crash safety: each partition swap is (1) rename live dir to a
     dot-prefixed trash name, (2) rename staged dir into place, (3)
-    delete trash. A failure between (1) and (2) leaves that one
-    partition's data in the trash dir and in staging — both recoverable
-    by re-running the swap — while dot-/underscore-prefixed dirs are
-    invisible to Spark's parquet reader, so the table stays READABLE
-    (minus at most the one in-flight partition) at every instant.
-    Contrast in-place dynamic overwrite, whose mid-commit failure can
-    delete partitions it has not yet rewritten."""
+    delete trash. Renames are CHECKED (Hadoop FS returns false on
+    failure); a failed promote restores the trash copy before raising,
+    so no partition is ever silently dropped. A hard crash between (1)
+    and (2) leaves that one partition's data in the dot-prefixed trash
+    dir (recoverable by hand; invisible to Spark's parquet reader, as
+    is the staging dir), so the table stays READABLE — minus at most
+    the one in-flight partition — at every instant. Contrast in-place
+    dynamic overwrite, whose mid-commit failure can delete partitions
+    it has not yet rewritten."""
     import uuid
 
     jvm = spark._jvm
@@ -108,9 +110,19 @@ def _swap_staged_partitions(
         )
         fs.mkdirs(dst.getParent())
         had_old = fs.exists(dst)
-        if had_old:
-            fs.rename(dst, trash)
-        fs.rename(leaf, dst)
+        # Hadoop FileSystem signals failure by RETURNING FALSE, not by
+        # raising — every rename must be checked, and the trash copy is
+        # deleted only after the staged dir is confirmed in place
+        # (otherwise a failed swap would silently drop the partition).
+        if had_old and not fs.rename(dst, trash):
+            raise IOError(f"failed to move live partition {dst} aside")
+        if not fs.rename(leaf, dst):
+            if had_old and not fs.rename(trash, dst):
+                raise IOError(
+                    f"failed to promote {leaf} AND failed to restore {trash}; "
+                    f"old data preserved at {trash}"
+                )
+            raise IOError(f"failed to promote staged partition {leaf} to {dst}")
         if had_old:
             fs.delete(trash, True)
     fs.delete(staging_root, True)
@@ -126,12 +138,21 @@ def _stage_and_swap_rewrite(
     swap each written partition into the live table. Only partitions
     present in ``df`` are touched (dynamic-overwrite semantics), the
     source read never races its own overwrite, and readers see each
-    partition flip atomically."""
+    partition flip atomically. A failure at any point deletes the
+    staging directory (the live table is untouched until a partition's
+    swap completes, so cleanup loses nothing)."""
     import uuid
 
     staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
-    _swap_staged_partitions(spark, staging, path, len(partition_cols))
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
+        _swap_staged_partitions(spark, staging, path, len(partition_cols))
+    except Exception:
+        jvm = spark._jvm
+        jstaging = jvm.org.apache.hadoop.fs.Path(staging)
+        fs = jstaging.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jstaging, True)
+        raise
 
 
 def compact_partitions(
