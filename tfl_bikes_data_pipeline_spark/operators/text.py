@@ -626,3 +626,79 @@ ORACLES["q_text_chunks"] = f"""
 
 QUERIES["q_text_chunks"] = q_text_chunks
 BENCH.append("q_text_chunks")
+
+
+def corpus_report(documents: DataFrame) -> DataFrame:
+    """(source, n_docs, n_keep, total_chars, total_words) — the
+    per-source report card a curation dashboard reads: volume, token
+    mass, and how much survives the repetition gates. Composes
+    :func:`repetition_stats` with a per-source rollup; all-integer
+    outputs, so the cross-engine comparison is exact. Two doc_id-keyed
+    aggregates + one source-keyed aggregate — the same linear shapes as
+    its inputs."""
+    rep = repetition_stats(documents).select(
+        "doc_id", "n_words", F.col("keep").cast("int").alias("keep_i")
+    )
+    return (
+        documents.select("doc_id", "source", "n_chars")
+        .join(rep, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep_i").cast("long").alias("n_keep"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_report(load_table(spark, sf_dir, "documents"))
+
+
+ORACLES["q_corpus_report"] = f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+        FROM documents
+    ),
+    wstats AS (
+        SELECT doc_id, sum(c)::BIGINT AS n_words, max(c)::BIGINT AS top_cnt
+        FROM (SELECT doc_id, word, count(1) AS c FROM words GROUP BY doc_id, word)
+        GROUP BY doc_id
+    ),
+    warr AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ),
+    tri AS (
+        SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS trigram
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+              FROM warr)
+    ),
+    tstats AS (
+        SELECT doc_id, count(1) AS n_tri,
+               count(DISTINCT trigram) AS n_tri_distinct
+        FROM tri GROUP BY doc_id
+    ),
+    rep AS (
+        SELECT w.doc_id, w.n_words,
+               CASE WHEN
+                   CAST(w.top_cnt AS DOUBLE) / CAST(w.n_words AS DOUBLE)
+                       <= {TOP_WORD_FRAC_MAX}
+                   AND (CASE WHEN t.n_tri IS NOT NULL AND t.n_tri > 0
+                             THEN 1.0 - CAST(t.n_tri_distinct AS DOUBLE)
+                                      / CAST(t.n_tri AS DOUBLE)
+                             ELSE 0.0 END) <= {DUP_TRIGRAM_FRAC_MAX}
+               THEN 1 ELSE 0 END AS keep_i
+        FROM wstats w LEFT JOIN tstats t USING (doc_id)
+    )
+    SELECT d.source, count(1)::BIGINT AS n_docs,
+           sum(r.keep_i)::BIGINT AS n_keep,
+           sum(d.n_chars)::BIGINT AS total_chars,
+           sum(r.n_words)::BIGINT AS total_words
+    FROM documents d JOIN rep r ON d.doc_id = r.doc_id
+    GROUP BY d.source ORDER BY d.source
+"""
+
+QUERIES["q_corpus_report"] = q_corpus_report
