@@ -110,6 +110,46 @@ def pack_sequences(
 #: real benchmark suite).
 BENCH_DOC_MOD = 25
 
+#: mixture-planning inputs: total char budget for the mix and the
+#: desired per-source weight (cycled over the fixture's 20 sources;
+#: weights need not sum to 1 — each source is capped independently).
+MIX_BUDGET_CHARS = 500_000
+_WEIGHT_CYCLE = (0.02, 0.05, 0.08, 0.10)
+MIXTURE_WEIGHTS = {f"src{i}": _WEIGHT_CYCLE[i % 4] for i in range(20)}
+
+
+def plan_mixture(
+    docs: DataFrame,
+    weights: dict[str, float] = MIXTURE_WEIGHTS,
+    budget_chars: int = MIX_BUDGET_CHARS,
+) -> DataFrame:
+    """(source, avail_chars, target_chars, rate) — the planning step
+    that PRODUCES sampling rates for ``mixture_filter``: each source's
+    target mass is ``budget × weight``, its rate the capped ratio
+    against what the source actually has (oversubscribed sources keep
+    everything, rate 1.0). One per-source aggregate over a column that
+    lives in table stats at warehouse scale — the planner is a
+    metadata query, which is why mixtures can be re-planned per run."""
+    w = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )[F.col("source")]
+    avail = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("avail_chars")
+    )
+    return (
+        avail.withColumn(
+            "target_chars", F.lit(float(budget_chars)) * w
+        )
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.col("target_chars") / F.col("avail_chars").cast("double"),
+            ),
+        )
+        .orderBy("source")
+    )
+
 
 def decontaminate(train_docs: DataFrame, benchmark_docs: DataFrame) -> DataFrame:
     """(doc_id, n_shared) — training documents that overlap the
@@ -206,6 +246,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return plan_mixture(load_table(spark, sf_dir, "documents"))
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-leakage audit: training docs (doc_id % MOD != 0) sharing
     any 3-gram with the benchmark docs (doc_id % MOD == 0)."""
@@ -216,6 +260,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q_mixture_plan": f"""
+        WITH weights(source, w) AS (
+            VALUES {", ".join(f"('{s_}', {w_})" for s_, w_ in MIXTURE_WEIGHTS.items())}
+        )
+        SELECT d.source, sum(d.n_chars)::BIGINT AS avail_chars,
+               {float(MIX_BUDGET_CHARS)} * any_value(weights.w) AS target_chars,
+               least(1.0, ({float(MIX_BUDGET_CHARS)} * any_value(weights.w))
+                          / CAST(sum(d.n_chars) AS DOUBLE)) AS rate
+        FROM documents d JOIN weights USING (source)
+        GROUP BY d.source ORDER BY d.source
+    """,
     # same distinct-shingle relation the dedup oracles use
     # (dedup._SHINGLES_CTE textual twin), split into bench/train sides.
     "q_decontaminate": f"""
@@ -282,6 +337,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "q_split_assign": q_split_assign,
     "q_mixture_sample": q_mixture_sample,
+    "q_mixture_plan": q_mixture_plan,
     "q_pack_sequences": q_pack_sequences,
     "q_decontaminate": q_decontaminate,
 }
