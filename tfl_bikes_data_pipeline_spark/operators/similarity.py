@@ -617,6 +617,59 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_mips_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def ivf_search_with_centroids(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """IVF probe/search against an ARBITRARY centroid relation (the
+    composition point: seed centroids give :func:`ivf_search`, refined
+    centroids give the trained index). Same bucketed dataflow: assign
+    once, probe ``nprobe`` buckets per query, score only within them."""
+    assign = assign_to_centroids(_vecs(embeddings, "vec_id", "cv"), centroids)
+    corpus = _vecs(embeddings, "vec_id", "cv").join(assign, "vec_id")
+
+    cent_as_corpus = centroids.select(
+        "centroid_id", F.col("qv").alias("cv")
+    )
+    qprobe = queries.crossJoin(F.broadcast(cent_as_corpus)).select(
+        "qid", "qv", "centroid_id", cosine_expr("qv", "cv").alias("c_sim")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    probes = (
+        qprobe.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("qid", "qv", "centroid_id")
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", cosine_expr("qv", "cv").alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
+def q_ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained IVF index end-to-end: 2 Lloyd rounds refine the seed
+    centroids, then the nprobe search runs against the refined index —
+    the full build-then-serve ANN pipeline as one declared relation."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    corpus = _vecs(embeddings, "vec_id", "cv")
+    seeds = _vecs(
+        embeddings.where(F.col("vec_id") < NUM_CENTROIDS), "centroid_id", "qv"
+    )
+    refined = kmeans_refine(corpus, seeds, iterations=2)
+    queries = _vecs(embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv")
+    return ivf_search_with_centroids(embeddings, queries, refined)
+
+
 ORACLES["q_ann_quantized_topk"] = f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
@@ -648,11 +701,58 @@ ORACLES["q_ann_quantized_topk"] = f"""
     ORDER BY qid, rank
 """
 
+# trained-index search: the 2-round Lloyd CTE chain (same rounds as the
+# kmeans oracle) feeding the IVF probe/search SQL — build-then-serve
+# end to end.
+ORACLES["q_ann_ivf_refined_topk"] = f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ),
+    cent0 AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {NUM_CENTROIDS}
+    ),
+    {_lloyd_round_sql(1, "cent0")},
+    {_lloyd_round_sql(2, "cent1")},
+    assign AS (
+        SELECT c.vec_id, k.centroid_id
+        FROM corpus c CROSS JOIN cent2 k
+        QUALIFY row_number() OVER (
+            PARTITION BY c.vec_id
+            ORDER BY round(list_cosine_similarity(k.qv, c.cv), 6) DESC,
+                     k.centroid_id
+        ) = 1
+    ),
+    probes AS (
+        SELECT q.vec_id AS qid, k.centroid_id
+        FROM embeddings q CROSS JOIN cent2 k
+        WHERE q.vec_id < {NUM_QUERIES}
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], k.qv), 6) DESC,
+                     k.centroid_id
+        ) <= {NPROBE}
+    )
+    SELECT p.qid, c.vec_id,
+           {_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+           row_number() OVER (
+               PARTITION BY p.qid
+               ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC, c.vec_id
+           )::INT AS rank
+    FROM probes p
+    JOIN assign a ON a.centroid_id = p.centroid_id
+    JOIN embeddings c ON c.vec_id = a.vec_id AND c.vec_id != p.qid
+    JOIN embeddings q ON q.vec_id = p.qid
+    QUALIFY rank <= {TOP_K}
+    ORDER BY qid, rank
+"""
+
 QUERIES = {
     "q_ann_brute_topk": q_ann_brute_topk,
     "q_ann_brute_arrow": q_ann_brute_arrow,
     "q_ann_ivf_assign": q_ann_ivf_assign,
     "q_ann_ivf_topk": q_ann_ivf_topk,
+    "q_ann_ivf_refined_topk": q_ann_ivf_refined_topk,
     "q_ann_kmeans_assign": q_ann_kmeans_assign,
     "q_embed_centroid": q_embed_centroid,
     "q_vector_stats": q_vector_stats,
