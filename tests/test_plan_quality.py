@@ -239,15 +239,16 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     """Decontamination must probe the benchmark shingle set as a
     broadcast hash join with the corpus side UNSHUFFLED before the
     probe (the property that makes it viable at 100 TB). Exchange
-    budget: bench-side distinct (2 under AQE) + contaminated-doc agg
-    (1) + presentation sort (1) = 4; a corpus-wide shingle distinct
-    would add its own Exchange and bust the budget."""
+    budget: bench-side distinct (1 — Catalyst collapses the double
+    distinct) + contaminated-doc agg (1) + presentation sort (1) = 3;
+    a corpus-wide shingle distinct adds exactly one more Exchange and
+    busts the budget (measured: the pre-fix plan counted 4)."""
     from tfl_bikes_data_pipeline_spark import registry
 
     plan = plan_of(registry.QUERIES["q_decontaminate"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, "benchmark shingles not broadcast"
     n = _exchange_count(plan)
-    assert n <= 4, f"decontaminate shuffles {n}× (budget 4)"
+    assert n <= 3, f"decontaminate shuffles {n}× (budget 3)"
 
 
 def test_chunking_is_narrow(spark, sf_dir):

@@ -85,35 +85,14 @@ def ivf_search(
     num_centroids: int = NUM_CENTROIDS,
     nprobe: int = NPROBE,
 ) -> DataFrame:
-    """ANN via inverted file: probe only the ``nprobe`` centroids
-    nearest to each query, score within their buckets. Output:
-    (qid, vec_id, cos_sim, rank)."""
-    assign = ivf_assign(embeddings, num_centroids)
-    corpus = _vecs(embeddings, "vec_id", "cv").join(assign, "vec_id")
-
-    centroids = _vecs(embeddings.where(F.col("vec_id") < num_centroids), "centroid_id", "cv")
-    qprobe = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select("qid", "qv", "centroid_id", cosine_expr("qv", "cv").alias("c_sim"))
+    """ANN via inverted file over the deterministic SEED centroids —
+    delegates to :func:`ivf_search_with_centroids` (one copy of the
+    nprobe dataflow; the refined-index variant passes Lloyd-refined
+    centroids instead). Output: (qid, vec_id, cos_sim, rank)."""
+    seeds = _vecs(
+        embeddings.where(F.col("vec_id") < num_centroids), "centroid_id", "qv"
     )
-    wq = Window.partitionBy("qid").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
-    probes = (
-        qprobe.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("qid", "qv", "centroid_id")
-    )
-
-    scored = (
-        corpus.join(F.broadcast(probes), "centroid_id")
-        .where(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", cosine_expr("qv", "cv").alias("cos_sim"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .orderBy("qid", "rank")
-    )
+    return ivf_search_with_centroids(embeddings, queries, seeds, k, nprobe)
 
 
 def assign_to_centroids(corpus: DataFrame, centroids: DataFrame) -> DataFrame:

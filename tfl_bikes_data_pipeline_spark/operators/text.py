@@ -517,8 +517,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-ORACLES["q_text_repetition"] = f"""
-    WITH words AS (
+#: shared repetition-stat CTE chain (words → per-doc word stats,
+#: trigrams → per-doc dup stats) — reused verbatim by the repetition
+#: and corpus-report oracles so "keep" can never mean two things.
+_REPETITION_CTES = """
+    words AS (
         SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
         FROM documents
     ),
@@ -541,6 +544,10 @@ ORACLES["q_text_repetition"] = f"""
                count(DISTINCT trigram) AS n_tri_distinct
         FROM tri GROUP BY doc_id
     )
+"""
+
+ORACLES["q_text_repetition"] = f"""
+    WITH {_REPETITION_CTES}
     SELECT w.doc_id, w.n_words,
            CAST(w.top_cnt AS DOUBLE) / CAST(w.n_words AS DOUBLE) AS top_word_frac,
            CASE WHEN t.n_tri IS NOT NULL AND t.n_tri > 0
@@ -658,29 +665,7 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_corpus_report"] = f"""
-    WITH words AS (
-        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
-        FROM documents
-    ),
-    wstats AS (
-        SELECT doc_id, sum(c)::BIGINT AS n_words, max(c)::BIGINT AS top_cnt
-        FROM (SELECT doc_id, word, count(1) AS c FROM words GROUP BY doc_id, word)
-        GROUP BY doc_id
-    ),
-    warr AS (
-        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
-    ),
-    tri AS (
-        SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS trigram
-        FROM (SELECT doc_id, w,
-                     unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
-              FROM warr)
-    ),
-    tstats AS (
-        SELECT doc_id, count(1) AS n_tri,
-               count(DISTINCT trigram) AS n_tri_distinct
-        FROM tri GROUP BY doc_id
-    ),
+    WITH {_REPETITION_CTES},
     rep AS (
         SELECT w.doc_id, w.n_words,
                CASE WHEN

@@ -127,7 +127,9 @@ def plan_mixture(
     that PRODUCES sampling rates for ``mixture_filter``: each source's
     target mass is ``budget × weight``, its rate the capped ratio
     against what the source actually has (oversubscribed sources keep
-    everything, rate 1.0). One per-source aggregate over a column that
+    everything, rate 1.0). Sources absent from the weight map are
+    DROPPED — the same contract as :func:`mixture_filter`, whose rates
+    this planner produces. One per-source aggregate over a column that
     lives in table stats at warehouse scale — the planner is a
     metadata query, which is why mixtures can be re-planned per run."""
     w = F.create_map(
@@ -137,9 +139,12 @@ def plan_mixture(
         F.sum("n_chars").cast("long").alias("avail_chars")
     )
     return (
-        avail.withColumn(
-            "target_chars", F.lit(float(budget_chars)) * w
+        avail.withColumn("w", w)
+        .where(F.col("w").isNotNull())
+        .withColumn(
+            "target_chars", F.lit(float(budget_chars)) * F.col("w")
         )
+        .drop("w")
         .withColumn(
             "rate",
             F.least(
@@ -165,26 +170,16 @@ def decontaminate(train_docs: DataFrame, benchmark_docs: DataFrame) -> DataFrame
     shingle dedup is the NARROW ``array_distinct`` (inside the shingle
     array, before explode), not a corpus-wide ``.distinct()`` — the one
     real shuffle is the per-doc count aggregate keyed on contaminated
-    doc_ids (a vanishing fraction of the corpus). The shingle
-    definition matches dedup.shingle_rel exactly, so "overlap" means
-    what the near-dup pipeline means by it (plan shape pinned in
-    tests/test_plan_quality.py).
+    doc_ids (a vanishing fraction of the corpus). The shingle relation
+    IS dedup.shingle_sets' (exploded) — one definition of "overlap"
+    shared with the near-dup pipeline, one place to change it (plan
+    shape pinned in tests/test_plan_quality.py).
     """
-    from .dedup import DEFAULT_SHINGLE, shingle_rel
+    from .dedup import shingle_rel, shingle_sets
 
-    n = DEFAULT_SHINGLE
     bench = shingle_rel(benchmark_docs).select("shingle").distinct()
-    words = train_docs.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
-    )
-    shingles = (
-        f"CASE WHEN size(w) >= {n} THEN "
-        f"array_distinct(transform(sequence(0, size(w) - {n}), "
-        f"i -> concat_ws(' ', slice(w, i + 1, {n})))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END"
-    )
-    train_shingles = words.select(
-        "doc_id", F.explode(F.expr(shingles)).alias("shingle")
+    train_shingles = shingle_sets(train_docs).select(
+        "doc_id", F.explode("sset").alias("shingle")
     )
     return (
         train_shingles.join(F.broadcast(bench), "shingle")

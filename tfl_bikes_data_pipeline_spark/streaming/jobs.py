@@ -24,24 +24,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..session import ensure_runtime_confs
-from ..tables import normalize_event_ts
+from ..tables import nanos_arrival_type, normalize_event_ts
 from ..warehouse import month_partition
 
-#: Fallback stream schema when the landing dir has no files yet (the
-#: schema probe needs at least one footer). ``ts`` is declared as the
-#: type THIS Spark build decodes TIMESTAMP(NANOS) to (TIMESTAMP_NTZ on
-#: 4.1.x — see tables.normalize_event_ts); the normalizer converts it
-#: the same way as the probed path.
-EVENTS_STREAM_FALLBACK_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampNTZType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _fallback_stream_schema(spark: SparkSession) -> T.StructType:
+    """Stream schema for a landing dir with no files yet (the schema
+    probe needs at least one footer). ``ts`` is declared as whatever
+    type THIS build decodes TIMESTAMP(NANOS) to — determined by the
+    1-row pyarrow probe in :func:`..tables.nanos_arrival_type`, NOT
+    hardcoded, so a build that honors nanosAsLong gets LongType here
+    and the first real file decodes against a matching schema."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", nanos_arrival_type(spark)),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stage_landing_dir(sf_dir: str) -> str:
@@ -64,13 +67,17 @@ def read_events_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     the file, and the shared normalizer then converts exactly as the
     batch path does — the round-2 wrong-answer bug was these two paths
     drifting apart. An EMPTY landing dir (stream defined before the
-    first file drop — the normal production order) falls back to
-    :data:`EVENTS_STREAM_FALLBACK_SCHEMA` instead of failing the probe."""
+    first file drop — the normal production order) falls back to the
+    build-probed :func:`_fallback_stream_schema`; only the
+    cannot-infer-schema AnalysisException takes that path — corrupt
+    footers or permission errors still raise loudly."""
+    from pyspark.errors import AnalysisException
+
     ensure_runtime_confs(spark)
     try:
         schema = spark.read.parquet(landing_dir).schema
-    except Exception:  # no files yet — cannot infer
-        schema = EVENTS_STREAM_FALLBACK_SCHEMA
+    except AnalysisException:  # no files yet — cannot infer
+        schema = _fallback_stream_schema(spark)
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

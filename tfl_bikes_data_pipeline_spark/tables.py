@@ -59,6 +59,36 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+_NANOS_ARRIVAL_TYPE: T.DataType | None = None
+
+
+def nanos_arrival_type(spark: SparkSession) -> T.DataType:
+    """How THIS Spark build decodes a parquet TIMESTAMP(NANOS) column
+    (LongType under an honored ``nanosAsLong``, TimestampNTZType where
+    the conf is ignored — observed on 4.1.x). Determined empirically
+    once per process: a 1-row nanos parquet is written with pyarrow and
+    read back, so callers that must DECLARE a schema before any real
+    file exists (the streaming fallback) declare what this build will
+    actually deliver instead of guessing."""
+    global _NANOS_ARRIVAL_TYPE
+    if _NANOS_ARRIVAL_TYPE is None:
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ensure_runtime_confs(spark)
+        d = tempfile.mkdtemp(prefix="nanos_probe_")
+        pq.write_table(
+            pa.table({"ts": pa.array([0], type=pa.timestamp("ns"))}),
+            os.path.join(d, "probe.parquet"),
+            version="2.6",  # preserve nanos in the physical type
+        )
+        _NANOS_ARRIVAL_TYPE = spark.read.parquet(d).schema["ts"].dataType
+    return _NANOS_ARRIVAL_TYPE
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")

@@ -138,21 +138,26 @@ def _stage_and_swap_rewrite(
     swap each written partition into the live table. Only partitions
     present in ``df`` are touched (dynamic-overwrite semantics), the
     source read never races its own overwrite, and readers see each
-    partition flip atomically. A failure at any point deletes the
-    staging directory (the live table is untouched until a partition's
-    swap completes, so cleanup loses nothing)."""
+    partition flip atomically.
+
+    Cleanup policy: a failure during the STAGING WRITE deletes the
+    staging dir (the live table has not been touched, so nothing is
+    lost). A failure during the SWAP deliberately KEEPS the staging
+    dir — at that point it may hold the only complete copy of a
+    partition whose live dir was already moved to trash, and deleting
+    it would turn a recoverable fault into data loss."""
     import uuid
 
     staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
     try:
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
-        _swap_staged_partitions(spark, staging, path, len(partition_cols))
     except Exception:
         jvm = spark._jvm
         jstaging = jvm.org.apache.hadoop.fs.Path(staging)
         fs = jstaging.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(jstaging, True)
         raise
+    _swap_staged_partitions(spark, staging, path, len(partition_cols))
 
 
 def compact_partitions(
