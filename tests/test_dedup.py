@@ -7,11 +7,13 @@ from pyspark.sql import functions as F
 
 from tfl_bikes_data_pipeline_spark.operators.dedup import (
     COSINE_DUP_THRESHOLD,
+    JACCARD_THRESHOLD,
     embedding_cosine_pairs,
     embedding_cosine_pairs_blocked,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    ngram_candidate_pairs,
     shingle_rel,
     shingle_sets,
     simhash,
@@ -92,7 +94,58 @@ def test_embedding_blocked_precision_and_recall(spark, sf_dir):
     assert blocked <= exact, "blocking must never invent pairs"
     assert exact, "fixture should contain planted embedding near-dups"
     recall = len(blocked) / len(exact)
-    assert recall >= 0.5, f"blocked recall {recall:.2f} too low"
+    # nassign=5 multi-probe measured at recall 1.0 on sf0.001 and
+    # sf0.01; the pinned floor is the VERDICT-r3 target, with slack for
+    # fixture regeneration.
+    assert recall >= 0.8, f"blocked recall {recall:.2f} below 0.8 floor"
+
+
+def test_df_cap_drops_only_boilerplate_only_pairs(spark):
+    """With a tiny cap, docs whose ONLY overlap is a high-df boilerplate
+    shingle produce no candidate pair, while pairs sharing rare
+    shingles survive with their exact (uncapped) jaccard."""
+    boiler = "terms of service apply"  # 4 words → 2 trigram shingles
+    rows = [(i, f"{boiler} unique words number {i} padding token") for i in range(1, 9)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = shingle_rel(docs)
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_candidate_pairs(sh, max_df=4).collect()
+    }
+    assert (100, 101) in cands, "rare-shingle pair pruned by the cap"
+    assert not any(a < 100 and b < 100 for a, b in cands), (
+        "boilerplate-only pairs must be pruned (df of boilerplate shingles = 8 > 4)"
+    )
+    # verified output carries the TRUE jaccard from the full sets
+    verified = verify_candidates(shingle_sets(docs), ngram_candidate_pairs(sh, max_df=4), 0.5).collect()
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(sh, 0.5).collect()}
+    for r in verified:
+        assert abs(r.jaccard - exact[(r.doc_a, r.doc_b)]) < 1e-12
+
+
+def test_capped_ngram_matches_uncapped_on_fixture(spark, sf_dir):
+    """At the default NGRAM_MAX_DF the capped query loses nothing on
+    the fixture: near-dup pairs share rare shingles, so the capped
+    result equals the exhaustive inverted-index result."""
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rel(docs)
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in jaccard_pairs(sh, JACCARD_THRESHOLD).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in verify_candidates(
+            shingle_sets(docs), ngram_candidate_pairs(sh), JACCARD_THRESHOLD
+        ).collect()
+    }
+    assert capped <= uncapped
+    assert uncapped, "fixture should contain planted near-dups"
+    recall = len(capped) / len(uncapped)
+    assert recall == 1.0, f"df-cap lost planted near-dups (recall {recall:.2f})"
 
 
 def test_planted_near_dups_in_fixture_found(spark, sf_dir):

@@ -225,6 +225,47 @@ def test_embedding_dedup_has_no_unbounded_cartesian(spark, sf_dir):
     )
 
 
+def test_ngram_dedup_caps_posting_lists(spark, sf_dir):
+    """The n-gram jaccard candidate index must be df-capped: the plan
+    filters shingles at document frequency ≤ NGRAM_MAX_DF BEFORE the
+    pair self-join (bounded posting lists — the property that keeps
+    candidate generation linear at 100 TB), and pairs join hash-wise
+    on the shingle key, never as a cartesian."""
+    import re
+
+    from tfl_bikes_data_pipeline_spark import registry
+    from tfl_bikes_data_pipeline_spark.operators.dedup import NGRAM_MAX_DF
+
+    plan = plan_of(registry.QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir))
+    assert re.search(rf"df#\d+L? <= {NGRAM_MAX_DF}\b", plan), (
+        "no document-frequency cap filter in the candidate index"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_dedup_plan_builds_without_jobs(spark, sf_dir):
+    """Constructing the declared embedding-dedup plan must not launch a
+    count() scan: the centroid count comes from parquet footer metadata
+    (VERDICT r3 item 5 — one job, not two). The only job tolerated is
+    spark.read.parquet's own 0-row schema-inference/listing job, which
+    every scan definition pays; the pre-fix plan launched that PLUS a
+    full count()."""
+    sc = spark.sparkContext
+    from tfl_bikes_data_pipeline_spark import registry
+
+    sc.setJobGroup("embed_plan_build", "plan construction must be count-free")
+    try:
+        registry.QUERIES["q_dedup_embedding"](spark, sf_dir)
+        jobs = sc.statusTracker().getJobIdsForGroup("embed_plan_build")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    assert len(jobs) <= 1, (
+        f"plan construction launched {len(jobs)} jobs {jobs}; "
+        "a count() action is back in the construction path"
+    )
+
+
 def _exchange_count(plan: str) -> int:
     """Count Exchange nodes the way this file's conventions do —
     formatted explain puts the node name on its own numbered line

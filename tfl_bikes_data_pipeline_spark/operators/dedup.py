@@ -8,18 +8,21 @@ dedup keys):
 - MinHash + LSH         : shingle → minhash signature → band → bucket
                           join → candidate pairs → jaccard verify
 - SimHash               : per-bit majority over token hashes
-- n-gram Jaccard        : exact jaccard over shingle-sharing pairs
+- n-gram Jaccard        : exact jaccard over shingle-sharing pairs,
+                          document-frequency-capped candidate index
 - embedding near-dup    : IVF-blocked cosine over ``array<float>``
                           (exact all-pairs kept as the recall baseline)
 
 Scale notes: the LSH path is the 100 TB design — candidate generation
 cost is O(docs × bands) with a shuffle keyed on (band_id, band_key);
 only colliding buckets produce pairs, so the verify join never goes
-quadratic. The exact-jaccard query prunes to pairs sharing ≥1 shingle
-(inverted-index join), the standard scalable formulation. Hash
-functions are md5-based so the DuckDB oracles compute identical
-signatures (lexicographic MIN over hex digests is a valid minhash
-permutation surrogate).
+quadratic. The exact-jaccard query prunes to pairs sharing ≥1
+*rare* shingle (inverted-index join with a document-frequency cap —
+standard inverted-index pruning — so no shingle bucket ever exceeds
+``NGRAM_MAX_DF`` postings and the pair fan-out per shingle is bounded
+by C(NGRAM_MAX_DF, 2)). Hash functions are md5-based so the DuckDB
+oracles compute identical signatures (lexicographic MIN over hex
+digests is a valid minhash permutation surrogate).
 """
 
 from __future__ import annotations
@@ -28,13 +31,50 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..tables import load_table
+from ..tables import load_table, table_row_count
 
 NUM_MINHASH = 8
 NUM_BANDS = 4  # rows-per-band = 2
 DEFAULT_SHINGLE = 3
 JACCARD_THRESHOLD = 0.5
 COSINE_DUP_THRESHOLD = 0.4
+
+#: Inverted-index document-frequency cap: shingles appearing in more
+#: than this many documents are dropped from CANDIDATE GENERATION (the
+#: verify step still uses the full shingle sets, so surviving pairs get
+#: their exact uncapped jaccard). A high-df shingle ("the quick") would
+#: otherwise make pair generation quadratic in its posting-list length;
+#: with the cap every shingle bucket yields ≤ C(cap, 2) pairs and total
+#: candidate cost is O(#distinct shingles · cap²) — linear in corpus
+#: size. Near-dup pairs share many shingles including rare ones, so the
+#: recall loss is confined to pairs whose ENTIRE overlap is boilerplate
+#: (pinned in tests/test_dedup.py).
+NGRAM_MAX_DF = 16
+
+
+# persisted-relation lifecycle: a relation persisted inside a
+# lazily-returned plan must outlive the caller's materialization of
+# that plan, so it cannot be unpersisted before returning. Each dedup
+# invocation instead releases the PREVIOUS invocation's relations —
+# sequential use (bench, differential gate, the driver) holds at most
+# one generation of executor storage — and callers that interleave
+# dedup plans can call release_cached_relations() once the older
+# results are materialized (recomputation stays correct, just slower).
+_CACHED_RELATIONS: list[DataFrame] = []
+
+
+def release_cached_relations() -> None:
+    """Unpersist every relation cached by earlier dedup invocations."""
+    while _CACHED_RELATIONS:
+        _CACHED_RELATIONS.pop().unpersist()
+
+
+def _retain(df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK) and register it for deferred
+    release at the next dedup invocation."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHED_RELATIONS.append(df)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -166,6 +206,38 @@ def jaccard_pairs(shingles: DataFrame, min_jaccard: float) -> DataFrame:
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def df_capped_shingles(shingles: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` —
+    standard inverted-index pruning. The window count shuffles on
+    ``shingle``, the SAME key the downstream candidate self-join uses,
+    so at scale the partitioning is reused rather than paid twice."""
+    w = Window.partitionBy("shingle")
+    return (
+        shingles.withColumn("df", F.count(F.lit(1)).over(w))
+        .where(F.col("df") <= max_df)
+        .drop("df")
+    )
+
+
+def ngram_candidate_pairs(
+    shingles: DataFrame, max_df: int = NGRAM_MAX_DF
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs sharing ≥1 shingle with document
+    frequency ≤ ``max_df``. Bounded by construction: each surviving
+    shingle contributes ≤ C(max_df, 2) pairs, so the self-join is
+    linear in the number of distinct shingles — never quadratic in a
+    posting list (the uncapped plan's failure mode at 100 TB)."""
+    capped = df_capped_shingles(shingles, max_df)
+    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
 
 
@@ -322,7 +394,19 @@ def embedding_cosine_pairs(embeddings: DataFrame, threshold: float) -> DataFrame
 #: candidate pairs ~O(n · nassign · DOCS_PER_CENTROID), i.e. linear.
 EMBED_BLOCK_MIN_CENTROIDS = 8
 EMBED_BLOCK_DOCS_PER_CENTROID = 50
-EMBED_BLOCK_NASSIGN = 3
+#: multi-probe width — the recall knob. 5 assignments per vector gives
+#: measured recall 1.0 vs the exact all-pairs baseline at threshold
+#: 0.4 on both sf0.001 and sf0.01 (nassign=3 measured ≈0.9; floor
+#: pinned at ≥0.8 in tests/test_dedup.py). Verify cost scales linearly
+#: in nassign, so the 5/3 cost bump buys back every missed pair.
+EMBED_BLOCK_NASSIGN = 5
+
+
+def embed_block_num_centroids(n_rows: int) -> int:
+    """Corpus-scaled centroid count: keeps expected bucket population
+    at the constant DOCS_PER_CENTROID so total verify cost stays linear
+    in corpus size (the formula the DuckDB oracle mirrors textually)."""
+    return max(EMBED_BLOCK_MIN_CENTROIDS, n_rows // EMBED_BLOCK_DOCS_PER_CENTROID)
 
 
 def embedding_cosine_pairs_blocked(
@@ -350,13 +434,13 @@ def embedding_cosine_pairs_blocked(
     """
     from ..functions.vectors import dot_expr, norm_expr
 
+    release_cached_relations()
     if num_centroids is None:
-        # one tiny count action; at warehouse scale this comes from
-        # table metadata instead of a scan.
-        n = embeddings.count()
-        num_centroids = max(
-            EMBED_BLOCK_MIN_CENTROIDS, n // EMBED_BLOCK_DOCS_PER_CENTROID
-        )
+        # fallback for raw DataFrames with no metadata in reach: one
+        # count action. The declared query path threads the count from
+        # parquet footer metadata (tables.table_row_count) instead, so
+        # its plan runs as ONE job.
+        num_centroids = embed_block_num_centroids(embeddings.count())
 
     e = embeddings.select(
         "vec_id",
@@ -389,9 +473,11 @@ def embedding_cosine_pairs_blocked(
     # several buckets scores identically in each, so the groupBy-max
     # dedup is exact (equivalent to distinct-candidates-then-verify).
     # Both self-join sides read this relation — persist it so the
-    # centroid-scoring + window pipeline runs once, not twice (same
-    # persist-reused-relation convention as the LSH path).
-    bucketed = assign.join(e, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
+    # centroid-scoring + window pipeline runs once, not twice (no
+    # ReusedExchange fires here: the two sides project different
+    # aliases before the bucket-key partitioning). Lifecycle via
+    # _retain — released at the next dedup invocation.
+    bucketed = _retain(assign.join(e, "vec_id"))
     a = bucketed.select(
         "centroid_id",
         F.col("vec_id").alias("vec_a"),
@@ -536,8 +622,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents")
     # the per-doc set relation feeds signatures (narrow) and the verify
     # joins — persist the 1-row-per-doc arrays (MEMORY_AND_DISK: spills
-    # instead of OOMing at large SF; evicted LRU afterwards).
-    sets = shingle_sets(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    # instead of OOMing at large SF; released at the next invocation).
+    release_cached_relations()
+    sets = _retain(shingle_sets(documents))
     candidates = lsh_candidate_pairs(minhash_signatures(sets))
     return verify_candidates(sets, candidates, JACCARD_THRESHOLD).orderBy(
         "doc_a", "doc_b"
@@ -545,12 +632,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram jaccard dedup over the inverted shingle index (no
-    LSH pruning) — the recall baseline the LSH variant is judged
-    against (see tests/test_dedup.py)."""
+    """Exact n-gram jaccard dedup over the DF-CAPPED inverted shingle
+    index: candidate pairs share ≥1 shingle with document frequency ≤
+    NGRAM_MAX_DF (bounded posting lists — no quadratic bucket), then
+    the exact jaccard is verified against the FULL shingle sets, so
+    surviving pairs carry their true uncapped similarity. The fully
+    uncapped form stays available as :func:`jaccard_pairs` (the recall
+    baseline the LSH variant is judged against in tests/test_dedup.py)."""
     documents = load_table(spark, sf_dir, "documents")
-    sh = shingle_rel(documents)
-    return jaccard_pairs(sh, JACCARD_THRESHOLD).orderBy("doc_a", "doc_b")
+    sets = shingle_sets(documents)
+    cands = ngram_candidate_pairs(shingle_rel(documents))
+    return verify_candidates(sets, cands, JACCARD_THRESHOLD).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,7 +656,8 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: per-doc hashes → banded buckets →
     hamming-verified pairs (the full simhash dedup path)."""
     documents = load_table(spark, sf_dir, "documents")
-    hashes = simhash(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    release_cached_relations()
+    hashes = _retain(simhash(documents))
     return simhash_pairs(hashes).orderBy("doc_a", "doc_b")
 
 
@@ -578,11 +673,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-blocked embedding near-dup — the production plan (bounded
     candidate generation, no unbounded crossJoin). The exact all-pairs
     form stays available as :func:`embedding_cosine_pairs` and its
-    recall is measured against this plan in tests/test_dedup.py."""
+    recall is measured against this plan in tests/test_dedup.py.
+
+    The centroid count comes from parquet FOOTER metadata (the
+    table-stats lookup a catalog provides at warehouse scale), not a
+    ``count()`` action — the whole query runs as one job."""
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs_blocked(embeddings, COSINE_DUP_THRESHOLD).orderBy(
-        "vec_a", "vec_b"
-    )
+    k = embed_block_num_centroids(table_row_count(sf_dir, "embeddings"))
+    return embedding_cosine_pairs_blocked(
+        embeddings, COSINE_DUP_THRESHOLD, num_centroids=k
+    ).orderBy("vec_a", "vec_b")
 
 
 # ---------------------------------------------------------------------------
@@ -681,12 +781,25 @@ ORACLES: dict[str, str] = {
         WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
         ORDER BY 1, 2
     """,
+    # textual mirror of the df-capped candidate index: pairs must share
+    # ≥1 shingle with document frequency ≤ NGRAM_MAX_DF; the jaccard
+    # itself is still computed from the FULL shingle sets.
     "q_dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},
+        capped AS (
+            SELECT doc_id, shingle FROM shingles
+            QUALIFY count(1) OVER (PARTITION BY shingle) <= {NGRAM_MAX_DF}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM capped a JOIN capped b ON a.shingle = b.shingle
+            WHERE a.doc_id < b.doc_id
+        ),
         {_JACCARD_CORE}
-        SELECT i.doc_a, i.doc_b,
+        SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
                CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) AS jaccard
         FROM inter i
+        JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
         WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= {JACCARD_THRESHOLD}

@@ -89,6 +89,31 @@ def nanos_arrival_type(spark: SparkSession) -> T.DataType:
     return _NANOS_ARRIVAL_TYPE
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — a driver-side
+    footer read, no Spark job. This is the table-stats lookup every
+    warehouse catalog provides; operators that size themselves from the
+    corpus cardinality (e.g. the IVF-blocked dedup's centroid count)
+    read it here instead of paying a ``count()`` scan per invocation.
+    Handles both a single parquet file and a directory of part files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
