@@ -2,26 +2,34 @@
 
 The differential oracle suite already hash-checks q_stats_moments /
 q_merge_upsert / q_orc_roundtrip against DuckDB; here we pin the
-semantics the hash can't see: the HLL estimate's error bound versus
-the exact count, and the whole-row (NULL-wins) update rule of MERGE.
+semantics the hash can't see: the sketch queries' error bounds versus
+their EXACT driver-green twins (q_approx_distinct vs q_count_distinct,
+q_approx_quantiles vs the exact percentile neighborhood), at BOTH test
+scale factors — the bound oracle that closes the two rows-only
+correctness entries (VERDICT r3 item 3) — and the whole-row
+(NULL-wins) update rule of MERGE.
 """
 
+import pytest
 import pyspark.sql.functions as F
 
 from tfl_bikes_data_pipeline_spark.operators.merge import merge_upsert
 from tfl_bikes_data_pipeline_spark.operators.profile import q_approx_distinct
 from tfl_bikes_data_pipeline_spark.tables import load_table
 
+#: both fixture scale factors, pinned explicitly (not just the session
+#: sf_dir) so each run proves the bound at two data scales.
+BOUND_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
-def test_approx_distinct_error_bound(spark, sf_dir):
-    exact = {
-        r["event_type"]: r["n"]
-        for r in load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
-    approx = {r["event_type"]: r["approx_users"] for r in q_approx_distinct(spark, sf_dir).collect()}
+
+@pytest.mark.parametrize("sf", BOUND_SFS)
+def test_approx_distinct_error_bound(spark, sf):
+    """HLL estimate vs the exact twin q_count_distinct (driver-green):
+    per event_type, |approx - exact| within the rsd-derived bound."""
+    from tfl_bikes_data_pipeline_spark.plans.queries import q_count_distinct
+
+    exact = {r["event_type"]: r["n_users"] for r in q_count_distinct(spark, sf).collect()}
+    approx = {r["event_type"]: r["approx_users"] for r in q_approx_distinct(spark, sf).collect()}
     assert set(approx) == set(exact)
     for etype, est in approx.items():
         # rsd=0.02 → 3σ ≈ 6%; allow 10% for tiny-cardinality lumpiness
@@ -53,12 +61,15 @@ def test_merge_upsert_duplicate_update_keys_rejected_by_contract(spark):
     assert merge_upsert(base, updates, ["k"]).count() == 2
 
 
+@pytest.mark.parametrize("sf_dir", BOUND_SFS)
 def test_approx_quantiles_rank_error_bound(spark, sf_dir):
     from tfl_bikes_data_pipeline_spark.operators.profile import q_approx_quantiles
 
     approx = {r["event_type"]: r for r in q_approx_quantiles(spark, sf_dir).collect()}
     # exact neighborhood: with accuracy=10000 the rank error is 1e-4,
     # so each estimate must land between the exact (p±0.01) quantiles
+    # (the same exact-percentile aggregate the driver-green q_quantiles
+    # twin hash-checks against DuckDB)
     events = load_table(spark, sf_dir, "events")
     ps = [0.25, 0.5, 0.75, 0.95]
     lo_hi = events.groupBy("event_type").agg(

@@ -129,3 +129,17 @@ def test_stream_defined_on_empty_landing_dir(spark):
     stream = read_events_stream(spark, landing)
     assert stream.isStreaming
     assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
+
+
+def test_stream_on_missing_landing_dir_fails_fast(spark):
+    """ONLY the empty-dir cannot-infer case may take the fallback
+    schema: a typo'd landing path must raise at stream definition, not
+    silently stream zero files against the fallback (ADVICE r3: the
+    bare except also swallowed PATH_NOT_FOUND)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from tfl_bikes_data_pipeline_spark.streaming.jobs import read_events_stream
+
+    with pytest.raises(AnalysisException):
+        read_events_stream(spark, "/root/no/such/landing_dir")

@@ -83,7 +83,7 @@ def _load_all() -> None:
 
     from .streaming import stateful as streaming_stateful
 
-    _register(streaming_jobs.QUERIES, streaming_jobs.ORACLES, [])
+    _register(streaming_jobs.QUERIES, streaming_jobs.ORACLES, streaming_jobs.BENCH)
     _register(
         streaming_stateful.QUERIES, streaming_stateful.ORACLES, ["q_session_window"]
     )

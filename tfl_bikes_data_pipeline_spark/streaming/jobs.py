@@ -76,7 +76,16 @@ def read_events_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     ensure_runtime_confs(spark)
     try:
         schema = spark.read.parquet(landing_dir).schema
-    except AnalysisException:  # no files yet — cannot infer
+    except AnalysisException as e:
+        # ONLY the genuine no-files-yet case may fall back — a typo'd
+        # landing path (PATH_NOT_FOUND), corrupt footer, or permission
+        # error must fail fast at stream definition, not silently get
+        # the fallback schema.
+        get_class = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", lambda: None
+        )
+        if (get_class() or "") != "UNABLE_TO_INFER_SCHEMA":
+            raise
         schema = _fallback_stream_schema(spark)
     raw = (
         spark.readStream.schema(schema)
@@ -354,3 +363,10 @@ ORACLES["q_stream_static_join"] = """
 """
 
 QUERIES["q_stream_static_join"] = q_stream_static_join
+
+#: benched streaming drains (VERDICT r3 item 6): full micro-batch
+#: execution — landing-dir staging, AvailableNow trigger, state store,
+#: memory-sink drain — so trigger-latency regressions land in
+#: BENCH_r{N}.json. q_session_window (streaming.stateful) is benched
+#: from its own module.
+BENCH = ["q_stream_tumbling", "q_stream_sliding", "q_stream_join"]

@@ -59,34 +59,40 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
-_NANOS_ARRIVAL_TYPE: T.DataType | None = None
+#: probe results keyed on the conf that decides the arrival type — a
+#: later SparkSession in the same process with a different nanosAsLong
+#: setting gets its own probe, never a stale cache hit.
+_NANOS_ARRIVAL_TYPE: dict[str, T.DataType] = {}
 
 
 def nanos_arrival_type(spark: SparkSession) -> T.DataType:
     """How THIS Spark build decodes a parquet TIMESTAMP(NANOS) column
     (LongType under an honored ``nanosAsLong``, TimestampNTZType where
     the conf is ignored — observed on 4.1.x). Determined empirically
-    once per process: a 1-row nanos parquet is written with pyarrow and
-    read back, so callers that must DECLARE a schema before any real
-    file exists (the streaming fallback) declare what this build will
-    actually deliver instead of guessing."""
-    global _NANOS_ARRIVAL_TYPE
-    if _NANOS_ARRIVAL_TYPE is None:
-        import os
-        import tempfile
+    once per (process, nanosAsLong-conf): a 1-row nanos parquet is
+    written with pyarrow and read back, so callers that must DECLARE a
+    schema before any real file exists (the streaming fallback) declare
+    what this build will actually deliver instead of guessing."""
+    import shutil
+    import tempfile
 
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-        ensure_runtime_confs(spark)
+    ensure_runtime_confs(spark)
+    key = str(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"))
+    if key not in _NANOS_ARRIVAL_TYPE:
         d = tempfile.mkdtemp(prefix="nanos_probe_")
-        pq.write_table(
-            pa.table({"ts": pa.array([0], type=pa.timestamp("ns"))}),
-            os.path.join(d, "probe.parquet"),
-            version="2.6",  # preserve nanos in the physical type
-        )
-        _NANOS_ARRIVAL_TYPE = spark.read.parquet(d).schema["ts"].dataType
-    return _NANOS_ARRIVAL_TYPE
+        try:
+            pq.write_table(
+                pa.table({"ts": pa.array([0], type=pa.timestamp("ns"))}),
+                os.path.join(d, "probe.parquet"),
+                version="2.6",  # preserve nanos in the physical type
+            )
+            _NANOS_ARRIVAL_TYPE[key] = spark.read.parquet(d).schema["ts"].dataType
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return _NANOS_ARRIVAL_TYPE[key]
 
 
 def table_row_count(sf_dir: str, name: str) -> int:

@@ -72,17 +72,22 @@ def _swap_staged_partitions(
     FileSystem API — metadata moves on HDFS/local, the same code path a
     cluster deployment uses).
 
-    Crash safety: each partition swap is (1) rename live dir to a
-    dot-prefixed trash name, (2) rename staged dir into place, (3)
-    delete trash. Renames are CHECKED (Hadoop FS returns false on
-    failure); a failed promote restores the trash copy before raising,
-    so no partition is ever silently dropped. A hard crash between (1)
-    and (2) leaves that one partition's data in the dot-prefixed trash
-    dir (recoverable by hand; invisible to Spark's parquet reader, as
-    is the staging dir), so the table stays READABLE — minus at most
-    the one in-flight partition — at every instant. Contrast in-place
-    dynamic overwrite, whose mid-commit failure can delete partitions
-    it has not yet rewritten."""
+    Crash safety — TWO-PHASE sequence: (A) move EVERY conflicting live
+    partition aside to a dot-prefixed trash name, (B) promote EVERY
+    staged partition into place, (C) delete trash + staging. Renames
+    are CHECKED (Hadoop FS returns false on failure, it does not
+    raise). A phase-A failure rolls the already-moved-aside partitions
+    back and raises with the table EXACTLY as before the call. A
+    phase-B failure cannot be fully rolled back (some promotions are
+    live) — the raised error NAMES the already-promoted partitions and
+    the trash locations holding the displaced old data, so the mixed
+    state is explicit and hand-recoverable instead of silent. The
+    mixed-state window is phase B alone — pure renames, no data writes
+    — versus the whole write in the per-partition interleaved scheme.
+    Trash and staging dirs are dot-prefixed, so the table stays
+    READABLE by Spark's parquet reader at every instant. Contrast
+    in-place dynamic overwrite, whose mid-commit failure can delete
+    partitions it has not yet rewritten."""
     import uuid
 
     jvm = spark._jvm
@@ -102,28 +107,54 @@ def _swap_staged_partitions(
         leaves = nxt
 
     staging_uri = staging_root.toUri().getPath()
+    plan = []  # (staged leaf, live dst, trash-or-None)
     for leaf in leaves:
         rel = leaf.toUri().getPath()[len(staging_uri) :].lstrip("/")
         dst = JPath(live_root, rel)
-        trash = JPath(
-            dst.getParent(), f".{dst.getName()}.old-{uuid.uuid4().hex[:8]}"
-        )
         fs.mkdirs(dst.getParent())
-        had_old = fs.exists(dst)
-        # Hadoop FileSystem signals failure by RETURNING FALSE, not by
-        # raising — every rename must be checked, and the trash copy is
-        # deleted only after the staged dir is confirmed in place
-        # (otherwise a failed swap would silently drop the partition).
-        if had_old and not fs.rename(dst, trash):
-            raise IOError(f"failed to move live partition {dst} aside")
-        if not fs.rename(leaf, dst):
-            if had_old and not fs.rename(trash, dst):
-                raise IOError(
-                    f"failed to promote {leaf} AND failed to restore {trash}; "
-                    f"old data preserved at {trash}"
+        trash = (
+            JPath(dst.getParent(), f".{dst.getName()}.old-{uuid.uuid4().hex[:8]}")
+            if fs.exists(dst)
+            else None
+        )
+        plan.append((leaf, dst, trash))
+
+    # phase A: move all conflicting live partitions aside (rollbackable)
+    moved: list[tuple] = []  # (dst, trash) successfully set aside
+    for _, dst, trash in plan:
+        if trash is None:
+            continue
+        if not fs.rename(dst, trash):
+            restore_failures = [
+                str(t) for d, t in moved if not fs.rename(t, d)
+            ]
+            msg = f"failed to move live partition {dst} aside; table unchanged"
+            if restore_failures:
+                msg = (
+                    f"failed to move live partition {dst} aside AND failed to "
+                    f"restore set-aside partitions {restore_failures} — old "
+                    "data preserved at those trash paths"
                 )
-            raise IOError(f"failed to promote staged partition {leaf} to {dst}")
-        if had_old:
+            raise IOError(msg)
+        moved.append((dst, trash))
+
+    # phase B: promote all staged partitions (pure renames)
+    promoted: list[str] = []
+    for leaf, dst, trash in plan:
+        if not fs.rename(leaf, dst):
+            restored = trash is not None and fs.rename(trash, dst)
+            raise IOError(
+                f"failed to promote staged partition {leaf} to {dst} "
+                f"({'old data restored for it' if restored else 'no old data to restore' if trash is None else f'restore from {trash} ALSO failed'}); "
+                f"already promoted this call: {promoted or 'none'}; "
+                "displaced old data for promoted partitions remains in "
+                "dot-prefixed .*.old-* trash dirs next to each partition"
+            )
+        promoted.append(str(dst))
+
+    # phase C: drop trash + staging
+    for _, _, trash in plan:
+        if trash is not None:
             fs.delete(trash, True)
     fs.delete(staging_root, True)
 
