@@ -1,0 +1,64 @@
+"""Registry ↔ driver-artifact contract.
+
+The driver's correctness harness pins a 50-query subset of the declared
+registry (recorded per-round in CORRECTNESS_r{N}.json); the remaining
+queries are verified only by the repo's own identical DuckDB gate. The
+split is documented in registry.DRIVER_PINNED + COVERAGE.md so a
+local-only query breaking is noticed even without a driver signal.
+These tests keep the documented split honest against the latest
+artifact actually present in the repo.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+from tfl_bikes_data_pipeline_spark import registry
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _latest_correctness() -> dict | None:
+    arts = sorted(
+        REPO.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    if not arts:
+        return None
+    return json.loads(arts[-1].read_text())
+
+
+def test_driver_pinned_names_are_declared_queries():
+    unknown = registry.DRIVER_PINNED - set(registry.QUERIES)
+    assert not unknown, f"DRIVER_PINNED names missing from registry: {sorted(unknown)}"
+
+
+def test_driver_pinned_all_have_value_oracles():
+    # every driver-pinned query must carry a full hash oracle — the
+    # driver's strongest check; rows-only entries may not be pinned.
+    missing = registry.DRIVER_PINNED - set(registry.ORACLES)
+    assert not missing, f"driver-pinned queries without oracles: {sorted(missing)}"
+
+
+def test_driver_pinned_matches_latest_artifact():
+    art = _latest_correctness()
+    if art is None:
+        return  # fresh clone without artifacts — nothing to cross-check
+    pinned, observed = registry.DRIVER_PINNED, set(art)
+    assert pinned == observed, (
+        "driver-pinned set drifted from the latest CORRECTNESS artifact; "
+        f"update registry.DRIVER_PINNED and COVERAGE.md. "
+        f"missing={sorted(observed - pinned)} stale={sorted(pinned - observed)}"
+    )
+
+
+def test_local_only_queries_are_covered_by_local_gate():
+    # every non-pinned declared query needs either a value oracle (the
+    # local differential gate runs it) or a documented rows-only waiver.
+    ROWS_ONLY = {"q_approx_distinct", "q_approx_quantiles"}  # sketch-valued;
+    # error-bounded against exact twins in test_profile_stats.py
+    local_only = set(registry.QUERIES) - registry.DRIVER_PINNED
+    unguarded = local_only - set(registry.ORACLES) - ROWS_ONLY
+    assert not unguarded, f"queries with no oracle and no waiver: {sorted(unguarded)}"
