@@ -158,3 +158,40 @@ def test_planted_near_dups_in_fixture_found(spark, sf_dir):
     pairs = jaccard_pairs(sh, 0.5).collect()
     assert len(pairs) > 0
     assert max(r.jaccard for r in pairs) > 0.8
+
+
+def test_two_level_assign_recall_vs_flat(spark):
+    """The hierarchical coarse→fine assignment (the O(n·√k) scale path
+    for the flat scorer's O(n·k) term) must reproduce the flat-assign
+    pair set with high recall and never invent pairs outside the exact
+    all-pairs universe. Measured 1.0 on sf0.01 at default knobs; floor
+    pinned with slack for fixture regeneration."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        embed_block_num_centroids,
+        embedding_cosine_pairs_blocked,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table, table_row_count
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    k = embed_block_num_centroids(table_row_count(sf, "embeddings"))
+    flat = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs_blocked(
+            emb, COSINE_DUP_THRESHOLD, num_centroids=k
+        ).collect()
+    }
+    two = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs_blocked(
+            emb, COSINE_DUP_THRESHOLD, num_centroids=k, assign_mode="two_level"
+        ).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs(emb, COSINE_DUP_THRESHOLD).collect()
+    }
+    assert two <= exact, "two-level blocking must never invent pairs"
+    assert flat, "fixture should contain planted embedding near-dups"
+    recall = len(two & flat) / len(flat)
+    assert recall >= 0.9, f"two-level recall vs flat {recall:.2f} below 0.9 floor"

@@ -172,6 +172,23 @@ def test_scd2_single_exchange(spark, sf_dir):
     assert n_exchange == 1, f"SCD2 build shuffles {n_exchange}× (want 1)"
 
 
+def test_funnel_single_scan_single_exchange(spark, sf_dir):
+    """The staged conversion funnel chains its three conditional-min
+    windows over the SAME user_id partitioning: events must be scanned
+    once and hash-shuffled once (the naive staged-join plan reads the
+    fact 3× and shuffles per stage)."""
+    import re
+
+    df = queries.q_funnel(spark, sf_dir)
+    # simple-mode plan string: one line per operator (formatted mode
+    # repeats each operator in the details section).
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = len(re.findall(r"FileScan parquet", plan))
+    n_hash_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_scans == 1, f"funnel scans events {n_scans}× (want 1)"
+    assert n_hash_exchange == 1, f"funnel hash-shuffles {n_hash_exchange}× (want 1)"
+
+
 def test_merge_upsert_single_shuffle_per_side(spark, sf_dir):
     """MERGE is one full-outer key join: at most one hash Exchange per
     input side, nothing downstream of the join."""

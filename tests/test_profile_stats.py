@@ -82,3 +82,36 @@ def test_approx_quantiles_rank_error_bound(spark, sf_dir):
         for i, col in enumerate(["p25", "p50", "p75", "p95"]):
             lo, hi = bounds[etype]["lo"][i], bounds[etype]["hi"][i]
             assert lo <= row[col] <= hi, (etype, col, row[col], lo, hi)
+
+
+@pytest.mark.parametrize("sf", BOUND_SFS)
+def test_cms_overestimates_only_and_is_tight(spark, sf):
+    """Count-min error is one-sided (collisions only ADD counts), so
+    every estimate must be >= its exact count; with d=4 rows the min
+    over rows should keep the overestimate small relative to the
+    stream size at both fixture scales."""
+    from tfl_bikes_data_pipeline_spark.operators.profile import q_cms_counts
+
+    rows = q_cms_counts(spark, sf).collect()
+    assert rows, "CMS query returned no heavy hitters"
+    stream_n = load_table(spark, sf, "events").count()
+    for r in rows:
+        assert r["cms_n"] >= r["exact_n"], r
+        assert r["overestimate"] == r["cms_n"] - r["exact_n"]
+        # classic CMS bound: overestimate <= e/W * N with prob 1-e^-d;
+        # be generous (4x) to keep the test robust to fixture drift.
+        assert r["overestimate"] <= 4 * 2.72 * stream_n / 64, r
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    """Longer documents must survive length-weighted sampling at a
+    higher rate than shorter ones (the importance-sampling contract)."""
+    from tfl_bikes_data_pipeline_spark.operators.training import weighted_hash_sample
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    kept = weighted_hash_sample(docs, "doc_id", "n_chars")
+    med = docs.approxQuantile("n_chars", [0.5], 0.0)[0]
+    n_long, n_short = docs.where(F.col("n_chars") > med).count(), docs.where(F.col("n_chars") <= med).count()
+    k_long = kept.where(F.col("n_chars") > med).count()
+    k_short = kept.where(F.col("n_chars") <= med).count()
+    assert k_long / n_long > k_short / max(n_short, 1)

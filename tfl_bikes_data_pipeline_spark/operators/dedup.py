@@ -409,11 +409,118 @@ def embed_block_num_centroids(n_rows: int) -> int:
     return max(EMBED_BLOCK_MIN_CENTROIDS, n_rows // EMBED_BLOCK_DOCS_PER_CENTROID)
 
 
+#: coarse probes for the two-level assignment variant — how many coarse
+#: cells each vector expands before fine scoring (the recall knob of
+#: the hierarchical path, analogous to nassign for the flat path).
+EMBED_COARSE_PROBES = 3
+
+
+def _flat_multi_assign(e: DataFrame, centroids: DataFrame, nassign: int) -> DataFrame:
+    """(vec_id, centroid_id) — top-``nassign`` centroids per vector by
+    scoring ALL k centroids: O(n·k) centroid scores. Exact, and the
+    declared query's (oracle-mirrored) form; at k = n/50 this term is
+    O(n²/50) — fine through ~10⁶ vectors, the two-level variant below
+    takes over beyond that."""
+    from ..functions.vectors import dot_expr
+
+    scored = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(
+            F.expr(dot_expr("qv", "cv")) / (F.col("nq") * F.col("nv")), 6
+        ).alias("c_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nassign)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def _two_level_multi_assign(
+    e: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nassign: int,
+    coarse_probes: int = EMBED_COARSE_PROBES,
+) -> DataFrame:
+    """(vec_id, centroid_id) — hierarchical coarse→fine assignment:
+    the 100 TB replacement for the flat scorer's O(n·k) term.
+
+    k_c = ⌈√k⌉ coarse centroids (the lowest-id fine seeds). Three
+    bounded stages: (1) each FINE centroid maps to its nearest coarse
+    cell — k·k_c scores on a broadcast relation, independent of n;
+    (2) each vector scores only the k_c coarse centroids and keeps its
+    top ``coarse_probes`` cells — O(n·√k); (3) each vector scores only
+    the fine centroids inside its probed cells — expected
+    O(n·coarse_probes·√k). Total O(n·√k) vs flat's O(n·k), with
+    recall vs the flat assignment pinned in tests/test_dedup.py.
+    Every joined relation on the centroid side is broadcast (k rows at
+    most) — the corpus never shuffles during assignment."""
+    from ..functions.vectors import dot_expr
+
+    k_c = max(2, int(k ** 0.5 + 0.9999))
+    coarse = centroids.where(F.col("centroid_id") < k_c).select(
+        F.col("centroid_id").alias("coarse_id"),
+        F.col("qv").alias("gv"),
+        F.col("nq").alias("ng"),
+    )
+    # (1) fine → coarse map: tiny cross score, argmax per fine centroid
+    fine_scored = centroids.crossJoin(F.broadcast(coarse)).select(
+        "centroid_id",
+        "coarse_id",
+        F.round(
+            F.expr(dot_expr("gv", "qv")) / (F.col("ng") * F.col("nq")), 6
+        ).alias("f_sim"),
+    )
+    wf = Window.partitionBy("centroid_id").orderBy(F.desc("f_sim"), F.asc("coarse_id"))
+    fine_map = (
+        fine_scored.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") == 1)
+        .select("centroid_id", "coarse_id")
+    )
+    # (2) vector → probed coarse cells
+    vprobe_scored = e.crossJoin(F.broadcast(coarse)).select(
+        "vec_id",
+        "coarse_id",
+        F.round(
+            F.expr(dot_expr("gv", "cv")) / (F.col("ng") * F.col("nv")), 6
+        ).alias("g_sim"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("g_sim"), F.asc("coarse_id"))
+    vprobe = (
+        vprobe_scored.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") <= coarse_probes)
+        .select("vec_id", "coarse_id")
+    )
+    # (3) fine scoring confined to probed cells
+    cand = vprobe.join(F.broadcast(fine_map), "coarse_id").select("vec_id", "centroid_id")
+    cand_scored = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(centroids), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(
+                F.expr(dot_expr("qv", "cv")) / (F.col("nq") * F.col("nv")), 6
+            ).alias("c_sim"),
+        )
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    return (
+        cand_scored.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= nassign)
+        .select("vec_id", "centroid_id")
+    )
+
+
 def embedding_cosine_pairs_blocked(
     embeddings: DataFrame,
     threshold: float,
     num_centroids: int | None = None,
     nassign: int = EMBED_BLOCK_NASSIGN,
+    assign_mode: str = "flat",
 ) -> DataFrame:
     """(vec_a, vec_b, cos_sim) — embedding near-dup with IVF blocking:
     every vector is multi-assigned to its ``nassign`` nearest seed
@@ -453,19 +560,12 @@ def embedding_cosine_pairs_blocked(
     )
     # same IEEE sequence as functions.vectors.cosine_expr: the
     # precomputed norm IS sqrt(dot(v, v)), so dot/(nq*nv) is bit-equal.
-    scored = e.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "centroid_id",
-        F.round(
-            F.expr(dot_expr("qv", "cv")) / (F.col("nq") * F.col("nv")), 6
-        ).alias("c_sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= nassign)
-        .select("vec_id", "centroid_id")
-    )
+    if assign_mode == "flat":
+        assign = _flat_multi_assign(e, centroids, nassign)
+    elif assign_mode == "two_level":
+        assign = _two_level_multi_assign(e, centroids, num_centroids, nassign)
+    else:
+        raise ValueError(f"unknown assign_mode {assign_mode!r}")
     # attach vectors to the assignments ONCE and score inside the
     # bucket self-join, projecting the arrays away immediately — the
     # only array-bearing shuffle is the |corpus|·nassign bucket

@@ -222,3 +222,118 @@ ORACLES: dict[str, str] = {
         FROM s ORDER BY event_type
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch, expressed relationally
+# ---------------------------------------------------------------------------
+
+CMS_D = 4    # hash rows
+CMS_W = 64   # buckets per row
+CMS_TOP_K = 10
+
+
+def _cms_bucket(j_col, key_col):
+    """Bucket of `key` under hash row `j`: 16-bit integer from the md5
+    of "j:key", mod CMS_W. Pure md5 + integer math — engine-identical."""
+    h = F.md5(F.concat(j_col.cast("string"), F.lit(":"), key_col.cast("string")))
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % CMS_W).alias("bucket")
+
+
+def cms_sketch(df: DataFrame, key: str) -> DataFrame:
+    """(j, bucket, cnt) — a count-min sketch built as a RELATION: each
+    row votes into CMS_D (row, bucket) cells, and the sketch is the
+    grouped count. The scale property is the whole point: the groupBy
+    keys on at most CMS_D × CMS_W = 256 distinct values, so map-side
+    partial aggregation reduces every partition to ≤256 rows before the
+    shuffle — a 100 TB stream becomes a 256-row exchange. The sketch is
+    mergeable by construction (counts add), i.e. the same relation
+    works as an incremental accumulator."""
+    rows = df.select(
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j"),
+        F.col(key).alias("k"),
+    )
+    return rows.groupBy("j", _cms_bucket(F.col("j"), F.col("k"))).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str) -> DataFrame:
+    """(key, cms_n) — point estimates: min over the CMS_D cells each
+    key hashes into. The sketch side is ≤256 rows → broadcast; the
+    probe is a narrow explode + broadcast join + per-key min."""
+    probes = keys.select(
+        F.col(key),
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j"),
+    ).select(F.col(key), "j", _cms_bucket(F.col("j"), F.col(key)))
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(key)
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch vs ground truth for the CMS_TOP_K heaviest
+    users: (user_id, exact_n, cms_n, overestimate). CMS error is
+    one-sided (cms_n >= exact_n always — collisions only add), which
+    the column layout makes visible; the differential oracle mirrors
+    the identical md5 hashing so the comparison is value-exact."""
+    events = load_table(spark, sf_dir, "events")
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(CMS_TOP_K)
+    )
+    est = cms_estimate(cms_sketch(events, "user_id"), exact, "user_id")
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+    )
+
+
+def _hex4_duck(expr: str) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(instr('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ")"
+    )
+
+
+_CMS_BUCKET_DUCK = _hex4_duck("j::VARCHAR || ':' || user_id::VARCHAR") + f" % {CMS_W}"
+
+ORACLES["q_cms_counts"] = f"""
+    WITH hrows AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS j),
+    cells AS (
+        SELECT j, {_CMS_BUCKET_DUCK} AS bucket, count(1)::BIGINT AS cnt
+        FROM events, hrows GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT user_id, count(1)::BIGINT AS exact_n
+        FROM events GROUP BY user_id
+        ORDER BY exact_n DESC, user_id LIMIT {CMS_TOP_K}
+    ),
+    est AS (
+        SELECT e.user_id, min(c.cnt)::BIGINT AS cms_n
+        FROM exact e, hrows h, cells c
+        WHERE c.j = h.j
+          AND c.bucket = {_hex4_duck("h.j::VARCHAR || ':' || e.user_id::VARCHAR")} % {CMS_W}
+        GROUP BY e.user_id
+    )
+    SELECT x.user_id, x.exact_n, est.cms_n,
+           (est.cms_n - x.exact_n)::BIGINT AS overestimate
+    FROM exact x JOIN est ON x.user_id = est.user_id
+    ORDER BY x.exact_n DESC, x.user_id
+"""
+
+QUERIES["q_cms_counts"] = q_cms_counts

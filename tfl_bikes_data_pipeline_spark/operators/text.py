@@ -687,3 +687,75 @@ ORACLES["q_corpus_report"] = f"""
 """
 
 QUERIES["q_corpus_report"] = q_corpus_report
+
+
+# ---------------------------------------------------------------------------
+# boilerplate n-gram detection
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_TOP_N = 20
+
+
+def boilerplate_shingles(documents: DataFrame, top_n: int = BOILERPLATE_TOP_N) -> DataFrame:
+    """(shingle, df, df_share) — the ``top_n`` word 3-grams by document
+    frequency: the corpus's boilerplate (navigation chrome, license
+    headers, templated phrases). This is the *diagnostic twin* of the
+    dedup path's inverted-index df cap (operators.dedup.NGRAM_MAX_DF):
+    the shingles this query surfaces are exactly the ones candidate
+    generation prunes, so a curation run uses it to audit what the cap
+    drops and to build boilerplate-strip rules.
+
+    Scale shape: per-doc distinct shingle ARRAYS built narrowly
+    (shingle_sets — array_distinct inside the row, zero shuffle, so the
+    per-doc dedup costs no Exchange, unlike the row-level
+    shingle_rel.distinct()) → explode → groupBy(shingle) count (the
+    ONLY shuffle, with map-side partial aggregation — high-df shingles
+    are exactly the ones partial agg compresses best) → global top-n
+    (TakeOrderedAndProject). The 1-row total-docs count rides in via a
+    broadcast cross join, never a driver round-trip.
+    """
+    from .dedup import shingle_sets
+
+    n_docs = documents.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    return (
+        shingle_sets(documents)
+        .select(F.explode("sset").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "shingle",
+            "df",
+            (F.col("df").cast("double") / F.col("n_docs")).alias("df_share"),
+        )
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(top_n)
+    )
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_shingles(load_table(spark, sf_dir, "documents"))
+
+
+ORACLES["q_text_boilerplate"] = f"""
+    WITH words AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+              FROM words)
+    )
+    SELECT shingle, count(1)::BIGINT AS df,
+           CAST(count(1) AS DOUBLE) / (SELECT CAST(count(1) AS DOUBLE) FROM documents)
+               AS df_share
+    FROM shingles GROUP BY shingle
+    ORDER BY df DESC, shingle LIMIT {BOILERPLATE_TOP_N}
+"""
+
+QUERIES["q_text_boilerplate"] = q_text_boilerplate
+BENCH.append("q_text_boilerplate")

@@ -338,3 +338,86 @@ QUERIES = {
 }
 
 BENCH = ["q_split_assign", "q_pack_sequences", "q_decontaminate"]
+
+
+# ---------------------------------------------------------------------------
+# weight-proportional deterministic sampling
+# ---------------------------------------------------------------------------
+
+#: target base rate for weighted sampling, as an exact fraction so the
+#: keep decision is INTEGER math end-to-end (bit-identical on any
+#: engine): keep iff RATE_DEN * u * max_w < 2^16 * RATE_NUM * w.
+WEIGHTED_RATE_NUM = 1
+WEIGHTED_RATE_DEN = 2
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    rate_num: int = WEIGHTED_RATE_NUM,
+    rate_den: int = WEIGHTED_RATE_DEN,
+) -> DataFrame:
+    """Deterministic weight-proportional sampling: row kept with
+    probability ``(rate_num/rate_den) * w / max(w)`` — importance
+    sampling by a per-row weight (doc length, quality score), the
+    upsample-the-good-stuff primitive of mixture building. The
+    uniform draw is the row's content hash (first 4 md5 hex chars →
+    16-bit integer), so the subset is identical on any engine, any
+    partitioning, any run — same property as hash_sample/split_assign.
+
+    The keep predicate is pure integer arithmetic (no float rate, no
+    division): ``rate_den * u * max_w < 65536 * rate_num * w``. The
+    global max weight rides in via a broadcast 1-row aggregate — a
+    narrow scan + broadcast join at 100 TB, never a driver action.
+    """
+    u = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    max_w = df.select(F.max(weight_col).cast("long").alias("max_w"))
+    return (
+        df.crossJoin(F.broadcast(max_w))
+        .where(
+            F.lit(rate_den) * u * F.col("max_w")
+            < F.lit(65536 * rate_num) * F.col(weight_col).cast("long")
+        )
+        .drop("max_w")
+    )
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source yield of length-weighted document sampling: longer
+    docs kept proportionally more often at a 1/2 base rate."""
+    documents = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_hash_sample(documents, "doc_id", "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_HEX4_DUCK = (
+    "("
+    + " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    + ")"
+)
+
+ORACLES["q_sample_weighted"] = f"""
+    WITH mw AS (SELECT max(n_chars)::BIGINT AS max_w FROM documents)
+    SELECT source, count(1)::BIGINT AS n_kept,
+           sum(n_chars)::BIGINT AS chars_kept
+    FROM documents, mw
+    WHERE {WEIGHTED_RATE_DEN} * {_HEX4_DUCK} * max_w
+          < {65536 * WEIGHTED_RATE_NUM} * n_chars
+    GROUP BY source ORDER BY source
+"""
+
+QUERIES["q_sample_weighted"] = q_sample_weighted
+BENCH.append("q_sample_weighted")

@@ -839,32 +839,49 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST qualifying event at or after the prior stage — the standard
     strictly-sequenced funnel, all joins + min aggregates, no state."""
     events = load_table(spark, sf_dir, "events")
-    s1 = (
-        events.where(F.col("event_type") == "click")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    # single-scan / single-shuffle formulation: three chained UNBOUNDED
+    # window aggregates over the SAME partitioning (user_id) — Catalyst
+    # stacks the Window operators on one Exchange, so the events table
+    # is read once and shuffled once (vs the naive 3-scan staged-join
+    # plan, 3 shuffles). t2/t3 may reference the prior stage's window
+    # column directly: the conditional min evaluates per row against
+    # the user-constant t1/t2. Null stage times propagate exactly as
+    # the join formulation's missing rows did (ts >= NULL is NULL →
+    # excluded from the conditional min).
+    w = Window.partitionBy("user_id")
+    staged = (
+        events.select("user_id", "ts", "event_type")
+        .withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("ts") >= F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    s2 = (
-        events.where(F.col("event_type") == "purchase")
-        .join(s1, "user_id")
-        .where(F.col("ts") >= F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
     )
-    s3 = (
-        events.where(F.col("event_type") == "view")
-        .join(s2, "user_id")
-        .where(F.col("ts") >= F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    counts = per_user.agg(
+        F.count("t1").alias("c1"), F.count("t2").alias("c2"), F.count("t3").alias("c3")
     )
     return spark.createDataFrame(
         [("1_click", 0), ("2_purchase", 1), ("3_view", 2)], "stage STRING, ord INT"
-    ).join(
-        s1.agg(F.count(F.lit(1)).alias("c1"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).alias("c2")))
-        .crossJoin(s3.agg(F.count(F.lit(1)).alias("c3")))
-    ).select(
+    ).join(counts).select(
         "stage",
         F.when(F.col("ord") == 0, F.col("c1"))
         .when(F.col("ord") == 1, F.col("c2"))
