@@ -195,3 +195,35 @@ def test_two_level_assign_recall_vs_flat(spark):
     assert flat, "fixture should contain planted embedding near-dups"
     recall = len(two & flat) / len(flat)
     assert recall >= 0.9, f"two-level recall vs flat {recall:.2f} below 0.9 floor"
+
+
+def test_pruned_ngram_jaccard_is_lossless(spark, sf_dir):
+    """The upper-bound prune (ngram_jaccard_pairs_pruned) must produce
+    EXACTLY the unpruned capped pipeline's result — the bound only
+    skips pairs that cannot reach the threshold, never a qualifying
+    pair, and surviving pairs carry the identical exact jaccard."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        ngram_candidate_pairs,
+        ngram_jaccard_pairs_pruned,
+        shingle_sets,
+        verify_candidates,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = shingle_sets(docs, with_digests=False)
+    postings = sets.select("doc_id", F.explode("sset").alias("shingle"))
+    unpruned = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in verify_candidates(
+            sets, ngram_candidate_pairs(postings), JACCARD_THRESHOLD
+        ).collect()
+    }
+    pruned = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs_pruned(sets, JACCARD_THRESHOLD).collect()
+    }
+    assert pruned.keys() == unpruned.keys()
+    for k, j in pruned.items():
+        assert abs(j - unpruned[k]) < 1e-12

@@ -254,10 +254,21 @@ def test_ngram_dedup_caps_posting_lists(spark, sf_dir):
     from tfl_bikes_data_pipeline_spark.operators.dedup import NGRAM_MAX_DF
 
     plan = plan_of(registry.QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir))
+    # the df-cap filter (2 <= df <= NGRAM_MAX_DF) must gate the posting
+    # stream BEFORE the pair self-join: bounded posting lists are what
+    # keep candidate generation linear.
     assert re.search(rf"df#\d+L? <= {NGRAM_MAX_DF}\b", plan), (
         "no document-frequency cap filter in the candidate index"
     )
+    assert re.search(r"df#\d+L? >= 2\b", plan), (
+        "df=1 postings must be dropped before the pair self-join"
+    )
     assert "CartesianProduct" not in plan
+    # the upper-bound prune must run on integer pair counts before any
+    # array-bearing join: the plan contains the least(ha, hb) bound.
+    assert re.search(r"least\(ha#\d+L?, hb#\d+L?\)", plan), (
+        "jaccard upper-bound prune missing from the pair pipeline"
+    )
 
 
 def test_embedding_dedup_plan_builds_without_jobs(spark, sf_dir):

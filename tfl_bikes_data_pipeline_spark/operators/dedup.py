@@ -104,14 +104,20 @@ def shingle_rel(documents: DataFrame, n: int = DEFAULT_SHINGLE) -> DataFrame:
     return words.select("doc_id", F.explode(F.expr(shingles)).alias("shingle")).distinct()
 
 
-def shingle_sets(documents: DataFrame, n: int = DEFAULT_SHINGLE) -> DataFrame:
-    """(doc_id, sset, digests, n_shingles) — the per-document distinct
+def shingle_sets(
+    documents: DataFrame, n: int = DEFAULT_SHINGLE, with_digests: bool = True
+) -> DataFrame:
+    """(doc_id, sset[, digests], n_shingles) — the per-document distinct
     shingle set, its md5 digests, and its cardinality, computed entirely
     with array expressions: tokenize → shingle transform →
     array_distinct → per-element md5. A completely NARROW plan — zero
     shuffles, no explode — which is what makes the LSH pipeline cheap:
     the only shuffles left are the band bucket-join and the verify
-    joins. At 100 TB this scales as a pure map over the corpus."""
+    joins. At 100 TB this scales as a pure map over the corpus.
+
+    ``with_digests=False`` skips the per-shingle md5 column — the
+    digests feed only minhash signatures, so consumers that just need
+    sets/counts (the n-gram jaccard path) save one hash per shingle."""
     words = documents.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
     )
@@ -121,14 +127,12 @@ def shingle_sets(documents: DataFrame, n: int = DEFAULT_SHINGLE) -> DataFrame:
         f"i -> concat_ws(' ', slice(w, i + 1, {n})))) "
         f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
+    cols = ["sset"]
+    if with_digests:
+        cols.append(F.expr("transform(sset, s -> md5(s))").alias("digests"))
     return words.select(
         "doc_id", F.expr(shingles).alias("sset")
-    ).select(
-        "doc_id",
-        "sset",
-        F.expr("transform(sset, s -> md5(s))").alias("digests"),
-        F.size("sset").alias("n_shingles"),
-    )
+    ).select("doc_id", *cols, F.size("sset").alias("n_shingles"))
 
 
 def minhash_signatures(sets: DataFrame, num_hashes: int = NUM_MINHASH) -> DataFrame:
@@ -209,36 +213,120 @@ def jaccard_pairs(shingles: DataFrame, min_jaccard: float) -> DataFrame:
     )
 
 
-def df_capped_shingles(shingles: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFrame:
-    """Drop shingles whose document frequency exceeds ``max_df`` —
-    standard inverted-index pruning. The window count shuffles on
-    ``shingle``, the SAME key the downstream candidate self-join uses,
-    so at scale the partitioning is reused rather than paid twice."""
-    w = Window.partitionBy("shingle")
-    return (
-        shingles.withColumn("df", F.count(F.lit(1)).over(w))
-        .where(F.col("df") <= max_df)
-        .drop("df")
-    )
-
-
 def ngram_candidate_pairs(
     shingles: DataFrame, max_df: int = NGRAM_MAX_DF
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs sharing ≥1 shingle with document
     frequency ≤ ``max_df``. Bounded by construction: each surviving
-    shingle contributes ≤ C(max_df, 2) pairs, so the self-join is
+    shingle contributes ≤ C(max_df, 2) pairs, so candidate cost is
     linear in the number of distinct shingles — never quadratic in a
-    posting list (the uncapped plan's failure mode at 100 TB)."""
-    capped = df_capped_shingles(shingles, max_df)
-    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
+    posting list (the uncapped plan's failure mode at 100 TB).
+
+    Plan shape: ONE aggregation shuffle on ``shingle`` (map-side
+    partial `collect_set` compresses duplicate postings before the
+    exchange) into per-shingle sorted doc arrays, then a NARROW
+    in-row expansion of the C(df,2) ordered pairs, then the pair
+    distinct. Shingles with df=1 — the overwhelming majority of an
+    inverted index — are dropped by the HAVING before any pair work,
+    and df>max_df buckets are dropped whole; this replaces the earlier
+    window-count + posting self-join (two wide ops over the full
+    posting relation) with one."""
+    grouped = (
+        shingles.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= max_df))
+    )
+    pair_expansion = (
+        "flatten(transform(sequence(0, size(docs) - 2), i -> "
+        "transform(slice(docs, i + 2, size(docs) - i - 1), d -> "
+        "struct(docs[i] AS doc_a, d AS doc_b))))"
+    )
     return (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        grouped.select(F.explode(F.expr(pair_expansion)).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
+
+
+def ngram_jaccard_pairs_pruned(
+    sets: DataFrame,
+    min_jaccard: float = JACCARD_THRESHOLD,
+    max_df: int = NGRAM_MAX_DF,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — the df-capped n-gram jaccard with
+    UPPER-BOUND pruning: identical output to
+    ``verify_candidates(sets, ngram_candidate_pairs(...), t)`` (pinned
+    by tests/test_dedup.py), but the exact array verify runs only on
+    pairs that could possibly pass the threshold.
+
+    The bound: for a candidate pair, let c = number of shared shingles
+    with df ∈ [2, max_df] (an exact integer from the bounded
+    posting-list pair stream), and h_x = number of doc x's shingles
+    with df > max_df (its *heavy*/boilerplate count). The true shared
+    count is ≤ c + min(h_a, h_b), and jaccard is increasing in the
+    shared count, so
+        true_jaccard ≤ (c + m) / (n_a + n_b - c - m),  m = min(h_a, h_b).
+    Pairs whose bound falls below the threshold are dropped with pure
+    integer/double arithmetic — no arrays touched; survivors (a tiny
+    fraction: near-dups are rare by definition) get the exact
+    array-intersect verify. A small epsilon keeps the pruning
+    conservative: borderline pairs go to the exact verify rather than
+    being dropped.
+
+    Scale shape: two shuffles of the integer posting stream (df
+    aggregate + df join), one bounded pair-stream aggregate (each
+    surviving shingle contributes ≤ C(max_df, 2) pairs), two
+    integer-stat joins, and an array join ONLY for bound-passing
+    pairs. The full-array join for every candidate — the cost that
+    dominates when candidate density is high — never happens."""
+    postings = sets.select("doc_id", F.explode("sset").alias("shingle"))
+    dfrel = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    joined = postings.join(dfrel, "shingle")
+    capped = joined.where((F.col("df") >= 2) & (F.col("df") <= max_df)).select(
+        "doc_id", "shingle"
+    )
+    heavy = (
+        joined.where(F.col("df") > max_df)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairc = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = sets.select("doc_id", F.col("n_shingles").alias("n")).join(
+        heavy, "doc_id", "left"
+    ).select("doc_id", "n", F.coalesce("h", F.lit(0)).alias("h"))
+    bounded = (
+        pairc.join(
+            stats.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n").alias("na"),
+                F.col("h").alias("ha"),
+            ),
+            "doc_a",
+        )
+        .join(
+            stats.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").alias("nb"),
+                F.col("h").alias("hb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("m", F.least("ha", "hb"))
+        .where(
+            (F.col("c") + F.col("m")).cast("double")
+            / (F.col("na") + F.col("nb") - F.col("c") - F.col("m")).cast("double")
+            >= min_jaccard - 1e-9
+        )
+        .select("doc_a", "doc_b")
+    )
+    return verify_candidates(sets, bounded, min_jaccard)
 
 
 def verify_candidates(
@@ -738,11 +826,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact jaccard is verified against the FULL shingle sets, so
     surviving pairs carry their true uncapped similarity. The fully
     uncapped form stays available as :func:`jaccard_pairs` (the recall
-    baseline the LSH variant is judged against in tests/test_dedup.py)."""
-    documents = load_table(spark, sf_dir, "documents")
-    sets = shingle_sets(documents)
-    cands = ngram_candidate_pairs(shingle_rel(documents))
-    return verify_candidates(sets, cands, JACCARD_THRESHOLD).orderBy(
+    baseline the LSH variant is judged against in tests/test_dedup.py).
+
+    The per-doc distinct shingle arrays are built ONCE (narrow
+    shingle_sets — no distinct Exchange) and persisted: the candidate
+    index reads them via explode, the verify joins read them as
+    arrays. The input is round-robin repartitioned first: the fixture
+    is a single small parquet file (one input split), and without the
+    spread the whole narrow shingle build would run on one core — at
+    warehouse scale the scan is already thousands of splits and the
+    repartition is a no-op cost-wise relative to the downstream
+    shuffles."""
+    documents = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    release_cached_relations()
+    sets = _retain(shingle_sets(documents, with_digests=False))
+    return ngram_jaccard_pairs_pruned(sets, JACCARD_THRESHOLD).orderBy(
         "doc_a", "doc_b"
     )
 
