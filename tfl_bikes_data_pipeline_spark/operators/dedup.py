@@ -153,13 +153,13 @@ def minhash_signatures(sets: DataFrame, num_hashes: int = NUM_MINHASH) -> DataFr
     return sets.where(F.col("n_shingles") > 0).select("doc_id", *cols)
 
 
-def lsh_candidate_pairs(
+def lsh_bands(
     signatures: DataFrame, num_bands: int = NUM_BANDS, num_hashes: int = NUM_MINHASH
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs from banded LSH: signature split
-    into bands, band hashed to a bucket key, docs sharing a (band,
-    bucket) become candidates. The self-join shuffles on the bucket key
-    only — never all-pairs."""
+    """(doc_id, band_id, band_key) — the banded LSH bucket relation:
+    signature split into bands, each band hashed to a bucket key. The
+    shared building block of the self-join (near-dup pairs) and the
+    batch-vs-corpus join (incremental near-dup)."""
     rows_per_band = num_hashes // num_bands
     band_keys = [
         F.md5(
@@ -169,9 +169,18 @@ def lsh_candidate_pairs(
         )
         for b in range(num_bands)
     ]
-    bands = signatures.select(
+    return signatures.select(
         "doc_id", F.posexplode(F.array(*band_keys)).alias("band_id", "band_key")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_bands: int = NUM_BANDS, num_hashes: int = NUM_MINHASH
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from banded LSH: docs sharing a
+    (band, bucket) become candidates. The self-join shuffles on the
+    bucket key only — never all-pairs."""
+    bands = lsh_bands(signatures, num_bands, num_hashes)
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(y, ["band_id", "band_key"])
@@ -885,6 +894,65 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy incremental dedup — the steady-state ingest gate a
+    training pipeline actually runs: drop incoming-batch docs that are
+    NEAR-duplicates (jaccard ≥ threshold) of any existing-corpus doc,
+    not just byte-identical ones ([[q_dedup_incremental]] is the exact
+    twin). Same split as the exact variant: corpus = doc_id % 4 != 0,
+    batch = doc_id % 4 == 0; returns surviving batch doc_ids.
+
+    Scale shape: signatures and band buckets are built narrowly over
+    the UNION once (one shared shingle/signature pass); candidate
+    generation is the batch-bands ⨝ corpus-bands join keyed on (band,
+    bucket) — the corpus side at 100 TB is a precomputed banded index
+    table, so each arriving batch joins against buckets, never against
+    corpus documents; verify touches only colliding pairs, and the
+    keep-decision is a left-anti join on matched batch ids."""
+    documents = load_table(spark, sf_dir, "documents")
+    release_cached_relations()
+    sets = _retain(shingle_sets(documents))
+    bands = lsh_bands(minhash_signatures(sets))
+    batch_bands = bands.where(F.col("doc_id") % 4 == 0)
+    corpus_bands = bands.where(F.col("doc_id") % 4 != 0)
+    cand = (
+        batch_bands.alias("x")
+        .join(corpus_bands.alias("y"), ["band_id", "band_key"])
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    matched = (
+        verify_candidates(sets, cand, JACCARD_THRESHOLD)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        documents.where(F.col("doc_id") % 4 == 0)
+        .select("doc_id")
+        .join(matched, "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs → connected components → per-vector
+    cluster assignment — the keep/drop decision surface of SEMANTIC
+    dedup (keep cluster_id = the min vec in each component), composing
+    the IVF-blocked pair generation with the iterative min-label
+    propagation. The textual-twin oracle is the blocked-pair SQL
+    spliced into a recursive transitive-closure CTE."""
+    pairs = q_dedup_embedding(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return (
+        connected_components(pairs)
+        .select(F.col("doc_id").alias("vec_id"), "cluster_id")
+        .orderBy("vec_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1113,6 +1181,68 @@ ORACLES["q_dedup_clusters"] = ORACLES["q_dedup_clusters"].replace(
     "{LSH_PAIRS}", ORACLES["q_dedup_minhash_lsh"]
 )
 
+# batch-vs-corpus LSH near-dup: same signature/band CTEs as the
+# self-join oracle, but candidates pair batch (doc_id%4=0) bands with
+# corpus (doc_id%4!=0) bands, and survivors are batch docs with no
+# verified near-dup.
+ORACLES["q_dedup_incremental_lsh"] = f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+        SELECT doc_id, {_MINHASH_COLS} FROM shingles GROUP BY doc_id
+    ),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS b_id, y.doc_id AS c_id
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.band_key = y.band_key
+        WHERE x.doc_id % 4 = 0 AND y.doc_id % 4 != 0
+    ),
+    sizes AS (
+        SELECT doc_id, count(1) AS n_shingles FROM shingles GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS b_id, b.doc_id AS c_id, count(1) AS n_common
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+        WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 != 0
+        GROUP BY 1, 2
+    ),
+    matched AS (
+        SELECT DISTINCT i.b_id
+        FROM inter i
+        JOIN cand c ON i.b_id = c.b_id AND i.c_id = c.c_id
+        JOIN sizes sa ON i.b_id = sa.doc_id
+        JOIN sizes sb ON i.c_id = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE)
+              >= {JACCARD_THRESHOLD}
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 4 = 0
+      AND doc_id NOT IN (SELECT b_id FROM matched)
+    ORDER BY doc_id
+"""
+
+# embedding clusters: the blocked-pair oracle spliced into the same
+# recursive transitive-closure CTE the LSH clusters use.
+ORACLES["q_dedup_embedding_clusters"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({ORACLES["q_dedup_embedding"]}) t
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, root) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS vec_id, min(root)::BIGINT AS cluster_id
+    FROM reach GROUP BY node ORDER BY vec_id
+"""
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_incremental": q_dedup_incremental,
@@ -1122,6 +1252,8 @@ QUERIES = {
     "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_embedding": q_dedup_embedding,
+    "q_dedup_incremental_lsh": q_dedup_incremental_lsh,
+    "q_dedup_embedding_clusters": q_dedup_embedding_clusters,
 }
 
 BENCH = [
@@ -1131,4 +1263,6 @@ BENCH = [
     "q_dedup_simhash",
     # IVF-blocked plan — bench-safe (bounded candidates, no n² crossJoin)
     "q_dedup_embedding",
+    # batch-vs-corpus banded join — the steady-state ingest-gate cost
+    "q_dedup_incremental_lsh",
 ]
