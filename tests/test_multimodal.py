@@ -95,3 +95,36 @@ def test_extract_meta_real_path_mixed_batch(spark):
     # unrecognized payload falls back to the deterministic fake decode
     fake = mm.fake_decode_meta(b"opaque text payload")
     assert out[3]["format"] == fake["format"] and out[3]["byte_len"] == fake["byte_len"]
+
+
+def test_wav_with_leading_junk_chunk():
+    # BWF/pro-audio files put JUNK/bext chunks before fmt — the parser
+    # must walk chunks, not read fixed offsets.
+    junk = b"JUNK" + (6).to_bytes(4, "little") + b"\x00" * 6
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (48000).to_bytes(4, "little") + b"\x00" * 8
+    )
+    payload = b"RIFF" + (200).to_bytes(4, "little") + b"WAVE" + junk + fmt
+    meta = mm.parse_media_header(payload)
+    assert meta["format"] == "wav" and meta["width"] == 48000 and meta["height"] == 2
+
+
+def test_wav_without_fmt_chunk_falls_back():
+    payload = b"RIFF" + (100).to_bytes(4, "little") + b"WAVE" + b"JUNK" + (28).to_bytes(4, "little") + b"\x00" * 28
+    assert mm.parse_media_header(payload) is None
+
+
+def test_jpeg_with_fill_bytes_before_sof():
+    sof = b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08" + (600).to_bytes(2, "big") + (800).to_bytes(2, "big")
+    payload = b"\xff\xd8" + b"\xff\xff\xff" + sof[1:] + b"\x00" * 8
+    meta = mm.parse_media_header(payload)
+    assert meta["format"] == "jpeg" and meta["width"] == 800 and meta["height"] == 600
+
+
+def test_gif_reports_single_frame_for_header_pass():
+    # raw byte scans miscount frames on LZW data — the header pass
+    # reports 1 honestly, even when pixel data contains 0x2C 0x00.
+    payload = _gif(10, 10) + b"\x2c\x00" * 5
+    assert mm.parse_media_header(payload)["n_frames"] == 1

@@ -81,6 +81,20 @@ def _retain(df: DataFrame) -> DataFrame:
 # building blocks
 # ---------------------------------------------------------------------------
 
+def _ensure_scan_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition ONLY when the scan yields fewer splits
+    than half the scheduler's slots — the local-fixture case (one small
+    parquet file = one split = one core doing all the narrow per-row
+    work). On any real deployment the scan has ≥ thousands of splits
+    and this returns ``df`` unchanged, so no full-corpus shuffle is
+    baked into production plans. Partition-count inspection is
+    metadata-only (no job)."""
+    slots = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, slots // 2):
+        return df.repartition(slots)
+    return df
+
+
 def shingle_rel(documents: DataFrame, n: int = DEFAULT_SHINGLE) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams per document.
 
@@ -713,11 +727,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Rounds needed = graph diameter — near-dup components are tiny
     (pairs of near-identical docs plus small chains), so this converges
     in 2-3 rounds in practice; ``max_iter`` bounds pathological chains.
+
+    Persisted-relation lifecycle: intermediate round labels are
+    unpersisted inside the loop; ``edges`` and the FINAL labels (which
+    the returned lazy plan still references) go through ``_retain`` so
+    the next dedup invocation (or an explicit
+    ``release_cached_relations()``) frees them — no per-call leak.
     """
-    edges = (
+    edges = _retain(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -751,6 +770,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # the returned lazy plan reads the final persisted labels — defer
+    # its release to the next dedup invocation.
+    _CACHED_RELATIONS.append(labels)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -840,14 +862,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-doc distinct shingle arrays are built ONCE (narrow
     shingle_sets — no distinct Exchange) and persisted: the candidate
     index reads them via explode, the verify joins read them as
-    arrays. The input is round-robin repartitioned first: the fixture
-    is a single small parquet file (one input split), and without the
-    spread the whole narrow shingle build would run on one core — at
-    warehouse scale the scan is already thousands of splits and the
-    repartition is a no-op cost-wise relative to the downstream
-    shuffles."""
-    documents = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    arrays. The input is widened CONDITIONALLY: the fixture is a
+    single parquet split, which would serialize the per-row shingle
+    build on one core — but at warehouse scale the scan already yields
+    thousands of splits and _ensure_scan_parallelism is a no-op (no
+    unconditional full-corpus text shuffle baked into the plan)."""
+    documents = _ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents"), spark
     )
     release_cached_relations()
     sets = _retain(shingle_sets(documents, with_digests=False))

@@ -96,32 +96,55 @@ def parse_media_header(payload: bytes) -> dict | None:
     if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
         width = int.from_bytes(payload[6:8], "little")
         height = int.from_bytes(payload[8:10], "little")
-        # frame count = number of image-descriptor separators (0x2C
-        # at block position) — approximate via counting extension-free
-        # descriptors is overkill for a header pass; report ≥1.
+        # an accurate frame count needs a full block walk (image
+        # descriptors are only meaningful at block positions — raw
+        # byte scans miscount on color-table/LZW data); a header-only
+        # pass honestly reports 1.
         return {"byte_len": n, "width": width, "height": height,
-                "n_frames": max(payload.count(b"\x2c\x00"), 1), "format": "gif"}
+                "n_frames": 1, "format": "gif"}
     if n >= 4 and payload[:2] == b"\xff\xd8":
-        # JPEG: walk markers to the first SOFn for dimensions.
+        # JPEG: walk markers to the first SOFn for dimensions. 0xFF
+        # fill bytes are legal padding between segments — skip runs of
+        # them before reading the marker byte.
         i = 2
         while i + 9 < n:
             if payload[i] != 0xFF:
                 break
+            while i + 9 < n and payload[i + 1] == 0xFF:
+                i += 1
             marker = payload[i + 1]
+            if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+                # standalone markers (RSTn/SOI/EOI/TEM) carry no length
+                i += 2
+                continue
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 height = int.from_bytes(payload[i + 5:i + 7], "big")
                 width = int.from_bytes(payload[i + 7:i + 9], "big")
                 return {"byte_len": n, "width": width, "height": height,
                         "n_frames": 1, "format": "jpeg"}
             seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+            if seg_len < 2:
+                break  # corrupt length — stop rather than loop forever
             i += 2 + seg_len
         return {"byte_len": n, "width": 0, "height": 0,
                 "n_frames": 1, "format": "jpeg"}
     if n >= 36 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        channels = int.from_bytes(payload[22:24], "little")
-        sample_rate = int.from_bytes(payload[24:28], "little")
-        return {"byte_len": n, "width": sample_rate, "height": channels,
-                "n_frames": 1, "format": "wav"}
+        # walk RIFF chunks to the 'fmt ' chunk — BWF/pro-audio files
+        # routinely put JUNK/bext/LIST chunks first, so fixed offsets
+        # read garbage. Unparseable chunk layout → None (caller falls
+        # back to the deterministic fake decode).
+        i = 12
+        while i + 8 <= n:
+            chunk_id = payload[i:i + 4]
+            chunk_len = int.from_bytes(payload[i + 4:i + 8], "little")
+            if chunk_id == b"fmt " and i + 16 <= n:
+                channels = int.from_bytes(payload[i + 10:i + 12], "little")
+                sample_rate = int.from_bytes(payload[i + 12:i + 16], "little")
+                return {"byte_len": n, "width": sample_rate, "height": channels,
+                        "n_frames": 1, "format": "wav"}
+            # chunks are word-aligned: odd lengths carry a pad byte
+            i += 8 + chunk_len + (chunk_len % 2)
+        return None
     return None
 
 

@@ -280,12 +280,18 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the column layout makes visible; the differential oracle mirrors
     the identical md5 hashing so the comparison is value-exact."""
     events = load_table(spark, sf_dir, "events")
-    exact = (
+    # the exact top-K is both the probe side AND the output's left
+    # side; materialize its CMS_TOP_K rows ONCE (a bounded driver
+    # round-trip, like similarity's fixed query set) instead of
+    # rebuilding the scan+sort subplan twice in the same query.
+    exact_rows = (
         events.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("exact_n"))
         .orderBy(F.desc("exact_n"), F.asc("user_id"))
         .limit(CMS_TOP_K)
+        .collect()
     )
+    exact = spark.createDataFrame(exact_rows, "user_id long, exact_n long")
     est = cms_estimate(cms_sketch(events, "user_id"), exact, "user_id")
     return (
         exact.join(est, "user_id")

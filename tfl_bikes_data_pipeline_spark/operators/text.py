@@ -714,23 +714,17 @@ def boilerplate_shingles(documents: DataFrame, top_n: int = BOILERPLATE_TOP_N) -
     (TakeOrderedAndProject). The 1-row total-docs count rides in via a
     broadcast cross join, never a driver round-trip.
     """
-    from .dedup import DEFAULT_SHINGLE as _N
+    from .dedup import shingle_sets
 
     n_docs = documents.select(
         F.count(F.lit(1)).cast("double").alias("n_docs")
     )
-    # same tokenize→shingle→array_distinct pipeline as dedup's
-    # shingle_sets, minus its md5 digest column (pure wasted work
-    # here — the digests are minhash inputs, not df inputs).
-    shingle_arrays = (
-        f"CASE WHEN size(w) >= {_N} THEN "
-        f"array_distinct(transform(sequence(0, size(w) - {_N}), "
-        f"i -> concat_ws(' ', slice(w, i + 1, {_N})))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END"
-    )
-    exploded = (
-        documents.select(F.split(F.lower(F.trim(F.col("text"))), " ").alias("w"))
-        .select(F.explode(F.expr(shingle_arrays)).alias("shingle"))
+    # ONE definition of "shingle" across dedup and this audit: the
+    # digest-free shingle_sets variant (md5 digests feed only minhash,
+    # pure wasted work here), exploded without the per-doc distinct
+    # Exchange the row-level shingle_rel would pay.
+    exploded = shingle_sets(documents, with_digests=False).select(
+        F.explode("sset").alias("shingle")
     )
     return (
         exploded

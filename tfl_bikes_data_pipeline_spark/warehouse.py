@@ -138,18 +138,34 @@ def _swap_staged_partitions(
             raise IOError(msg)
         moved.append((dst, trash))
 
-    # phase B: promote all staged partitions (pure renames)
+    # phase B: promote all staged partitions (pure renames). On a
+    # failure mid-loop, every NOT-yet-promoted partition is restored
+    # from its trash (always safe — those promotions never happened),
+    # so the mixed state is confined to the already-promoted prefix
+    # rather than leaving later partitions missing from the table.
     promoted: list[str] = []
-    for leaf, dst, trash in plan:
+    for idx, (leaf, dst, trash) in enumerate(plan):
         if not fs.rename(leaf, dst):
             restored = trash is not None and fs.rename(trash, dst)
-            raise IOError(
+            restore_failures = [
+                str(t)
+                for _, d, t in plan[idx + 1 :]
+                if t is not None and not fs.rename(t, d)
+            ]
+            msg = (
                 f"failed to promote staged partition {leaf} to {dst} "
                 f"({'old data restored for it' if restored else 'no old data to restore' if trash is None else f'restore from {trash} ALSO failed'}); "
-                f"already promoted this call: {promoted or 'none'}; "
-                "displaced old data for promoted partitions remains in "
-                "dot-prefixed .*.old-* trash dirs next to each partition"
+                f"already promoted this call (new data live, displaced old "
+                f"data in dot-prefixed .*.old-* trash dirs next to each): "
+                f"{promoted or 'none'}; all later partitions restored to "
+                "their pre-call state"
             )
+            if restore_failures:
+                msg += (
+                    f" EXCEPT {restore_failures}, whose restore renames "
+                    "also failed — old data preserved at those trash paths"
+                )
+            raise IOError(msg)
         promoted.append(str(dst))
 
     # phase C: drop trash + staging
