@@ -128,3 +128,34 @@ def test_gif_reports_single_frame_for_header_pass():
     # reports 1 honestly, even when pixel data contains 0x2C 0x00.
     payload = _gif(10, 10) + b"\x2c\x00" * 5
     assert mm.parse_media_header(payload)["n_frames"] == 1
+
+
+def test_header_parse_never_crashes_on_arbitrary_bytes():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def check(payload):
+        meta = mm.parse_media_header(payload)
+        if meta is not None:
+            assert meta["byte_len"] == len(payload)
+            assert meta["format"] in ("png", "gif", "jpeg", "wav")
+            assert meta["n_frames"] >= 1
+
+    check()
+
+
+def test_header_parse_never_crashes_on_magic_prefixed_garbage():
+    from hypothesis import given, settings, strategies as st
+
+    magics = [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8", b"RIFF\x00\x00\x00\x00WAVE"]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.sampled_from(magics), st.binary(max_size=128))
+    def check(magic, rest):
+        payload = magic + rest
+        meta = mm.parse_media_header(payload)
+        if meta is not None:
+            assert meta["byte_len"] == len(payload)
+
+    check()

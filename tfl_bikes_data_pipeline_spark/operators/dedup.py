@@ -838,7 +838,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → 8-hash signature →
     4 bands → bucket-join candidates → jaccard-verified pairs."""
-    documents = load_table(spark, sf_dir, "documents")
+    documents = _ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents"), spark
+    )
     # the per-doc set relation feeds signatures (narrow) and the verify
     # joins — persist the 1-row-per-doc arrays (MEMORY_AND_DISK: spills
     # instead of OOMing at large SF; released at the next invocation).
@@ -930,7 +932,9 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, so each arriving batch joins against buckets, never against
     corpus documents; verify touches only colliding pairs, and the
     keep-decision is a left-anti join on matched batch ids."""
-    documents = load_table(spark, sf_dir, "documents")
+    documents = _ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents"), spark
+    )
     release_cached_relations()
     sets = _retain(shingle_sets(documents))
     bands = lsh_bands(minhash_signatures(sets))

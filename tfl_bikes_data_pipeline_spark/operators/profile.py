@@ -343,3 +343,69 @@ ORACLES["q_cms_counts"] = f"""
 """
 
 QUERIES["q_cms_counts"] = q_cms_counts
+
+
+def q_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches — the
+    optimizer-statistics use of the same sketch relation: |R ⨝ S| on a
+    key is estimated per hash row as Σ_bucket cntR·cntS (collisions
+    only ADD, so each row over-estimates; the min over CMS_D rows is
+    the classic one-sided estimate). Each table compresses to a ≤256-row
+    relation BEFORE the cross-table multiply — at 100 TB the estimate
+    costs two sketch builds (map-side-combined aggregates) and a
+    256-row join, never a real join of the fact tables. The exact join
+    count rides along for the error column; both are integer-exact, so
+    the DuckDB oracle hash-matches."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    so = cms_sketch(orders, "o_orderkey").select(
+        "j", "bucket", F.col("cnt").alias("cnt_o")
+    )
+    sl = cms_sketch(lineitem, "l_orderkey").select(
+        "j", "bucket", F.col("cnt").alias("cnt_l")
+    )
+    per_row = (
+        so.join(sl, ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("cnt_o") * F.col("cnt_l")).alias("row_est"))
+    )
+    est = per_row.agg(F.min("row_est").cast("long").alias("cms_join_est"))
+    exact = orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey")).agg(
+        F.count(F.lit(1)).alias("exact_join_n")
+    )
+    return est.join(exact).select(
+        "cms_join_est",
+        "exact_join_n",
+        (F.col("cms_join_est") - F.col("exact_join_n")).alias("overestimate"),
+    )
+
+
+_CMS_BUCKET_O = _hex4_duck("j::VARCHAR || ':' || o_orderkey::VARCHAR") + f" % {CMS_W}"
+_CMS_BUCKET_L = _hex4_duck("j::VARCHAR || ':' || l_orderkey::VARCHAR") + f" % {CMS_W}"
+
+ORACLES["q_cms_join_estimate"] = f"""
+    WITH hrows AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS j),
+    so AS (
+        SELECT j, {_CMS_BUCKET_O} AS bucket, count(1)::BIGINT AS cnt_o
+        FROM orders, hrows GROUP BY 1, 2
+    ),
+    sl AS (
+        SELECT j, {_CMS_BUCKET_L} AS bucket, count(1)::BIGINT AS cnt_l
+        FROM lineitem, hrows GROUP BY 1, 2
+    ),
+    per_row AS (
+        SELECT so.j, sum(cnt_o * cnt_l) AS row_est
+        FROM so JOIN sl ON so.j = sl.j AND so.bucket = sl.bucket
+        GROUP BY so.j
+    ),
+    est AS (SELECT min(row_est)::BIGINT AS cms_join_est FROM per_row),
+    exact AS (
+        SELECT count(1)::BIGINT AS exact_join_n
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT cms_join_est, exact_join_n,
+           (cms_join_est - exact_join_n)::BIGINT AS overestimate
+    FROM est, exact
+"""
+
+QUERIES["q_cms_join_estimate"] = q_cms_join_estimate

@@ -39,7 +39,7 @@ from tfl_bikes_data_pipeline_spark.session import get_spark
 from tfl_bikes_data_pipeline_spark.tables import load_table
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-QUERIES = [
+DEFAULT_QUERIES = [
     "q_dedup_minhash_lsh",
     "q_dedup_embedding",
     "q_decontaminate",
@@ -95,9 +95,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,4,10")
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    global QUERIES
+    QUERIES = args.queries.split(",")
 
     spark = get_spark(app_name="scaling-bench")
     spark.range(1000).count()
