@@ -363,3 +363,29 @@ def test_training_and_maintenance_plan_shapes(spark, sf_dir):
         plan = plan_of(registry.QUERIES[name](spark, sf_dir))
         n = len(re.findall(r"\(\d+\) Exchange", plan))
         assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+
+
+def test_two_level_assign_broadcasts_all_centroid_relations(spark, sf_dir):
+    """The hierarchical coarse→fine assignment must keep every
+    centroid-side relation broadcast (coarse cells, fine→coarse map,
+    fine centroids) and never plan a corpus×corpus cartesian — the
+    property that makes it the O(n·√k) scale path."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        COSINE_DUP_THRESHOLD,
+        embed_block_num_centroids,
+        embedding_cosine_pairs_blocked,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table, table_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = embed_block_num_centroids(table_row_count(sf_dir, "embeddings"))
+    df = embedding_cosine_pairs_blocked(
+        emb, COSINE_DUP_THRESHOLD, num_centroids=k, assign_mode="two_level"
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, "corpus-scale cartesian in two-level plan"
+    # nested-loop joins are allowed ONLY against broadcast relations
+    assert "BroadcastNestedLoopJoin" in plan
+    import re
+
+    assert not re.search(r"(?<!Broadcast)NestedLoopJoin", plan.replace("BroadcastNestedLoopJoin", "BNLJ"))

@@ -714,8 +714,11 @@ def boilerplate_shingles(documents: DataFrame, top_n: int = BOILERPLATE_TOP_N) -
     (TakeOrderedAndProject). The 1-row total-docs count rides in via a
     broadcast cross join, never a driver round-trip.
     """
-    from .dedup import shingle_sets
+    from .dedup import _ensure_scan_parallelism, shingle_sets
 
+    documents = _ensure_scan_parallelism(
+        documents, documents.sparkSession
+    )
     n_docs = documents.select(
         F.count(F.lit(1)).cast("double").alias("n_docs")
     )
