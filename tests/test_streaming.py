@@ -143,3 +143,29 @@ def test_stream_on_missing_landing_dir_fails_fast(spark):
 
     with pytest.raises(AnalysisException):
         read_events_stream(spark, "/root/no/such/landing_dir")
+
+
+def test_rocksdb_state_store_parity(spark, sf_dir):
+    """The RocksDB state store (the bounded-memory provider for
+    key-spaces that outgrow executor heap at scale) must produce
+    byte-identical results to the default HDFS-backed provider on a
+    stateful drain, and the conf must be restored afterwards."""
+    from tfl_bikes_data_pipeline_spark import registry
+    from tfl_bikes_data_pipeline_spark.streaming.jobs import rocksdb_state
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    base = {
+        tuple(r) for r in registry.QUERIES["q_stream_tumbling"](spark, sf_dir).collect()
+    }
+    with rocksdb_state(spark):
+        assert "RocksDB" in spark.conf.get(key)
+        rocks = {
+            tuple(r)
+            for r in registry.QUERIES["q_stream_tumbling"](spark, sf_dir).collect()
+        }
+    try:
+        restored = spark.conf.get(key)
+    except Exception:
+        restored = None
+    assert restored is None or "RocksDB" not in restored
+    assert rocks == base

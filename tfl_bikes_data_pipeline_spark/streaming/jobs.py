@@ -117,6 +117,43 @@ def tumbling_window_counts(
     )
 
 
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class rocksdb_state:
+    """Context manager switching stateful streaming onto the RocksDB
+    state store for queries STARTED inside the block (the provider is
+    captured per query at start). This is the bounded-memory state
+    choice at scale: the default HDFSBackedStateStoreProvider keeps
+    every key in executor heap (state size is capped by memory), while
+    RocksDB spills to local disk with incremental changelog
+    checkpointing — the right posture for stream-stream joins or dedup
+    whose key space grows with the corpus. Parity between the two
+    providers is pinned in tests/test_streaming.py."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.key = "spark.sql.streaming.stateStore.providerClass"
+
+    def __enter__(self):
+        # unset ≠ empty string: remember whether the conf existed
+        try:
+            self.prev = self.spark.conf.get(self.key)
+        except Exception:
+            self.prev = None
+        self.spark.conf.set(self.key, ROCKSDB_STATE_PROVIDER)
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.prev)
+        return False
+
+
 #: State partitioning for AvailableNow drains. Stateful streaming
 #: fixes its state-store count at the session's shuffle-partition
 #: setting, and every micro-batch pays per-store file I/O (a
