@@ -68,5 +68,12 @@ def test_every_declared_query_is_documented_in_coverage():
     """COVERAGE.md is the judge-facing inventory — a declared query
     missing from it is invisible coverage. Doc-code sync, CI-checked."""
     text = (REPO / "COVERAGE.md").read_text()
-    missing = [q for q in registry.QUERIES if q not in text]
+    # word-boundary match: plain substring containment would let a name
+    # that is a prefix of another documented name false-pass (e.g.
+    # q_dedup_incremental vs q_dedup_incremental_lsh).
+    missing = [
+        q
+        for q in registry.QUERIES
+        if not re.search(rf"{re.escape(q)}(?![A-Za-z0-9_])", text)
+    ]
     assert not missing, f"queries not documented in COVERAGE.md: {missing}"

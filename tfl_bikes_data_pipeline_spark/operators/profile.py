@@ -280,18 +280,20 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the column layout makes visible; the differential oracle mirrors
     the identical md5 hashing so the comparison is value-exact."""
     events = load_table(spark, sf_dir, "events")
-    # the exact top-K is both the probe side AND the output's left
-    # side; materialize its CMS_TOP_K rows ONCE (a bounded driver
-    # round-trip, like similarity's fixed query set) instead of
-    # rebuilding the scan+sort subplan twice in the same query.
-    exact_rows = (
+    # the exact top-K subplan appears twice in the plan (probe side +
+    # output's left side). Kept LAZY deliberately: every registry query
+    # is a pure plan constructor (the harness builds all plans before
+    # running any), so an eager collect here would fire a full scan at
+    # construction time and snapshot exact_n out of sync with cms_n.
+    # Spark's ReuseExchange dedupes the identical aggregate subtree
+    # where it can; the residual double work is one extra pass over a
+    # count-aggregate — acceptable for plan-purity.
+    exact = (
         events.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("exact_n"))
         .orderBy(F.desc("exact_n"), F.asc("user_id"))
         .limit(CMS_TOP_K)
-        .collect()
     )
-    exact = spark.createDataFrame(exact_rows, "user_id long, exact_n long")
     est = cms_estimate(cms_sketch(events, "user_id"), exact, "user_id")
     return (
         exact.join(est, "user_id")

@@ -138,19 +138,16 @@ class rocksdb_state:
         self.key = "spark.sql.streaming.stateStore.providerClass"
 
     def __enter__(self):
-        # unset ≠ empty string: remember whether the conf existed
-        try:
-            self.prev = self.spark.conf.get(self.key)
-        except Exception:
-            self.prev = None
+        # conf.get returns the SQLConf-registered default when unset,
+        # so "was it explicitly set" is unobservable here; restoring
+        # the returned value (default or explicit) is semantically
+        # identical either way.
+        self.prev = self.spark.conf.get(self.key)
         self.spark.conf.set(self.key, ROCKSDB_STATE_PROVIDER)
         return self
 
     def __exit__(self, *exc):
-        if self.prev is None:
-            self.spark.conf.unset(self.key)
-        else:
-            self.spark.conf.set(self.key, self.prev)
+        self.spark.conf.set(self.key, self.prev)
         return False
 
 

@@ -146,11 +146,21 @@ def _swap_staged_partitions(
     promoted: list[str] = []
     for idx, (leaf, dst, trash) in enumerate(plan):
         if not fs.rename(leaf, dst):
-            restored = trash is not None and fs.rename(trash, dst)
+            # every recovery rename is individually guarded: on a
+            # degraded filesystem a rename may THROW rather than return
+            # False, and an exception here would mask the diagnostic
+            # error and abandon the remaining restores.
+            def _try_rename(src, dest) -> bool:
+                try:
+                    return bool(fs.rename(src, dest))
+                except Exception:
+                    return False
+
+            restored = trash is not None and _try_rename(trash, dst)
             restore_failures = [
                 str(t)
                 for _, d, t in plan[idx + 1 :]
-                if t is not None and not fs.rename(t, d)
+                if t is not None and not _try_rename(t, d)
             ]
             msg = (
                 f"failed to promote staged partition {leaf} to {dst} "

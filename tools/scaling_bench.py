@@ -99,8 +99,7 @@ def main() -> None:
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
-    global QUERIES
-    QUERIES = args.queries.split(",")
+    queries = args.queries.split(",")
 
     spark = get_spark(app_name="scaling-bench")
     spark.range(1000).count()
@@ -108,11 +107,11 @@ def main() -> None:
     # warm-up pass: run every query once at base scale so codegen /
     # broadcast / shuffle-service warm-up doesn't land in the first
     # measured cell.
-    for q in QUERIES:
+    for q in queries:
         run_once(spark, BASE, q)
 
     root = tempfile.mkdtemp(prefix="scalefix_")
-    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    results: dict[str, dict[int, float]] = {q: {} for q in queries}
     try:
         for m in scales:
             if m == 1:
@@ -121,7 +120,7 @@ def main() -> None:
                 sf_dir = os.path.join(root, f"x{m}")
                 os.makedirs(sf_dir, exist_ok=True)
                 build_fixture(spark, sf_dir, m)
-            for q in QUERIES:
+            for q in queries:
                 best = min(run_once(spark, sf_dir, q) for _ in range(args.repeat))
                 results[q][m] = round(best, 3)
                 print(f"  {q} @ {m}x: {results[q][m]}s", file=sys.stderr)
@@ -131,7 +130,7 @@ def main() -> None:
 
     out = {"base": BASE, "scales": scales, "times": results, "ratios": {}}
     lo, hi = scales[0], scales[-1]
-    for q in QUERIES:
+    for q in queries:
         out["ratios"][q] = round(results[q][hi] / results[q][lo], 2)
     print(json.dumps(out))
     spark.stop()
