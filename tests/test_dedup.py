@@ -227,3 +227,41 @@ def test_pruned_ngram_jaccard_is_lossless(spark, sf_dir):
     assert pruned.keys() == unpruned.keys()
     for k, j in pruned.items():
         assert abs(j - unpruned[k]) < 1e-12
+
+
+def test_segment_dedup_invariants(spark, sf_dir):
+    """C4-style segment dedup: total kept segments across the corpus
+    equals the number of DISTINCT segments (each survives exactly
+    once), drops are non-negative, and a surviving document's text is
+    a subsequence of its original segment stream."""
+    import pyspark.sql.functions as F
+
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        SEGMENT_WORDS,
+        segment_dedup,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = segment_dedup(docs)
+    rows = out.collect()
+    assert rows, "segment dedup dropped every document"
+    kept_total = sum(r["n_segments"] - r["n_dropped"] for r in rows)
+    # distinct segment count computed independently
+    words = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    )
+    segs_expr = (
+        f"transform(sequence(0, greatest(cast(ceil(size(w) / {SEGMENT_WORDS}.0) as int) - 1, 0)), "
+        f"i -> concat_ws(' ', slice(w, i * {SEGMENT_WORDS} + 1, {SEGMENT_WORDS})))"
+    )
+    n_distinct = (
+        words.select(F.explode(F.expr(segs_expr)).alias("s"))
+        .where(F.col("s") != "")
+        .distinct()
+        .count()
+    )
+    assert kept_total == n_distinct
+    for r in rows:
+        assert r["n_dropped"] >= 0
+        assert 1 <= r["n_segments"] - r["n_dropped"]

@@ -917,6 +917,83 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
+#: segment width (in words) for sub-document dedup — the C4-style
+#: granularity knob (C4 dedups at three-sentence spans; the fixture
+#: corpus has no sentence punctuation, so fixed word windows stand in).
+SEGMENT_WORDS = 20
+
+
+def segment_dedup(documents: DataFrame, seg_words: int = SEGMENT_WORDS) -> DataFrame:
+    """(doc_id, clean_text, n_segments, n_dropped) — SUB-document exact
+    dedup, the C4-style pass that removes boilerplate spans repeated
+    across documents while keeping the rest of each document: text
+    splits into fixed ``seg_words``-word segments (narrow), each
+    segment survives only in its corpus-wide FIRST occurrence (min
+    doc_id, then min position — deterministic), and each document is
+    reassembled from its surviving segments in order.
+
+    Scale shape: narrow split/explode → ONE dedup shuffle keyed on the
+    32-char segment digest (bodies don't ride the first-occurrence
+    decision; the window reads (digest → min (doc_id, seg_idx)) pairs)
+    → one reassembly aggregate keyed on doc_id. Both shuffles are the
+    minimum the semantics admit; this is how line-level dedup actually
+    runs at 100 TB."""
+    words = documents.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    )
+    segs_expr = (
+        f"transform(sequence(0, greatest(cast(ceil(size(w) / {seg_words}.0) as int) - 1, 0)), "
+        f"i -> concat_ws(' ', slice(w, i * {seg_words} + 1, {seg_words})))"
+    )
+    segs = words.select(
+        "doc_id", F.posexplode(F.expr(segs_expr)).alias("seg_idx", "seg_text")
+    ).where(F.col("seg_text") != "")
+    hashed = segs.withColumn("seg_hash", F.md5("seg_text"))
+    w_first = Window.partitionBy("seg_hash").orderBy(
+        F.asc("doc_id"), F.asc("seg_idx")
+    )
+    survivors = (
+        hashed.withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "seg_idx", "seg_text")
+    )
+    per_doc_total = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments")
+    )
+    return (
+        survivors.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_idx", "seg_text"))
+                    ),
+                    lambda s: s["seg_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(per_doc_total, "doc_id")
+        .select(
+            "doc_id",
+            "clean_text",
+            "n_segments",
+            (F.col("n_segments") - F.col("n_kept")).alias("n_dropped"),
+        )
+    )
+
+
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style segment-level dedup over the documents corpus: repeated
+    20-word spans survive only at their first corpus occurrence; docs
+    whose every segment is boilerplate vanish entirely."""
+    documents = _ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents"), spark
+    )
+    return segment_dedup(documents).orderBy("doc_id")
+
+
 def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy incremental dedup — the steady-state ingest gate a
     training pipeline actually runs: drop incoming-batch docs that are
@@ -1206,6 +1283,42 @@ ORACLES["q_dedup_clusters"] = ORACLES["q_dedup_clusters"].replace(
     "{LSH_PAIRS}", ORACLES["q_dedup_minhash_lsh"]
 )
 
+# C4-style segment dedup: fixed word windows, first-occurrence keep,
+# ordered reassembly — textual mirror of segment_dedup.
+ORACLES["q_dedup_segments"] = f"""
+    WITH words AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(w[i * {SEGMENT_WORDS} + 1 : i * {SEGMENT_WORDS} + {SEGMENT_WORDS}], ' ') AS seg_text
+        FROM (
+            SELECT doc_id, w,
+                   unnest(generate_series(0,
+                       greatest(cast(ceil(len(w) / {SEGMENT_WORDS}.0) AS INT) - 1, 0))) AS i
+            FROM words
+        )
+        WHERE array_to_string(w[i * {SEGMENT_WORDS} + 1 : i * {SEGMENT_WORDS} + {SEGMENT_WORDS}], ' ') != ''
+    ),
+    survivors AS (
+        SELECT doc_id, seg_idx, seg_text
+        FROM segs
+        QUALIFY row_number() OVER (
+            PARTITION BY md5(seg_text) ORDER BY doc_id, seg_idx
+        ) = 1
+    ),
+    totals AS (
+        SELECT doc_id, count(1)::BIGINT AS n_segments FROM segs GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           string_agg(s.seg_text, ' ' ORDER BY s.seg_idx) AS clean_text,
+           any_value(t.n_segments) AS n_segments,
+           (any_value(t.n_segments) - count(1))::BIGINT AS n_dropped
+    FROM survivors s JOIN totals t ON s.doc_id = t.doc_id
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+"""
+
 # batch-vs-corpus LSH near-dup: same signature/band CTEs as the
 # self-join oracle, but candidates pair batch (doc_id%4=0) bands with
 # corpus (doc_id%4!=0) bands, and survivors are batch docs with no
@@ -1279,6 +1392,7 @@ QUERIES = {
     "q_dedup_embedding": q_dedup_embedding,
     "q_dedup_incremental_lsh": q_dedup_incremental_lsh,
     "q_dedup_embedding_clusters": q_dedup_embedding_clusters,
+    "q_dedup_segments": q_dedup_segments,
 }
 
 BENCH = [
@@ -1290,4 +1404,6 @@ BENCH = [
     "q_dedup_embedding",
     # batch-vs-corpus banded join — the steady-state ingest-gate cost
     "q_dedup_incremental_lsh",
+    # C4-style sub-document dedup — two bounded shuffles
+    "q_dedup_segments",
 ]
