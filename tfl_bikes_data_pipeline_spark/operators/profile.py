@@ -248,13 +248,24 @@ def cms_sketch(df: DataFrame, key: str) -> DataFrame:
     partial aggregation reduces every partition to ≤256 rows before the
     shuffle — a 100 TB stream becomes a 256-row exchange. The sketch is
     mergeable by construction (counts add), i.e. the same relation
-    works as an incremental accumulator."""
-    rows = df.select(
+    works as an incremental accumulator.
+
+    Built in two aggregation levels: per-key exact counts first (the
+    heavier aggregate, map-side combined, NO row multiplication), then
+    the CMS_D-way explode runs over DISTINCT KEYS only before the tiny
+    cell aggregate — identical cell values (counts are associative),
+    but the ×CMS_D expansion touches #distinct-keys rows instead of
+    every input row."""
+    per_key = df.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("key_cnt")
+    )
+    rows = per_key.select(
         F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j"),
-        F.col(key).alias("k"),
+        "k",
+        "key_cnt",
     )
     return rows.groupBy("j", _cms_bucket(F.col("j"), F.col("k"))).agg(
-        F.count(F.lit(1)).alias("cnt")
+        F.sum("key_cnt").alias("cnt")
     )
 
 
