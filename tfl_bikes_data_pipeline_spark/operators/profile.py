@@ -422,3 +422,133 @@ ORACLES["q_cms_join_estimate"] = f"""
 """
 
 QUERIES["q_cms_join_estimate"] = q_cms_join_estimate
+
+
+# ---------------------------------------------------------------------------
+# data-quality expectations audit
+# ---------------------------------------------------------------------------
+
+def _check_rows(name: str, violations, checked) -> DataFrame:
+    return (
+        F.lit(name).alias("check_name"),
+        violations.cast("long").alias("n_violations"),
+        checked.cast("long").alias("n_checked"),
+    )
+
+
+def dq_audit(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """(check_name, n_violations, n_checked) — declarative expectation
+    checks over the warehouse tables: value-range assertions and
+    referential-integrity orphans, the audit a pipeline runs after
+    every load (the reference validates by eyeballing in-pipeline
+    profiling logs, ref spark/transform_load.py:38-55 — this is that
+    idea as a first-class, assertable operator).
+
+    Scale shape: every range check rides ONE aggregate over its table
+    scan (conditional sums — no per-check scans); each orphan check is
+    a left-anti join against a BROADCAST key dimension reduced to its
+    join key. Nothing here shuffles a fact table: the audit costs one
+    scan per audited table plus broadcast hash lookups, the same
+    discipline profile_nulls uses. The tiny per-check rows union at
+    the end (driver-sized, not data-sized)."""
+    li = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("bad_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1).otherwise(0)
+        ).alias("bad_disc"),
+    )
+    li_checks = li.select(
+        F.explode(
+            F.array(
+                F.struct(*_check_rows("lineitem_quantity_range", F.col("bad_qty"), F.col("n"))),
+                F.struct(*_check_rows("lineitem_discount_range", F.col("bad_disc"), F.col("n"))),
+            )
+        ).alias("c")
+    ).select("c.*")
+    ord_agg = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("bad_total"),
+    )
+    ord_checks = ord_agg.select(
+        F.explode(
+            F.array(
+                F.struct(*_check_rows("orders_nonpositive_total", F.col("bad_total"), F.col("n"))),
+            )
+        ).alias("c")
+    ).select("c.*")
+    li_orphans = (
+        lineitem.select("l_orderkey")
+        .join(
+            F.broadcast(orders.select("o_orderkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphans"))
+        .crossJoin(li.select(F.col("n").alias("n_li")))
+        .select(*_check_rows("lineitem_orphan_orderkey", F.col("orphans"), F.col("n_li")))
+    )
+    ord_orphans = (
+        orders.select("o_custkey")
+        .join(
+            F.broadcast(customer.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphans"))
+        .crossJoin(ord_agg.select(F.col("n").alias("n_ord")))
+        .select(*_check_rows("orders_orphan_custkey", F.col("orphans"), F.col("n_ord")))
+    )
+    return li_checks.unionByName(ord_checks).unionByName(li_orphans).unionByName(
+        ord_orphans
+    )
+
+
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq_audit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    ).orderBy("check_name")
+
+
+ORACLES["q_dq_audit"] = """
+    WITH li AS (
+        SELECT count(1) AS n,
+               sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS bad_qty,
+               sum(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS bad_disc
+        FROM lineitem
+    ),
+    ord AS (
+        SELECT count(1) AS n,
+               sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_total
+        FROM orders
+    ),
+    li_orphans AS (
+        SELECT count(1) AS orphans FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    ),
+    ord_orphans AS (
+        SELECT count(1) AS orphans FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT 'lineitem_quantity_range' AS check_name,
+           bad_qty::BIGINT AS n_violations, n::BIGINT AS n_checked FROM li
+    UNION ALL
+    SELECT 'lineitem_discount_range', bad_disc::BIGINT, n::BIGINT FROM li
+    UNION ALL
+    SELECT 'orders_nonpositive_total', bad_total::BIGINT, n::BIGINT FROM ord
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey', orphans::BIGINT,
+           (SELECT n FROM li)::BIGINT FROM li_orphans
+    UNION ALL
+    SELECT 'orders_orphan_custkey', orphans::BIGINT,
+           (SELECT n FROM ord)::BIGINT FROM ord_orphans
+    ORDER BY check_name
+"""
+
+QUERIES["q_dq_audit"] = q_dq_audit

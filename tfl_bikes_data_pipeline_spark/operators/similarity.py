@@ -747,3 +747,83 @@ BENCH = [
     "q_ann_quantized_topk",
 ]
 
+
+
+# ---------------------------------------------------------------------------
+# kNN-join classification
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+
+
+def knn_classify(
+    corpus: DataFrame, queries: DataFrame, labels: DataFrame, k: int = KNN_K
+) -> DataFrame:
+    """(qid, pred_label, n_votes) — k-nearest-neighbor majority-vote
+    classification: each query's top-``k`` cosine neighbors in the
+    labeled corpus vote; the winning label is the vote-count argmax,
+    tie-broken toward the smaller label id (deterministic).
+
+    The standard embedding-space labeling pass of a training-data
+    pipeline (weak labeling / label propagation onto unlabeled
+    documents). Scale shape: the scoring is :func:`cosine_topk`'s plan
+    — broadcast queries, linear corpus scan, per-query window — and the
+    vote is a ≤ q·k-row aggregate, negligible. Swap the scorer for
+    :func:`ivf_search` at large query volumes; the vote stage is
+    unchanged."""
+    hits = cosine_topk(corpus, queries, k).join(labels, "vec_id")
+    votes = hits.groupBy("qid", "label").agg(F.count(F.lit(1)).alias("n_votes"))
+    w = Window.partitionBy("qid").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify the NUM_QUERIES held-out vectors against the labeled
+    rest of the corpus; output the prediction next to the true label."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    held_out = embeddings.where(F.col("vec_id") < NUM_QUERIES)
+    rest = embeddings.where(F.col("vec_id") >= NUM_QUERIES)
+    corpus = _vecs(rest, "vec_id", "cv")
+    queries = _vecs(held_out, "qid", "qv")
+    labels = rest.select("vec_id", "label")
+    truth = held_out.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label")
+    )
+    return (
+        knn_classify(corpus, queries, labels)
+        .join(truth, "qid")
+        .select("qid", "true_label", "pred_label", "n_votes")
+        .orderBy("qid")
+    )
+
+
+ORACLES["q_knn_classify"] = f"""
+    WITH hits AS (
+        SELECT q.vec_id AS qid, c.label,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC, c.vec_id
+               ) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id >= {NUM_QUERIES}
+        WHERE q.vec_id < {NUM_QUERIES}
+        QUALIFY rank <= {KNN_K}
+    ),
+    votes AS (
+        SELECT qid, label, count(1)::BIGINT AS n_votes FROM hits GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT qid, label AS pred_label, n_votes FROM votes
+        QUALIFY row_number() OVER (
+            PARTITION BY qid ORDER BY n_votes DESC, label) = 1
+    )
+    SELECT w.qid, q.label AS true_label, w.pred_label, w.n_votes
+    FROM win w JOIN embeddings q ON q.vec_id = w.qid
+    ORDER BY w.qid
+"""
+
+QUERIES["q_knn_classify"] = q_knn_classify
+BENCH.append("q_knn_classify")

@@ -768,3 +768,82 @@ ORACLES["q_text_boilerplate"] = f"""
 
 QUERIES["q_text_boilerplate"] = q_text_boilerplate
 BENCH.append("q_text_boilerplate")
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) — each document's mean token
+    log-probability under the corpus's own unigram language model
+    (p(w) = count(w) / total tokens): the perplexity-style fluency
+    filter of CCNet-class pipelines, with the corpus itself standing in
+    for the external LM (no model files in this container).
+
+    Determinism discipline: each token's ln(p) is rounded to 6 dp and
+    summed as EXACT DECIMAL — the per-doc sum is order-independent, so
+    shuffle layout can't change the result and the DuckDB oracle
+    matches bit-for-bit (ulp-level libm divergence would have to land
+    exactly on a rounding boundary to matter).
+
+    Scale shape: token stream → one word-count aggregate (the model) →
+    model joined back onto the token stream — at real scale the model
+    relation is a vocabulary table (≤ millions of rows, broadcastable
+    after a min-count floor) and the token stream never shuffles: the
+    join is broadcast-hash against the scan, then one per-doc
+    aggregate. Total: two aggregates + one broadcast join, all linear."""
+    tokens = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word"),
+    )
+    model = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = model.agg(F.sum("c").alias("total"))
+    model = model.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.round(F.log(F.col("c").cast("double") / F.col("total").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    return (
+        tokens.join(F.broadcast(model), "word")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("lp_sum"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("lp_sum").cast("string").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(documents).orderBy("doc_id")
+
+
+ORACLES["q_text_unigram_logprob"] = """
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+        FROM documents
+    ),
+    model AS (
+        SELECT word,
+               CAST(round(ln(count(1)::DOUBLE
+                   / (SELECT count(1)::DOUBLE FROM tokens)), 6)
+                   AS DECIMAL(18,6)) AS lp
+        FROM tokens GROUP BY word
+    )
+    SELECT t.doc_id, count(1)::BIGINT AS n_tokens,
+           round(CAST(CAST(sum(lp) AS VARCHAR) AS DOUBLE)
+                 / count(1)::DOUBLE, 6) AS avg_logprob
+    FROM tokens t JOIN model m ON t.word = m.word
+    GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+QUERIES["q_text_unigram_logprob"] = q_text_unigram_logprob
+BENCH.append("q_text_unigram_logprob")

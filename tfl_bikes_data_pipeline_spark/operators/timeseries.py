@@ -341,3 +341,227 @@ ORACLES["q_ts_similarity"] = """
 
 QUERIES["q_ts_similarity"] = q_ts_similarity
 BENCH.append("q_ts_similarity")
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization
+# ---------------------------------------------------------------------------
+
+#: gap (seconds) that closes a session — the batch twin of the
+#: streaming session window's 30-minute gap (streaming/stateful.py).
+SESSION_GAP_S = 1800
+
+
+def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """(user_id, session_id, n_events, duration_s, total_value) — batch
+    sessionization: per user, events ordered by (ts, event_id) start a
+    new session whenever the gap from the previous event exceeds
+    ``gap_s``; ``session_id`` is the 1-based session index within the
+    user. The classic lag → flag → running-sum assignment, then one
+    per-session aggregate.
+
+    Scale shape: ONE shuffle on ``user_id`` serves both the window pass
+    and the (user_id, session_id) aggregate — Catalyst reuses the
+    partitioning because the groupBy keys are a superset of the window
+    partition key, so no second Exchange. Per-user state is the window
+    frame only (no corpus-wide sort). This is the batch twin of the
+    streaming session window ([[q_session_window]]); at 100 TB the fact
+    table's user-bucketed layout makes the one shuffle a no-op too.
+    Sums are exact DECIMAL then one double cast — engine-portable.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    gap = epoch - F.lag(epoch).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    sessed = events.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sessed.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(epoch) - F.min(epoch)).alias("duration_s"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events).orderBy("user_id", "session_id")
+
+
+ORACLES["q_sessionize"] = f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS es,
+               CASE WHEN floor(epoch(ts))::BIGINT
+                         - lag(floor(epoch(ts))::BIGINT) OVER w > {SESSION_GAP_S}
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessed AS (
+        SELECT user_id, es, value,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY es, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(1)::BIGINT AS n_events,
+           (max(es) - min(es))::BIGINT AS duration_s,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               AS total_value
+    FROM sessed GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+"""
+
+QUERIES["q_sessionize"] = q_sessionize
+BENCH.append("q_sessionize")
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+
+
+def ewma_last(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
+    """(user_id, event_type, n, ewma) — final exponentially-weighted
+    moving average of ``value`` per (user, type) series, ordered by
+    (ts, event_id).
+
+    EWMA is a sequential recurrence (acc ← α·x + (1−α)·acc), which no
+    commutative SQL aggregate expresses — the engine-portable trick is
+    an ORDERED per-series array + a LEFT FOLD: Spark's ``aggregate``
+    and DuckDB's ``list_reduce`` both fold left, so the IEEE operation
+    sequence is identical bit-for-bit on both engines (same discipline
+    as the dot-product folds in functions/vectors.py).
+
+    Scale shape: one shuffle on the series key; per-series state is the
+    collected value array — series here are (user, type) event streams
+    (thousands of points at most), the same per-key boundedness the
+    streaming stateful path assumes. For unbounded series you'd chunk
+    by time and carry the accumulator across chunks (the streaming
+    variant's state exactly)."""
+    seq = events.groupBy("user_id", "event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s")
+    )
+    fold = (
+        f"aggregate(slice(vals, 2, size(vals) - 1), vals[0], "
+        f"(acc, x) -> CAST({alpha} AS DOUBLE) * x "
+        f"+ CAST({1 - alpha} AS DOUBLE) * acc)"
+    )
+    return (
+        seq.select(
+            "user_id",
+            "event_type",
+            F.expr("transform(s, e -> e.value)").alias("vals"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.size("vals").alias("n"),
+            F.round(F.expr(fold), 6).alias("ewma"),
+        )
+    )
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return ewma_last(events).orderBy("user_id", "event_type")
+
+
+ORACLES["q_ewma"] = f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, len(vals)::INT AS n,
+           round(list_reduce(vals,
+               (acc, x) -> {EWMA_ALPHA}::DOUBLE * x
+                           + {1 - EWMA_ALPHA}::DOUBLE * acc), 6) AS ewma
+    FROM seq ORDER BY user_id, event_type
+"""
+
+QUERIES["q_ewma"] = q_ewma
+BENCH.append("q_ewma")
+
+
+# ---------------------------------------------------------------------------
+# z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+ZSCORE_THRESHOLD = 3.0
+
+
+def zscore_outliers(
+    events: DataFrame, threshold: float = ZSCORE_THRESHOLD
+) -> DataFrame:
+    """(event_id, event_type, value, z) — events whose value deviates
+    from its type's mean by more than ``threshold`` standard deviations
+    (population σ).
+
+    Determinism discipline: Σx and Σx² are EXACT DECIMAL aggregates
+    (order-independent), cast to double once; mean/σ/z are then a fixed
+    double expression over those two exact scalars, so every engine
+    computes the identical z bit-for-bit. The per-type stats relation is
+    tiny and broadcast back onto the fact scan — two passes over the
+    fact, no wide shuffle of fact rows at all."""
+    stats = events.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("sx"),
+        F.sum(
+            (F.col("value").cast("decimal(18,6)") * F.col("value").cast("decimal(18,6)")).cast("decimal(38,12)")
+        ).cast("string").cast("double").alias("sxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = F.col("sxx") / F.col("n") - mean * mean
+    stats = stats.select(
+        "event_type", mean.alias("mu"), F.sqrt(var).alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+        .where(F.abs(F.col("z")) > threshold)
+    )
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return zscore_outliers(events).orderBy("event_id")
+
+
+ORACLES["q_anomaly_zscore"] = f"""
+    WITH stats AS (
+        SELECT event_type,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(sum(CAST(CAST(value AS DECIMAL(18,6))
+                    * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxx,
+               count(1) AS n
+        FROM events GROUP BY event_type
+    ),
+    sded AS (
+        SELECT event_type, sx / n AS mu,
+               sqrt(sxx / n - (sx / n) * (sx / n)) AS sigma
+        FROM stats
+    )
+    SELECT event_id, e.event_type, value,
+           round((value - mu) / sigma, 6) AS z
+    FROM events e JOIN sded s ON e.event_type = s.event_type
+    WHERE abs(round((value - mu) / sigma, 6)) > {ZSCORE_THRESHOLD}
+    ORDER BY event_id
+"""
+
+QUERIES["q_anomaly_zscore"] = q_anomaly_zscore
+BENCH.append("q_anomaly_zscore")
