@@ -100,6 +100,31 @@ def test_embedding_blocked_precision_and_recall(spark, sf_dir):
     assert recall >= 0.8, f"blocked recall {recall:.2f} below 0.8 floor"
 
 
+def test_embedding_probed_precision_and_recall(spark, sf_dir):
+    """The asymmetric IVF-probed near-dup (the DECLARED q_dedup_embedding
+    plan) must be a subset of exact all-pairs with recall ≥ 0.95 at the
+    dedup threshold — nprobe=12 measured recall 1.0 on sf0.001 and
+    sf0.01; the floor leaves slack for fixture regeneration."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        embedding_cosine_pairs_probed,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs(emb, COSINE_DUP_THRESHOLD).collect()
+    }
+    probed = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs_probed(emb, COSINE_DUP_THRESHOLD).collect()
+    }
+    assert probed <= exact, "probing must never invent pairs"
+    assert exact, "fixture should contain planted embedding near-dups"
+    recall = len(probed) / len(exact)
+    assert recall >= 0.95, f"probed recall {recall:.2f} below 0.95 floor"
+
+
 def test_df_cap_drops_only_boilerplate_only_pairs(spark):
     """With a tiny cap, docs whose ONLY overlap is a high-df boilerplate
     shingle produce no candidate pair, while pairs sharing rare

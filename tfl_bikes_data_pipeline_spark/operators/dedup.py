@@ -10,8 +10,10 @@ dedup keys):
 - SimHash               : per-bit majority over token hashes
 - n-gram Jaccard        : exact jaccard over shingle-sharing pairs,
                           document-frequency-capped candidate index
-- embedding near-dup    : IVF-blocked cosine over ``array<float>``
-                          (exact all-pairs kept as the recall baseline)
+- embedding near-dup    : asymmetric IVF probing (home bucket index,
+                          nprobe query probes) over ``array<float>``;
+                          symmetric multi-assign + exact all-pairs kept
+                          as library/recall baselines
 
 Scale notes: the LSH path is the 100 TB design — candidate generation
 cost is O(docs × bands) with a shuffle keyed on (band_id, band_key);
@@ -717,6 +719,106 @@ def embedding_cosine_pairs_blocked(
     )
 
 
+#: query-side probe width for the ASYMMETRIC (IVF-search-shaped)
+#: near-dup blocking: each vector is indexed under its single nearest
+#: centroid (home bucket) and queries its ``nprobe`` nearest centroids'
+#: buckets. Verify cost is O(n · nprobe · DOCS_PER_CENTROID) — LINEAR
+#: in nprobe, vs the symmetric multi-assign's QUADRATIC
+#: O(n · nassign² · DOCS_PER_CENTROID) bucket self-join — so recall is
+#: cheap to buy: nprobe=12 measures recall 1.0 vs exact all-pairs at
+#: threshold 0.4 on sf0.001/sf0.01 (floor pinned in tests/test_dedup.py)
+#: at ~half the symmetric nassign=5 verify volume (600n vs 1250n pairs).
+EMBED_PROBE_NPROBE = 12
+
+
+def embedding_cosine_pairs_probed(
+    embeddings: DataFrame,
+    threshold: float,
+    num_centroids: int | None = None,
+    nprobe: int = EMBED_PROBE_NPROBE,
+) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) — embedding near-dup with ASYMMETRIC
+    IVF probing, the textbook IVF-search shape applied to dedup: every
+    vector is INDEXED once under its nearest centroid (home bucket) and
+    QUERIES its ``nprobe`` nearest centroids; candidates are
+    (query, indexed) vectors meeting in a bucket, verified by exact
+    cosine. A pair (a,b) is found when b's home bucket is among a's
+    probes or vice versa — ordered via least/greatest so each surviving
+    pair appears once.
+
+    Why this beats the symmetric multi-assign
+    ([[embedding_cosine_pairs_blocked]], kept as the library variant):
+    the index side holds n rows (one home bucket each), so expected
+    candidates are n·nprobe·DOCS_PER_CENTROID — linear in the recall
+    knob — while the symmetric bucket self-join pays
+    n·nassign²·DOCS_PER_CENTROID, quadratic in its knob. At equal
+    measured recall (1.0 @ threshold 0.4) the probed plan verifies
+    ~half the pairs and scales its recall knob 5× cheaper. Same single
+    wide shuffle keyed on ``centroid_id``; centroid scoring is one
+    broadcast nested loop + one per-vector window (rank ≤ nprobe, the
+    home bucket is rank 1 of the same pass — no second scoring)."""
+    from ..functions.vectors import dot_expr, norm_expr
+
+    release_cached_relations()
+    if num_centroids is None:
+        # fallback for raw DataFrames (one count action); the declared
+        # query threads the parquet-footer count instead — one job.
+        num_centroids = embed_block_num_centroids(embeddings.count())
+
+    e = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
+    ).withColumn("nv", F.expr(norm_expr("cv")))
+    centroids = e.where(F.col("vec_id") < num_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("cv").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    scored = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(
+            F.expr(dot_expr("cv", "qv")) / (F.col("nv") * F.col("nq")), 6
+        ).alias("c_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    # one ranked pass serves both sides: rn=1 is the home (index)
+    # assignment, rn≤nprobe the query probes. Arrays are re-attached
+    # once and the relation persisted — home and probe sides both read
+    # it (lifecycle via _retain, released at the next dedup call).
+    ranked = _retain(
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .join(e, "vec_id")
+    )
+    home = ranked.where(F.col("rn") == 1).select(
+        "centroid_id",
+        F.col("vec_id").alias("vec_h"),
+        F.col("cv").alias("vh"),
+        F.col("nv").alias("nh"),
+    )
+    probes = ranked.select(
+        "centroid_id",
+        F.col("vec_id").alias("vec_p"),
+        F.col("cv").alias("vp"),
+        F.col("nv").alias("np_"),
+    )
+    return (
+        probes.join(home, "centroid_id")
+        .where(F.col("vec_p") != F.col("vec_h"))
+        .select(
+            F.least("vec_p", "vec_h").alias("vec_a"),
+            F.greatest("vec_p", "vec_h").alias("vec_b"),
+            F.round(
+                F.expr(dot_expr("vp", "vh")) / (F.col("np_") * F.col("nh")), 6
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """(doc_id, cluster_id) — connected components over near-dup pairs:
     min-label propagation iterated to fixpoint (cluster_id = smallest
@@ -902,17 +1004,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-blocked embedding near-dup — the production plan (bounded
-    candidate generation, no unbounded crossJoin). The exact all-pairs
-    form stays available as :func:`embedding_cosine_pairs` and its
-    recall is measured against this plan in tests/test_dedup.py.
+    """IVF-probed embedding near-dup — the production plan: bounded
+    candidate generation (broadcast centroid scoring, one bucket-keyed
+    shuffle, no unbounded crossJoin) with the ASYMMETRIC home/probe
+    blocking of :func:`embedding_cosine_pairs_probed` (recall 1.0 vs
+    exact all-pairs at the dedup threshold, measured and floor-pinned
+    in tests/test_dedup.py; the symmetric multi-assign and exact
+    all-pairs forms stay available as library functions).
 
     The centroid count comes from parquet FOOTER metadata (the
     table-stats lookup a catalog provides at warehouse scale), not a
     ``count()`` action — the whole query runs as one job."""
     embeddings = load_table(spark, sf_dir, "embeddings")
     k = embed_block_num_centroids(table_row_count(sf_dir, "embeddings"))
-    return embedding_cosine_pairs_blocked(
+    return embedding_cosine_pairs_probed(
         embeddings, COSINE_DUP_THRESHOLD, num_centroids=k
     ).orderBy("vec_a", "vec_b")
 
@@ -1234,10 +1339,11 @@ ORACLES: dict[str, str] = {
         SELECT node AS doc_id, min(root)::BIGINT AS cluster_id
         FROM reach GROUP BY node ORDER BY doc_id
     """,
-    # exact textual mirror of the IVF blocking: top-nassign centroid
-    # multi-assignment (corpus-scaled centroid count via the same
-    # max(MIN, n // DOCS_PER) formula), same-bucket candidates, cosine
-    # verify.
+    # exact textual mirror of the ASYMMETRIC IVF probing: one ranked
+    # centroid-score pass (corpus-scaled centroid count via the same
+    # max(MIN, n // DOCS_PER) formula); rank 1 = home (index) bucket,
+    # rank ≤ nprobe = query probes; candidates pair probes with homes;
+    # cosine verify.
     "q_dedup_embedding": f"""
         WITH corpus AS (
             SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
@@ -1251,8 +1357,8 @@ ORACLES: dict[str, str] = {
                 FROM embeddings
             )
         ),
-        assign AS (
-            SELECT vec_id, centroid_id
+        ranked AS (
+            SELECT vec_id, centroid_id, rn
             FROM (
                 SELECT c.vec_id, k.centroid_id,
                        row_number() OVER (
@@ -1261,12 +1367,16 @@ ORACLES: dict[str, str] = {
                                     k.centroid_id
                        ) AS rn
                 FROM corpus c CROSS JOIN cent k
-            ) WHERE rn <= {EMBED_BLOCK_NASSIGN}
+            ) WHERE rn <= {EMBED_PROBE_NPROBE}
+        ),
+        home AS (
+            SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
         ),
         cand AS (
-            SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-            FROM assign x JOIN assign y ON x.centroid_id = y.centroid_id
-            WHERE x.vec_id < y.vec_id
+            SELECT DISTINCT least(p.vec_id, h.vec_id) AS vec_a,
+                            greatest(p.vec_id, h.vec_id) AS vec_b
+            FROM ranked p JOIN home h ON p.centroid_id = h.centroid_id
+            WHERE p.vec_id != h.vec_id
         )
         SELECT c.vec_a, c.vec_b,
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim

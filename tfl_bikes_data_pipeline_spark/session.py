@@ -45,6 +45,18 @@ RUNTIME_SQL_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # InferFiltersFromGenerate turns explode(f(x)) into
+    # Filter(size(f(x)) > 0 AND isnotnull(f(x))) + Generate and pushes
+    # the filter toward the scan — for the engine's shingle/token plans
+    # f(x) is the FULL tokenize→transform→array_distinct pipeline, so
+    # the "optimization" re-evaluates it twice per row below the
+    # parallelizing exchange (measured 4-5× slowdown on every
+    # shingle-exploding query at sf0.1; the filter saves nothing here
+    # because explode already skips empty/null arrays). Excluding the
+    # rule is plan-shape only — results are identical.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 

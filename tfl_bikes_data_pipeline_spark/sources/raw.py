@@ -127,7 +127,44 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_csv_roundtrip": q_csv_roundtrip, "q_orc_roundtrip": q_orc_roundtrip}
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source roundtrip — the third wire format
+    (interchange with event collectors / log shippers, which almost
+    always speak NDJSON). Events go typed→JSONL→typed with an EXPLICIT
+    read schema (never inference: at 100 TB schema inference is a full
+    extra pass over the data, and a drifting producer would silently
+    re-type a column mid-feed). Timestamps must survive at microsecond
+    grain through the ISO-8601 string form; the oracle reads the
+    original parquet, so any loss in the JSON layer fails the hash."""
+    events = load_table(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="raw_json_"), "events_json")
+    # Spark's default JSON timestampFormat is millisecond-grain —
+    # micros must be spelled out on BOTH sides or the layer silently
+    # rounds every timestamp (caught by this query's parquet oracle).
+    micros_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    events.write.mode("overwrite").option("timestampFormat", micros_fmt).json(out)
+    back = (
+        spark.read.schema(events.schema)
+        .option("timestampFormat", micros_fmt)
+        .json(out)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("total_value"),
+            F.min("ts").alias("min_ts"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "q_csv_roundtrip": q_csv_roundtrip,
+    "q_orc_roundtrip": q_orc_roundtrip,
+    "q_json_roundtrip": q_json_roundtrip,
+}
 
 # Same semantics as p_fact_build: the CSV layer must be lossless at
 # minute grain (the reference's wire format drops sub-minute precision,
@@ -148,6 +185,10 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
+
+# identical shape to the ORC roundtrip: both formats must preserve the
+# typed columns exactly, so both share the parquet-sourced oracle.
+ORACLES["q_json_roundtrip"] = ORACLES["q_orc_roundtrip"]
 
 
 def read_csv_quarantine(
