@@ -389,3 +389,25 @@ def test_two_level_assign_broadcasts_all_centroid_relations(spark, sf_dir):
     import re
 
     assert not re.search(r"(?<!Broadcast)NestedLoopJoin", plan.replace("BroadcastNestedLoopJoin", "BNLJ"))
+
+
+def test_shingle_explode_has_no_inferred_generate_filter(spark, sf_dir):
+    """InferFiltersFromGenerate must stay excluded: it rewrites
+    explode(f(x)) into Filter(size(f(x)) > 0 ...) + Generate, pushing a
+    filter that RE-EVALUATES the full tokenize→shingle pipeline twice
+    per row below the parallelizing exchange (measured 4-5× on every
+    shingle-exploding query at sf0.1). The optimized plan must contain
+    exactly one evaluation site of the shingle transform: the Generate
+    input's projection — never a Filter over the transform."""
+    from tfl_bikes_data_pipeline_spark import registry
+
+    df = registry.QUERIES["q_text_boilerplate"](spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # the inferred filter's fingerprint is a Filter node whose condition
+    # contains the generator expression (transform over the word split)
+    for line in optimized.splitlines():
+        if line.strip().startswith("Filter") and "transform(" in line:
+            raise AssertionError(
+                "inferred Generate filter re-evaluating the shingle "
+                f"transform is back in the plan:\n{line.strip()[:200]}"
+            )

@@ -847,3 +847,165 @@ ORACLES["q_text_unigram_logprob"] = """
 
 QUERIES["q_text_unigram_logprob"] = q_text_unigram_logprob
 BENCH.append("q_text_unigram_logprob")
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (PageRank over the co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+TEXTRANK_DAMPING = 0.85
+TEXTRANK_ITERATIONS = 3
+TEXTRANK_TOP_K = 20
+
+
+def cooccurrence_edges(documents: DataFrame) -> DataFrame:
+    """(src, dst, weight) — the symmetrized adjacent-word co-occurrence
+    graph: each adjacent token pair is an undirected edge weighted by
+    its corpus count. Narrow bigram build (1-based ``element_at`` so
+    the DuckDB twin indexes identically) → one aggregate on the
+    normalized pair → union of both directions."""
+    words = documents.select(
+        F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    )
+    pair_expr = (
+        "CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(1, size(w) - 1), "
+        "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b)) "
+        "ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END"
+    )
+    pairs = (
+        words.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(
+            F.least("p.a", "p.b").alias("a"), F.greatest("p.a", "p.b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "weight"
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "weight")
+    )
+
+
+def textrank(
+    documents: DataFrame,
+    damping: float = TEXTRANK_DAMPING,
+    iterations: int = TEXTRANK_ITERATIONS,
+    top_k: int = TEXTRANK_TOP_K,
+) -> DataFrame:
+    """(word, rank) — TextRank keyword extraction: weighted PageRank
+    over the adjacent-word co-occurrence graph, ``iterations`` fixed
+    power-iteration rounds from the uniform start, top-``top_k`` words.
+
+    Engine-portable ITERATIVE numerics (same discipline as the k-means
+    oracle): each neighbor contribution is quantized to 12 dp and
+    summed as EXACT DECIMAL — order-independent, so shuffle layout
+    can't change a rank — and each round's rank is re-quantized before
+    the next, so error cannot compound into divergence. The fixed
+    iteration count makes the whole run SQL-expressible (the DuckDB
+    oracle unrolls the rounds as CTEs).
+
+    Scale shape: the edge relation aggregates once (narrow bigram
+    build, one pair-keyed shuffle); each round is one hash join
+    edges ⨝ ranks keyed on src + one dst-keyed aggregate — the
+    standard distributed PageRank step. The rank relation (one row per
+    vocabulary word) is orders of magnitude smaller than the corpus;
+    at web scale you'd partition both relations by the same key so
+    rounds reuse the partitioning."""
+    edges = cooccurrence_edges(documents).persist()
+    outw = edges.groupBy("src").agg(F.sum("weight").alias("outw"))
+    e = edges.join(outw, "src")
+    nodes = edges.select(F.col("src").alias("word")).distinct()
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
+    for _ in range(iterations):
+        contrib = e.join(
+            ranks.select(F.col("word").alias("src"), "r"), "src"
+        ).select(
+            F.col("dst").alias("word"),
+            F.round(
+                F.lit(damping) * (F.col("weight") / F.col("outw")) * F.col("r"),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("c"),
+        )
+        ranks = contrib.groupBy("word").agg(
+            F.round(
+                F.lit(base) + F.sum("c").cast("string").cast("double"), 12
+            ).alias("r")
+        )
+    result = (
+        ranks.select("word", F.round("r", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("word"))
+        .limit(top_k)
+    )
+    edges.unpersist()
+    return result
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load_table(spark, sf_dir, "documents")
+    return textrank(documents)
+
+
+def _textrank_round_sql(i: int, prev: str) -> str:
+    return f"""
+    r{i} AS (
+        SELECT e.dst AS word,
+               round((SELECT base FROM consts)
+                     + CAST(CAST(sum(CAST(round(
+                           {TEXTRANK_DAMPING} * (e.weight / e.outw) * p.r,
+                       12) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE),
+                   12) AS r
+        FROM e JOIN {prev} p ON e.src = p.word
+        GROUP BY e.dst
+    )"""
+
+
+ORACLES["q_textrank_keywords"] = f"""
+    WITH words AS (
+        SELECT string_split(lower(trim(text)), ' ') AS w FROM documents
+    ),
+    raw_pairs AS (
+        SELECT least(w[i], w[i+1]) AS a, greatest(w[i], w[i+1]) AS b
+        FROM (SELECT w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+              FROM words)
+        WHERE w[i] != w[i+1]
+    ),
+    pairs AS (
+        SELECT a, b, count(1) AS weight FROM raw_pairs GROUP BY a, b
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst, weight FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst, weight FROM pairs
+    ),
+    outw AS (
+        SELECT src, sum(weight) AS outw FROM edges GROUP BY src
+    ),
+    e AS (
+        SELECT edges.src, edges.dst, edges.weight, outw.outw
+        FROM edges JOIN outw ON edges.src = outw.src
+    ),
+    consts AS (
+        SELECT count(DISTINCT src) AS n,
+               (1.0 - {TEXTRANK_DAMPING}) / count(DISTINCT src) AS base,
+               1.0 / count(DISTINCT src) AS r0
+        FROM edges
+    ),
+    ranks0 AS (
+        SELECT DISTINCT src AS word, (SELECT r0 FROM consts) AS r FROM edges
+    ),
+    {_textrank_round_sql(1, "ranks0")},
+    {_textrank_round_sql(2, "r1")},
+    {_textrank_round_sql(3, "r2")}
+    SELECT word, round(r, 6) AS rank
+    FROM r3 ORDER BY rank DESC, word LIMIT {TEXTRANK_TOP_K}
+"""
+
+QUERIES["q_textrank_keywords"] = q_textrank_keywords
+BENCH.append("q_textrank_keywords")
