@@ -1009,3 +1009,136 @@ ORACLES["q_textrank_keywords"] = f"""
 
 QUERIES["q_textrank_keywords"] = q_textrank_keywords
 BENCH.append("q_textrank_keywords")
+
+
+# ---------------------------------------------------------------------------
+# keyness: distinctive terms per source (log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+KEYNESS_TOP_K = 5
+
+
+def source_keyness(documents: DataFrame, top_k: int = KEYNESS_TOP_K) -> DataFrame:
+    """(source, word, g2, rk) — each source's ``top_k`` most distinctive
+    terms by Dunning's G² log-likelihood ratio against the rest of the
+    corpus: the standard corpus-comparison statistic for "what is this
+    slice about / is this feed drifting" curation questions.
+
+    G² = 2·(a·ln(a/e1) + b·ln(b/e2)) with a = term count in the
+    source, b = in the rest, c/d = token totals, e1 = c·(a+b)/(c+d),
+    e2 = d·(a+b)/(c+d); zero-count terms contribute zero (lim x→0 of
+    x·ln x). All inputs are EXACT integer counts and the statistic is
+    one fixed double expression per row — no order-dependent float
+    aggregation anywhere, so the DuckDB twin is bit-identical.
+
+    Scale shape: one (source, word) count aggregate over the token
+    stream, one word-total aggregate derived from it, per-source totals
+    broadcast — the heavy relation shuffles ONCE on the word key; the
+    per-source top-k is a window over the scored relation (vocabulary-
+    sized, not corpus-sized)."""
+    tokens = documents.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word"),
+    )
+    sw = tokens.groupBy("source", "word").agg(F.count(F.lit(1)).alias("a"))
+    wtot = sw.groupBy("word").agg(F.sum("a").alias("ab"))
+    stot = sw.groupBy("source").agg(F.sum("a").alias("c"))
+    gtot = stot.agg(F.sum("c").alias("cd"))
+    scored = (
+        sw.join(wtot, "word")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(gtot))
+        .withColumn("b", F.col("ab") - F.col("a"))
+        .withColumn("d", F.col("cd") - F.col("c"))
+        .withColumn(
+            "e1",
+            F.col("c").cast("double")
+            * F.col("ab").cast("double")
+            / F.col("cd").cast("double"),
+        )
+        .withColumn(
+            "e2",
+            F.col("d").cast("double")
+            * F.col("ab").cast("double")
+            / F.col("cd").cast("double"),
+        )
+        .withColumn(
+            "g2",
+            F.round(
+                F.lit(2.0)
+                * (
+                    F.when(
+                        F.col("a") > 0,
+                        F.col("a").cast("double")
+                        * F.log(F.col("a").cast("double") / F.col("e1")),
+                    ).otherwise(F.lit(0.0))
+                    + F.when(
+                        F.col("b") > 0,
+                        F.col("b").cast("double")
+                        * F.log(F.col("b").cast("double") / F.col("e2")),
+                    ).otherwise(F.lit(0.0))
+                ),
+                6,
+            ),
+        )
+        # keyness (overuse in the source), not mere deviation: keep
+        # terms whose source rate exceeds the corpus rate.
+        .where(
+            F.col("a").cast("double") * F.col("cd").cast("double")
+            > F.col("ab").cast("double") * F.col("c").cast("double")
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("g2"), F.asc("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .select("source", "word", "g2", "rk")
+    )
+
+
+def q_text_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load_table(spark, sf_dir, "documents")
+    return source_keyness(documents).orderBy("source", "rk")
+
+
+ORACLES["q_text_keyness"] = f"""
+    WITH tokens AS (
+        SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS word
+        FROM documents
+    ),
+    sw AS (
+        SELECT source, word, count(1) AS a FROM tokens GROUP BY source, word
+    ),
+    wtot AS (SELECT word, sum(a) AS ab FROM sw GROUP BY word),
+    stot AS (SELECT source, sum(a) AS c FROM sw GROUP BY source),
+    gtot AS (SELECT sum(c) AS cd FROM stot),
+    scored AS (
+        SELECT sw.source, sw.word,
+               round(2.0 * (
+                   CASE WHEN sw.a > 0 THEN sw.a::DOUBLE * ln(sw.a::DOUBLE /
+                       (stot.c::DOUBLE * wtot.ab::DOUBLE / gtot.cd::DOUBLE))
+                   ELSE 0.0 END
+                 + CASE WHEN (wtot.ab - sw.a) > 0 THEN (wtot.ab - sw.a)::DOUBLE
+                       * ln((wtot.ab - sw.a)::DOUBLE /
+                       ((gtot.cd - stot.c)::DOUBLE * wtot.ab::DOUBLE / gtot.cd::DOUBLE))
+                   ELSE 0.0 END
+               ), 6) AS g2,
+               sw.a::DOUBLE * gtot.cd::DOUBLE AS lhs,
+               wtot.ab::DOUBLE * stot.c::DOUBLE AS rhs
+        FROM sw
+        JOIN wtot USING (word)
+        JOIN stot USING (source)
+        CROSS JOIN gtot
+    )
+    SELECT source, word, g2, rk FROM (
+        SELECT source, word, g2,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY g2 DESC, word
+               )::INT AS rk
+        FROM scored WHERE lhs > rhs
+    ) WHERE rk <= {KEYNESS_TOP_K}
+    ORDER BY source, rk
+"""
+
+QUERIES["q_text_keyness"] = q_text_keyness
+BENCH.append("q_text_keyness")

@@ -424,3 +424,57 @@ QUERIES["q_stream_static_join"] = q_stream_static_join
 #: BENCH_r{N}.json. q_session_window (streaming.stateful) is benched
 #: from its own module.
 BENCH = ["q_stream_tumbling", "q_stream_sliding", "q_stream_join"]
+
+
+def stream_upsert_to_warehouse(
+    spark: SparkSession,
+    landing_dir: str,
+    out_path: str,
+    keys: list[str] | None = None,
+) -> None:
+    """foreachBatch MERGE sink: each micro-batch upserts into the
+    warehouse snapshot by key — the streaming CDC-apply pattern
+    (late re-deliveries and corrections overwrite their earlier rows
+    instead of appending duplicates, so the sink converges to exactly
+    one row per key no matter how many times the feed re-sends).
+
+    Pattern: inside foreachBatch the micro-batch is a plain batch
+    DataFrame, so the sink composes the batch
+    :func:`~..operators.merge.merge_upsert` with a stage-and-swap
+    write (write the merged snapshot to a temp dir, atomically rename
+    over the live one) — exactly-once per epoch without a
+    transactional table format. Within-batch duplicates collapse to
+    the latest row by (ts, event_id) before the merge, mirroring the
+    CDC latest-wins rule. Spark cannot express this as a native
+    streaming sink (no MERGE target); foreachBatch is the documented
+    escape hatch and keeps everything JVM-side."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..operators.merge import merge_upsert
+
+    keys = keys or ["event_id"]
+    events = read_events_stream(spark, landing_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        w = Window.partitionBy(*keys).orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if os.path.isdir(out_path):
+            base = spark.read.parquet(out_path)
+            merged = merge_upsert(base, latest.select(*base.columns), keys)
+        else:
+            merged = latest
+        staged = f"{out_path}.__epoch_{epoch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        if os.path.isdir(out_path):
+            shutil.rmtree(out_path)
+        os.rename(staged, out_path)
+
+    q = events.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
