@@ -993,3 +993,94 @@ ORACLES["q_cohort_retention"] = """
 QUERIES["q_running_total"] = q_running_total
 QUERIES["q_funnel"] = q_funnel
 QUERIES["q_cohort_retention"] = q_cohort_retention
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) over the synthetic star: top-10
+    undelivered orders by revenue for one market segment — the classic
+    3-way selective join + aggregate + top-k. Every predicate is
+    scan-pushed; ``customer`` is a broadcast dim; only the
+    orders⨝lineitem join shuffles, keyed on the orderkey both sides
+    aggregate on, so the groupBy reuses the join partitioning (no
+    second fact Exchange). Revenue is an exact DECIMAL sum → one
+    double cast — engine-portable."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = "1995-03-15"
+    revenue = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(28,8)")
+    return (
+        lineitem.where(F.col("l_shipdate") > cutoff)
+        .join(orders.where(F.col("o_orderdate") < cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(
+                customer.where(F.col("c_mktsegment") == "BUILDING")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("string").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+ORACLES["q_shipping_priority"] = """
+    SELECT l_orderkey,
+           CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < '1995-03-15'
+      AND l_shipdate > '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+"""
+
+QUERIES["q_shipping_priority"] = q_shipping_priority
+
+
+#: k-anonymity threshold: groups of quasi-identifiers smaller than
+#: this are re-identification risks.
+K_ANONYMITY = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the events fact: treating
+    (event_type, hour-of-day, value-bucket) as the quasi-identifier
+    tuple, surface equivalence classes smaller than K — the privacy
+    check a dataset release pipeline runs next to PII scrubbing
+    ([[q_pii_scrub]]). One aggregate, one filter; the report is
+    class-count-sized, not data-sized."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "event_type",
+            F.hour("ts").alias("hour"),
+            F.floor(F.col("value") / 100).cast("int").alias("value_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .where(F.col("class_size") < K_ANONYMITY)
+        .orderBy("event_type", "hour", "value_bucket")
+    )
+
+
+ORACLES["q_k_anonymity"] = f"""
+    SELECT event_type, extract(hour FROM ts)::INT AS hour,
+           floor(value / 100)::INT AS value_bucket,
+           count(1)::BIGINT AS class_size
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING count(1) < {K_ANONYMITY}
+    ORDER BY event_type, hour, value_bucket
+"""
+
+QUERIES["q_k_anonymity"] = q_k_anonymity

@@ -111,7 +111,11 @@ def get_spark(
         # (tables.load_table) — stays distributed, no driver round-trip.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode executes in the driver JVM: size the heap to the work
+        # (92-query bench sessions GC-thrash at 8g — measured ~10% tail
+        # drag; 24g removes it. On a cluster this knob moves to
+        # spark-submit and executors carry the heap instead.)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():
