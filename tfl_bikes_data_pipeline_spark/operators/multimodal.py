@@ -266,3 +266,135 @@ QUERIES = {
 }
 
 BENCH: list = []
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup over binary payloads
+# ---------------------------------------------------------------------------
+
+AHASH_CELLS = 64
+AHASH_BANDS = 8  # pigeonhole: hamming ≤ 7 ⇒ ≥1 identical 8-bit band
+AHASH_MAX_HAMMING = AHASH_BANDS - 1
+
+
+def ahash(with_payload: DataFrame) -> DataFrame:
+    """(doc_id, ahash) — 64-bit average-hash of each binary payload:
+    64 cell intensities (mean-thresholded) packed into one BIGINT, the
+    classic perceptual-image-hash recipe. The DECODE step — payload →
+    64 cells — runs in mapInPandas (Arrow batches, executor-local): in
+    this container the cells are the first 64 payload bytes (a real
+    pixel decode drops into the same seam behind the PIL gate exactly
+    as decode_image documents, emitting 8×8 downsampled grayscale
+    instead); everything downstream of the cells is codec-agnostic.
+
+    Cell extraction is pure byte arithmetic so the DuckDB oracle can
+    mirror it per-position (fixture payloads are UTF-8/ASCII text:
+    byte i == character i); the threshold mean is an exact integer sum
+    over a double division — identical in IEEE on both engines."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                cells = list(payload[:AHASH_CELLS])
+                cells += [0] * (AHASH_CELLS - len(cells))
+                mean = sum(cells) / float(AHASH_CELLS)
+                h = 0
+                for i, c in enumerate(cells):
+                    if c > mean:
+                        h |= 1 << i
+                # two's-complement into signed int64 (bit 63 is the
+                # sign bit) — Arrow/BIGINT on both engines is signed.
+                if h & (1 << 63):
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "ahash": hashes})
+
+    return with_payload.mapInPandas(op, schema="doc_id long, ahash long")
+
+
+def ahash_pairs(hashes: DataFrame, max_hamming: int = AHASH_MAX_HAMMING) -> DataFrame:
+    """(doc_a, doc_b, hamming) — perceptual near-dup pairs by banded
+    hamming over the 64-bit hashes: 8 bands of 8 bits; by pigeonhole any
+    pair within hamming ≤ 7 collides on ≥1 band, so candidate
+    generation shuffles on (band, key) buckets — never all-pairs — and
+    verification is integer ``bit_count(a XOR b)``. Identical shape to
+    the text SimHash path (operators.dedup.simhash_pairs) — one dedup
+    discipline across modalities."""
+    width = 64 // AHASH_BANDS
+    bands = hashes.select(
+        "doc_id",
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("ahash"), b * width)
+                    % (2**width)
+                    for b in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(y, ["band_id", "band_key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.expr("bit_count(x.ahash ^ y.ahash)").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup across the binary payload column: the
+    image-dedup pass of a multimodal ingest pipeline (byte-identical
+    copies hash equal; near-identical payloads land within the hamming
+    budget)."""
+    documents = load_table(spark, sf_dir, "documents")
+    hashes = ahash(attach_payload(documents))
+    return ahash_pairs(hashes).orderBy("doc_a", "doc_b")
+
+
+def _ahash_cell_sql(i: int) -> str:
+    # cell i (0-based): byte i of the payload, 0 past end-of-payload.
+    return f"CASE WHEN strlen(text) > {i} THEN ord(substr(text, {i + 1}, 1)) ELSE 0 END"
+
+
+_AHASH_SUM = " + ".join(_ahash_cell_sql(i) for i in range(AHASH_CELLS))
+# bit 63 is the sign bit of the signed-BIGINT hash: its term is
+# -2^63 (two's complement), matching the Python side's wraparound.
+_AHASH_BITS = " + ".join(
+    f"(CASE WHEN ({_ahash_cell_sql(i)}) > cell_mean THEN "
+    f"{f'{2**i}::BIGINT' if i < 63 else '(-9223372036854775807::BIGINT - 1::BIGINT)'} ELSE 0::BIGINT END)"
+    for i in range(AHASH_CELLS)
+)
+
+ORACLES["q_multimodal_phash_pairs"] = f"""
+    WITH means AS (
+        SELECT doc_id, text,
+               ({_AHASH_SUM}) / {AHASH_CELLS}.0 AS cell_mean
+        FROM documents
+    ),
+    hashes AS (
+        SELECT doc_id, ({_AHASH_BITS})::BIGINT AS ahash FROM means
+    ),
+    bands AS (
+        SELECT doc_id, ahash, b.band_id,
+               (ahash >> (b.band_id * 8)) & 255 AS band_key
+        FROM hashes,
+             (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) b(band_id)
+    )
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           bit_count(xor(x.ahash, y.ahash))::INT AS hamming
+    FROM bands x JOIN bands y
+      ON x.band_id = y.band_id AND x.band_key = y.band_key
+    WHERE x.doc_id < y.doc_id
+      AND bit_count(xor(x.ahash, y.ahash)) <= {AHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+"""
+
+QUERIES["q_multimodal_phash_pairs"] = q_multimodal_phash_pairs
