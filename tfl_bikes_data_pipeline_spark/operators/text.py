@@ -1142,3 +1142,145 @@ ORACLES["q_text_keyness"] = f"""
 
 QUERIES["q_text_keyness"] = q_text_keyness
 BENCH.append("q_text_keyness")
+
+
+# ---------------------------------------------------------------------------
+# BPE-style merge learning (tokenizer training, 2 unrolled rounds)
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 2
+
+
+def _bpe_corpus(documents: DataFrame) -> DataFrame:
+    """One sentinel-wrapped symbol string per document: ``·w1· ·w2·``.
+    The sentinels make corpus-wide pair merging expressible as plain
+    string replace with exact greedy left-to-right BPE semantics:
+    adjacent matches share no characters, so non-overlapping
+    replacement (both engines' replace()) merges every occurrence."""
+    return documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("·"),
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), " ", "· ·"),
+            F.lit("·"),
+        ).alias("syms"),
+    )
+
+
+def _bpe_top_pair(corpus: DataFrame) -> DataFrame:
+    """The corpus-wide most frequent adjacent symbol pair (1 row:
+    pair_a, pair_b, pair_count; ties toward the lexicographically
+    smaller pair). One explode + one aggregate + top-1."""
+    pair_expr = (
+        "CASE WHEN size(s) >= 2 THEN "
+        "transform(sequence(1, size(s) - 1), "
+        "i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b)) "
+        "ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END"
+    )
+    return (
+        corpus.select(F.split("syms", " ").alias("s"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.a").alias("pair_a"), F.col("p.b").alias("pair_b"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair_a"), F.asc("pair_b"))
+        .limit(1)
+    )
+
+
+def bpe_merges(documents: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """(round, merge_token, pair_count) — BPE tokenizer training over
+    the corpus, ``rounds`` fixed merge rounds: each round counts all
+    adjacent symbol pairs, picks the global argmax (count desc, pair
+    asc — deterministic), and merges every occurrence corpus-wide; the
+    merged token participates in the next round's pairs exactly as real
+    BPE training does. Word-level symbols (phrase merges) stand in for
+    character-level — the dataflow is identical.
+
+    Fully engine-portable: counts are exact integers, the argmax
+    tie-break is total, and the merge step is sentinel-delimited string
+    replace (greedy non-overlapping left-to-right in both engines), so
+    the unrolled DuckDB CTE twin reproduces every round bit-for-bit.
+
+    Scale shape per round: one explode + count aggregate over the
+    symbol stream (map-side partial agg), a 1-row broadcast of the
+    winning pair, and a narrow per-document replace — the exact
+    map-reduce decomposition of distributed BPE training; rounds are a
+    fixed driver loop like k-means/TextRank."""
+    corpus = _bpe_corpus(documents)
+    results = []
+    for r in range(1, rounds + 1):
+        top = _bpe_top_pair(corpus)
+        results.append(
+            top.select(
+                F.lit(r).alias("round"),
+                F.expr(
+                    "concat(substring(pair_a, 1, length(pair_a) - 1), "
+                    "'§', substring(pair_b, 2))"
+                ).alias("merge_token"),
+                "pair_count",
+            )
+        )
+        corpus = corpus.crossJoin(F.broadcast(top)).select(
+            "doc_id",
+            F.expr(
+                "replace(syms, concat(pair_a, ' ', pair_b), "
+                "concat(substring(pair_a, 1, length(pair_a) - 1), "
+                "'§', substring(pair_b, 2)))"
+            ).alias("syms"),
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load_table(spark, sf_dir, "documents")
+    return bpe_merges(documents).orderBy("round")
+
+
+_BPE_PAIRS_SQL = """
+    SELECT s[i] AS pair_a, s[i+1] AS pair_b, count(1) AS pair_count
+    FROM (SELECT string_split(syms, ' ') AS s,
+                 unnest(generate_series(1, greatest(len(string_split(syms, ' ')) - 1, 0))) AS i
+          FROM {src})
+    GROUP BY 1, 2
+"""
+
+ORACLES["q_bpe_merges"] = f"""
+    WITH corpus0 AS (
+        SELECT doc_id,
+               concat('·', replace(lower(trim(text)), ' ', '· ·'), '·') AS syms
+        FROM documents
+    ),
+    top1 AS (
+        SELECT pair_a, pair_b, pair_count
+        FROM ({_BPE_PAIRS_SQL.format(src="corpus0")})
+        ORDER BY pair_count DESC, pair_a, pair_b LIMIT 1
+    ),
+    corpus1 AS (
+        SELECT doc_id,
+               replace(syms, concat(pair_a, ' ', pair_b),
+                       concat(substring(pair_a, 1, length(pair_a) - 1),
+                              '§', substring(pair_b, 2))) AS syms
+        FROM corpus0 CROSS JOIN top1
+    ),
+    top2 AS (
+        SELECT pair_a, pair_b, pair_count
+        FROM ({_BPE_PAIRS_SQL.format(src="corpus1")})
+        ORDER BY pair_count DESC, pair_a, pair_b LIMIT 1
+    )
+    SELECT 1 AS round,
+           concat(substring(pair_a, 1, length(pair_a) - 1), '§',
+                  substring(pair_b, 2)) AS merge_token,
+           pair_count::BIGINT AS pair_count
+    FROM top1
+    UNION ALL
+    SELECT 2, concat(substring(pair_a, 1, length(pair_a) - 1), '§',
+                     substring(pair_b, 2)), pair_count::BIGINT
+    FROM top2
+    ORDER BY round
+"""
+
+QUERIES["q_bpe_merges"] = q_bpe_merges
+BENCH.append("q_bpe_merges")
