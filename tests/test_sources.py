@@ -114,3 +114,31 @@ def test_csv_quarantine_splits_malformed_rows(spark, tmp_path):
     assert len(dead_rows) == 1 and "unclosed quote" in dead_rows[0]
     # accounting: nothing lost
     assert clean.count() + dead.count() == 4
+
+
+def test_json_quarantine_routes_bad_records(spark, tmp_path):
+    """Malformed NDJSON lines must land verbatim in the dead letter;
+    clean rows parse with the explicit schema."""
+    from pyspark.sql import types as T
+
+    from tfl_bikes_data_pipeline_spark.sources.raw import (
+        read_json_quarantine,
+        split_quarantine,
+    )
+
+    p = tmp_path / "feed.json"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": "NOT_A_NUMBER", "name": "type clash"}\n'
+        "this is not json at all\n"
+        '{"id": 3, "name": "also ok"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    clean, dead = split_quarantine(read_json_quarantine(spark, str(p), schema))
+    assert {r["id"] for r in clean.collect()} == {1, 3}
+    dead_lines = [r["raw_line"] for r in dead.collect()]
+    assert len(dead_lines) == 2
+    assert "this is not json at all" in dead_lines
+    assert any("NOT_A_NUMBER" in l for l in dead_lines)

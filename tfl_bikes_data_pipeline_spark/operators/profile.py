@@ -552,3 +552,80 @@ ORACLES["q_dq_audit"] = """
 """
 
 QUERIES["q_dq_audit"] = q_dq_audit
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style column statistics
+# ---------------------------------------------------------------------------
+
+def column_stats(df: DataFrame, columns: list[str]) -> DataFrame:
+    """(col_name, n_rows, n_nulls, n_distinct, min_str, max_str) — the
+    ANALYZE TABLE statistics relation a cost-based optimizer feeds on
+    (null fraction, NDV, bounds), computed in ONE pass over the scan:
+    every column's aggregates ride the same single aggregate node (no
+    per-column scans), then the wide 1-row result unpivots via a
+    literal struct array (driver-sized). Min/max surface as strings so
+    one schema covers every column type, exactly how catalog stats
+    tables store them. NDV here is exact count(distinct) — swap in
+    approx_count_distinct at 100 TB for one-pass sketched NDV
+    ([[q_approx_distinct]] is that path)."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    wide = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"{c}__nn")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_str"),
+                F.col(f"{c}__mx").alias("max_str"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(entries).alias("s")).select("s.*")
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return column_stats(
+        events, ["event_id", "user_id", "event_type", "value"]
+    ).orderBy("col_name")
+
+
+ORACLES["q_table_stats"] = """
+    WITH wide AS (
+        SELECT count(1) AS n,
+               count(event_id) AS nn_event_id, count(DISTINCT event_id) AS nd_event_id,
+               min(event_id)::VARCHAR AS mn_event_id, max(event_id)::VARCHAR AS mx_event_id,
+               count(user_id) AS nn_user_id, count(DISTINCT user_id) AS nd_user_id,
+               min(user_id)::VARCHAR AS mn_user_id, max(user_id)::VARCHAR AS mx_user_id,
+               count(event_type) AS nn_event_type, count(DISTINCT event_type) AS nd_event_type,
+               min(event_type)::VARCHAR AS mn_event_type, max(event_type)::VARCHAR AS mx_event_type,
+               count(value) AS nn_value, count(DISTINCT value) AS nd_value,
+               min(value)::VARCHAR AS mn_value, max(value)::VARCHAR AS mx_value
+        FROM events
+    )
+    SELECT 'event_id' AS col_name, n::BIGINT AS n_rows, (n - nn_event_id)::BIGINT AS n_nulls,
+           nd_event_id::BIGINT AS n_distinct, mn_event_id AS min_str, mx_event_id AS max_str FROM wide
+    UNION ALL
+    SELECT 'event_type', n::BIGINT, (n - nn_event_type)::BIGINT,
+           nd_event_type::BIGINT, mn_event_type, mx_event_type FROM wide
+    UNION ALL
+    SELECT 'user_id', n::BIGINT, (n - nn_user_id)::BIGINT,
+           nd_user_id::BIGINT, mn_user_id, mx_user_id FROM wide
+    UNION ALL
+    SELECT 'value', n::BIGINT, (n - nn_value)::BIGINT,
+           nd_value::BIGINT, mn_value, mx_value FROM wide
+    ORDER BY col_name
+"""
+
+QUERIES["q_table_stats"] = q_table_stats

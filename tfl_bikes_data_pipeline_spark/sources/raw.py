@@ -224,3 +224,23 @@ def split_quarantine(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("_corrupt_record").alias("raw_line")
     )
     return clean, dead
+
+
+def read_json_quarantine(
+    spark: SparkSession, path: str, schema: "T.StructType"
+) -> DataFrame:
+    """JSON-lines scan with the same dead-letter discipline as
+    :func:`read_csv_quarantine`: records that fail to parse (truncated
+    lines, type clashes against the explicit schema, bare garbage) land
+    verbatim in ``_corrupt_record`` instead of silently nulling fields
+    or failing the job; :func:`split_quarantine` routes them. Event
+    collectors emit malformed NDJSON at a steady rate at 100 TB —
+    quarantine-and-replay is the only posture that neither drops nor
+    dies."""
+    full = T.StructType(schema.fields + [T.StructField("_corrupt_record", T.StringType())])
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
