@@ -421,3 +421,87 @@ ORACLES["q_sample_weighted"] = f"""
 
 QUERIES["q_sample_weighted"] = q_sample_weighted
 BENCH.append("q_sample_weighted")
+
+
+# ---------------------------------------------------------------------------
+# training-example assembly
+# ---------------------------------------------------------------------------
+
+def assemble_examples(
+    documents: DataFrame, embeddings: DataFrame
+) -> DataFrame:
+    """(doc_id, n_words, quality_band, label, emb_norm, split) — the
+    end-of-pipeline DATASET ASSEMBLY step: quality-filtered documents
+    joined to their embedding row (doc_id = vec_id), carrying the
+    curation features downstream trainers key on (quality band, label,
+    embedding norm) plus the deterministic train/val/test split
+    assignment. This is the query that turns the curation operators
+    into a dataset: filter (quality) → join (modality alignment) →
+    feature projection → split ([[q_split_assign]]'s md5 rule, so the
+    assignment is engine-portable).
+
+    Scale shape: both sides are keyed scans joined on the id (sort-merge
+    or hash on one shuffle each — at warehouse scale both tables are
+    bucketed on the id and the join is Exchange-free, the layout
+    warehouse.write_bucketed provides); the quality features and norm
+    are narrow projections; split assignment is a hash expression.
+    Nothing here is driver-sized."""
+    from .text import quality_features
+    from ..functions.vectors import norm_expr
+
+    quality = quality_features(documents).where(
+        F.col("quality_band") != "low"
+    )
+    emb = embeddings.select(
+        F.col("vec_id").alias("doc_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        "label",
+    ).select(
+        "doc_id", "label", F.round(F.expr(norm_expr("v")), 6).alias("emb_norm")
+    )
+    return split_assign(
+        quality.join(emb, "doc_id").select(
+            "doc_id", "n_words", "quality_band", "label", "emb_norm"
+        ),
+        "doc_id",
+    )
+
+
+def q_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load_table(spark, sf_dir, "documents")
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return assemble_examples(documents, embeddings).orderBy("doc_id")
+
+
+from .text import EN_STOPWORDS as _TRAIN_STOPWORDS
+
+_STOP_ARR_TRAIN = ", ".join(f"'{w}'" for w in _TRAIN_STOPWORDS)
+
+ORACLES["q_training_examples"] = f"""
+    WITH feats AS (
+        SELECT doc_id,
+               len(string_split(lower(trim(text)), ' '))::INT AS n_words,
+               CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                        x -> list_contains([{_STOP_ARR_TRAIN}], x))) AS DOUBLE)
+                   / len(string_split(lower(trim(text)), ' ')) AS stopword_ratio
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, n_words,
+               CASE WHEN n_words >= 40 AND stopword_ratio >= 0.05 THEN 'high'
+                    WHEN n_words >= 15 THEN 'mid' ELSE 'low' END AS quality_band
+        FROM feats
+    )
+    SELECT q.doc_id, q.n_words, q.quality_band, e.label,
+           round(sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6)
+               AS emb_norm,
+           CASE WHEN substr(md5(q.doc_id::VARCHAR), 1, 2) < '{SPLIT_TRAIN_HEX}' THEN 'train'
+                WHEN substr(md5(q.doc_id::VARCHAR), 1, 2) < '{SPLIT_VAL_HEX}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM quality q JOIN embeddings e ON e.vec_id = q.doc_id
+    WHERE q.quality_band != 'low'
+    ORDER BY q.doc_id
+"""
+
+QUERIES["q_training_examples"] = q_training_examples
+BENCH.append("q_training_examples")
