@@ -328,8 +328,12 @@ def ahash_pairs(hashes: DataFrame, max_hamming: int = AHASH_MAX_HAMMING) -> Data
         F.posexplode(
             F.array(
                 *[
+                    # mask, don't %: band 0's shift-by-0 returns the
+                    # SIGNED hash, and % follows the sign in Spark while
+                    # the oracle's (>> k) & 255 is always the unsigned
+                    # low byte — bitwiseAND matches it for every band.
                     F.shiftrightunsigned(F.col("ahash"), b * width)
-                    % (2**width)
+                    .bitwiseAND(2**width - 1)
                     for b in range(AHASH_BANDS)
                 ]
             )

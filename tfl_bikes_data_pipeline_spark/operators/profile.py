@@ -428,7 +428,7 @@ QUERIES["q_cms_join_estimate"] = q_cms_join_estimate
 # data-quality expectations audit
 # ---------------------------------------------------------------------------
 
-def _check_rows(name: str, violations, checked) -> DataFrame:
+def _check_rows(name: str, violations, checked) -> tuple:
     return (
         F.lit(name).alias("check_name"),
         violations.cast("long").alias("n_violations"),
@@ -529,12 +529,16 @@ ORACLES["q_dq_audit"] = """
         FROM orders
     ),
     li_orphans AS (
-        SELECT count(1) AS orphans FROM lineitem
-        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        -- NOT EXISTS, not NOT IN: NOT IN goes UNKNOWN on NULL keys
+        -- while Spark's left_anti counts true orphans regardless.
+        SELECT count(1) AS orphans FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
     ),
     ord_orphans AS (
-        SELECT count(1) AS orphans FROM orders
-        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        SELECT count(1) AS orphans FROM orders od
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = od.o_custkey)
     )
     SELECT 'lineitem_quantity_range' AS check_name,
            bad_qty::BIGINT AS n_violations, n::BIGINT AS n_checked FROM li
@@ -570,12 +574,25 @@ def column_stats(df: DataFrame, columns: list[str]) -> DataFrame:
     approx_count_distinct at 100 TB for one-pass sketched NDV
     ([[q_approx_distinct]] is that path)."""
     aggs = []
+    fractional = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("double", "float")
+    }
     for c in columns:
+        # fractional bounds go through DECIMAL(38,6) before the string
+        # cast: each engine's default double→string formatting flips to
+        # scientific notation at different thresholds, while fixed-point
+        # decimal renders identically everywhere.
+        mn, mx = F.min(F.col(c)), F.max(F.col(c))
+        if c in fractional:
+            mn = mn.cast("decimal(38,6)")
+            mx = mx.cast("decimal(38,6)")
         aggs += [
             F.count(F.col(c)).alias(f"{c}__nn"),
             F.countDistinct(F.col(c)).alias(f"{c}__nd"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+            mn.cast("string").alias(f"{c}__mn"),
+            mx.cast("string").alias(f"{c}__mx"),
         ]
     wide = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
     entries = F.array(
@@ -611,7 +628,8 @@ ORACLES["q_table_stats"] = """
                count(event_type) AS nn_event_type, count(DISTINCT event_type) AS nd_event_type,
                min(event_type)::VARCHAR AS mn_event_type, max(event_type)::VARCHAR AS mx_event_type,
                count(value) AS nn_value, count(DISTINCT value) AS nd_value,
-               min(value)::VARCHAR AS mn_value, max(value)::VARCHAR AS mx_value
+               min(value)::DECIMAL(38,6)::VARCHAR AS mn_value,
+               max(value)::DECIMAL(38,6)::VARCHAR AS mx_value
         FROM events
     )
     SELECT 'event_id' AS col_name, n::BIGINT AS n_rows, (n - nn_event_id)::BIGINT AS n_nulls,

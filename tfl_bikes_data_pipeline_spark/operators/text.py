@@ -914,7 +914,10 @@ def textrank(
     vocabulary word) is orders of magnitude smaller than the corpus;
     at web scale you'd partition both relations by the same key so
     rounds reuse the partitioning."""
-    edges = cooccurrence_edges(documents).persist()
+    from .dedup import _retain, release_cached_relations
+
+    release_cached_relations()
+    edges = _retain(cooccurrence_edges(documents))
     outw = edges.groupBy("src").agg(F.sum("weight").alias("outw"))
     e = edges.join(outw, "src")
     nodes = edges.select(F.col("src").alias("word")).distinct()
@@ -938,13 +941,15 @@ def textrank(
                 F.lit(base) + F.sum("c").cast("string").cast("double"), 12
             ).alias("r")
         )
-    result = (
+    # edges stays persisted until the NEXT _retain-using invocation
+    # (dedup.release_cached_relations lifecycle): the returned plan is
+    # lazy, so unpersisting here would recompute the co-occurrence
+    # aggregate for outw plus every iteration join.
+    return (
         ranks.select("word", F.round("r", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("word"))
         .limit(top_k)
     )
-    edges.unpersist()
-    return result
 
 
 def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -397,7 +397,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["q_sessionize"] = f"""
     WITH flagged AS (
-        SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS es,
+        SELECT user_id, event_id, ts, value, floor(epoch(ts))::BIGINT AS es,
                CASE WHEN floor(epoch(ts))::BIGINT
                          - lag(floor(epoch(ts))::BIGINT) OVER w > {SESSION_GAP_S}
                     OR lag(ts) OVER w IS NULL
@@ -408,7 +408,9 @@ ORACLES["q_sessionize"] = f"""
     sessed AS (
         SELECT user_id, es, value,
                sum(is_new) OVER (
-                   PARTITION BY user_id ORDER BY es, event_id
+                   -- order by RAW ts (not the truncated es): sub-second
+                   -- ordering must match the Spark window exactly
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS session_id
         FROM flagged
@@ -525,7 +527,12 @@ def zscore_outliers(
         F.count(F.lit(1)).alias("n"),
     )
     mean = F.col("sx") / F.col("n")
-    var = F.col("sxx") / F.col("n") - mean * mean
+    # clamp at 0: a constant-valued group's variance can land a few
+    # ulps below zero in doubles; DuckDB's sqrt ERRORS on negatives
+    # (Spark returns NaN), so both sides clamp identically.
+    var = F.greatest(
+        F.col("sxx") / F.col("n") - mean * mean, F.lit(0.0)
+    )
     stats = stats.select(
         "event_type", mean.alias("mu"), F.sqrt(var).alias("sigma")
     )
@@ -553,7 +560,7 @@ ORACLES["q_anomaly_zscore"] = f"""
     ),
     sded AS (
         SELECT event_type, sx / n AS mu,
-               sqrt(sxx / n - (sx / n) * (sx / n)) AS sigma
+               sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS sigma
         FROM stats
     )
     SELECT event_id, e.event_type, value,

@@ -472,9 +472,17 @@ def stream_upsert_to_warehouse(
             merged = latest
         staged = f"{out_path}.__epoch_{epoch_id}"
         merged.write.mode("overwrite").parquet(staged)
+        # swap via rename-aside, never delete-then-rename: a crash
+        # between rmtree and rename would destroy the live snapshot
+        # (the next run would silently rebuild from one micro-batch).
+        # Worst crash here leaves BOTH the old snapshot (aside) and
+        # the staged epoch on disk — recoverable, never empty.
+        old = f"{out_path}.__old_{epoch_id}"
         if os.path.isdir(out_path):
-            shutil.rmtree(out_path)
+            os.rename(out_path, old)
         os.rename(staged, out_path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     q = events.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()
