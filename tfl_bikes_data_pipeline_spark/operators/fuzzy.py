@@ -134,3 +134,90 @@ ORACLES: dict[str, str] = {
 QUERIES = {"q_fuzzy_pairs": q_fuzzy_pairs}
 
 BENCH = ["q_fuzzy_pairs"]
+
+
+# ---------------------------------------------------------------------------
+# entity resolution: fuzzy pairs → components → golden records
+# ---------------------------------------------------------------------------
+
+def resolve_entities(df: DataFrame, text: str) -> DataFrame:
+    """(canonical, n_texts, n_records) — the full entity-resolution
+    pipeline composed from the repo's own operators: blocked fuzzy
+    matching ([[fuzzy_text_pairs]]) produces the match graph over
+    DISTINCT texts, connected components (the same min-label
+    propagation dedup clustering uses) groups transitively-linked
+    variants, and each cluster collapses to a GOLDEN RECORD keyed by
+    its lexicographically-smallest variant, carrying the variant count
+    and the total underlying record multiplicity. Singleton texts (no
+    fuzzy partner) are not entities-in-need-of-resolution and are
+    excluded, exactly like dedup clustering.
+
+    Scale shape: the match graph lives over distinct texts (orders of
+    magnitude smaller than records); component propagation shuffles
+    only (node, label) pairs; the final multiplicity join is
+    broadcast-sized. The record table is touched once, in the distinct
+    collapse."""
+    from .dedup import connected_components
+
+    texts = df.groupBy(F.col(text).alias("t")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    edges = (
+        fuzzy_text_pairs(df, text)
+        .where(F.col("t_a") != F.col("t_b"))
+        .select(F.col("t_a").alias("doc_a"), F.col("t_b").alias("doc_b"))
+    )
+    comp = connected_components(edges).select(
+        F.col("doc_id").alias("t"), F.col("cluster_id").alias("canonical")
+    )
+    return (
+        comp.join(texts, "t")
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_texts"),
+            F.sum("cnt").alias("n_records"),
+        )
+    )
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return resolve_entities(part, "p_name").orderBy("canonical")
+
+
+ORACLES["q_entity_resolution"] = f"""
+    WITH RECURSIVE texts AS (
+        SELECT p_name AS t, count(1) AS cnt FROM part GROUP BY p_name
+    ),
+    blocked AS (
+        SELECT t, cnt, split_part(t, ' ', 1) AS blk FROM texts
+    ),
+    fpairs AS (
+        SELECT a.t AS doc_a, b.t AS doc_b
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.t < b.t
+        WHERE levenshtein(a.t, b.t) <= {FUZZY_MAX_DIST}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM fpairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM fpairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, root) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT node AS t, min(root) AS canonical FROM reach GROUP BY node
+    )
+    SELECT canonical, count(1)::BIGINT AS n_texts,
+           sum(cnt)::BIGINT AS n_records
+    FROM comp JOIN texts USING (t)
+    GROUP BY canonical
+    ORDER BY canonical
+"""
+
+QUERIES["q_entity_resolution"] = q_entity_resolution
+BENCH.append("q_entity_resolution")

@@ -572,3 +572,73 @@ ORACLES["q_anomaly_zscore"] = f"""
 
 QUERIES["q_anomaly_zscore"] = q_anomaly_zscore
 BENCH.append("q_anomaly_zscore")
+
+
+# ---------------------------------------------------------------------------
+# rolling distinct actives (DAU / trailing-window WAU)
+# ---------------------------------------------------------------------------
+
+ROLLING_ACTIVE_DAYS = 7
+
+
+def rolling_active_users(
+    events: DataFrame, window_days: int = ROLLING_ACTIVE_DAYS
+) -> DataFrame:
+    """(day, dau, wau) — daily active users and trailing-``window_days``
+    distinct actives per day: the engagement metric pair every product
+    warehouse reports. DISTINCT-over-a-sliding-range has no window-
+    function form (COUNT(DISTINCT) OVER RANGE is unsupported
+    everywhere), so the scalable shape is: collapse to distinct
+    (user, day) pairs first — the only pass over the fact table — then
+    a bounded RANGE JOIN of that small relation onto the day grid
+    (each user-day lands in ≤ ``window_days`` windows) and one exact
+    distinct aggregate per day. At 100 TB the user-day relation is
+    ~|users|·|days| — warehouse-small — and the fact table is touched
+    exactly once."""
+    user_days = events.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = user_days.select("d").distinct()
+    w = (
+        days.alias("g")
+        .join(
+            user_days.alias("u"),
+            (F.col("u.d") <= F.col("g.d"))
+            & (F.col("u.d") > F.date_sub(F.col("g.d"), window_days)),
+        )
+        .groupBy(F.col("g.d").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    dau = user_days.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return dau.join(w, "day").select("day", "dau", "wau")
+
+
+def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return rolling_active_users(events).orderBy("day")
+
+
+ORACLES["q_rolling_actives"] = f"""
+    WITH user_days AS (
+        SELECT DISTINCT ts::DATE AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM user_days),
+    wau AS (
+        SELECT g.d AS day, count(DISTINCT u.user_id) AS wau
+        FROM days g JOIN user_days u
+          ON u.d <= g.d AND u.d > g.d - INTERVAL {ROLLING_ACTIVE_DAYS} DAY
+        GROUP BY g.d
+    ),
+    dau AS (
+        SELECT d AS day, count(DISTINCT user_id) AS dau
+        FROM user_days GROUP BY d
+    )
+    SELECT day, dau::BIGINT AS dau, wau::BIGINT AS wau
+    FROM dau JOIN wau USING (day)
+    ORDER BY day
+"""
+
+QUERIES["q_rolling_actives"] = q_rolling_actives
+BENCH.append("q_rolling_actives")
