@@ -505,3 +505,133 @@ ORACLES["q_training_examples"] = f"""
 
 QUERIES["q_training_examples"] = q_training_examples
 BENCH.append("q_training_examples")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation pipeline
+# ---------------------------------------------------------------------------
+
+def curate_corpus(documents: DataFrame) -> DataFrame:
+    """(doc_id, split) — the C4-class curation pipeline END TO END as
+    one declared plan: quality gate → exact dedup → LSH near-dup drop →
+    deterministic split assignment. Each stage is the repo's own
+    operator; the composition is what a user actually runs, and the
+    whole chain carries ONE composed DuckDB oracle, so the interaction
+    of the stages (not just each in isolation) sits inside the
+    correctness gate.
+
+    Stage semantics (all deterministic):
+    1. quality: drop 'low' band docs ([[q_text_quality]]'s rule);
+    2. exact: keep the min doc_id per normalized-text md5;
+    3. near-dup: among survivors, any VERIFIED LSH pair (jaccard ≥
+       threshold) drops the larger doc_id — single-pass
+       keep-representative (pairs are already a<b);
+    4. split: md5-hash rule ([[q_split_assign]]).
+
+    Scale shape: each stage's shuffle is the operator's own documented
+    one; stages communicate by doc_id joins (narrow keys, never
+    bodies) and the LSH stage runs on the post-dedup survivor set —
+    the ordering that minimizes the expensive stage's input, exactly
+    how production curation pipelines sequence."""
+    from .dedup import (
+        JACCARD_THRESHOLD,
+        _retain,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        release_cached_relations,
+        shingle_sets,
+        verify_candidates,
+    )
+    from .text import quality_features
+
+    quality_ids = quality_features(documents).where(
+        F.col("quality_band") != "low"
+    ).select("doc_id")
+    docs_q = documents.join(quality_ids, "doc_id")
+    exact_keep = (
+        docs_q.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = documents.join(exact_keep, "doc_id")
+    release_cached_relations()
+    sets = _retain(shingle_sets(kept))
+    pairs = verify_candidates(
+        sets, lsh_candidate_pairs(minhash_signatures(sets)), JACCARD_THRESHOLD
+    )
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = kept.select("doc_id").join(drop, "doc_id", "left_anti")
+    return split_assign(final, "doc_id").select("doc_id", "split")
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load_table(spark, sf_dir, "documents")
+    return curate_corpus(documents).orderBy("doc_id")
+
+
+from .dedup import (  # noqa: E402 - oracle fragments
+    _JACCARD_CORE as _DD_JACCARD_CORE,
+    _MINHASH_COLS as _DD_MINHASH_COLS,
+    _BAND_SELECTS as _DD_BAND_SELECTS,
+    _SHINGLES_CTE as _DD_SHINGLES_CTE,
+    JACCARD_THRESHOLD as _DD_JACCARD_THRESHOLD,
+)
+
+# the dedup shingle CTE verbatim, re-rooted at the curation survivors
+_CURATION_SHINGLES = _DD_SHINGLES_CTE.replace("FROM documents", "FROM kept")
+
+ORACLES["q_curation_pipeline"] = f"""
+    WITH feats AS (
+        SELECT doc_id,
+               len(string_split(lower(trim(text)), ' '))::INT AS n_words,
+               CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                        x -> list_contains([{_STOP_ARR_TRAIN}], x))) AS DOUBLE)
+                   / len(string_split(lower(trim(text)), ' ')) AS stopword_ratio
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id FROM feats
+        WHERE NOT (n_words < 15)
+    ),
+    exact_keep AS (
+        SELECT min(d.doc_id) AS doc_id
+        FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+        GROUP BY md5(lower(trim(d.text)))
+    ),
+    kept AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN exact_keep k ON d.doc_id = k.doc_id
+    ),
+    {_CURATION_SHINGLES},
+    sig AS (
+        SELECT doc_id, {_DD_MINHASH_COLS} FROM shingles GROUP BY doc_id
+    ),
+    bands AS ({_DD_BAND_SELECTS}),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.band_key = y.band_key
+        WHERE x.doc_id < y.doc_id
+    ),
+    {_DD_JACCARD_CORE},
+    dropped AS (
+        SELECT DISTINCT i.doc_b AS doc_id
+        FROM inter i
+        JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE)
+              >= {_DD_JACCARD_THRESHOLD}
+    )
+    SELECT k.doc_id,
+           CASE WHEN substr(md5(k.doc_id::VARCHAR), 1, 2) < '{SPLIT_TRAIN_HEX}' THEN 'train'
+                WHEN substr(md5(k.doc_id::VARCHAR), 1, 2) < '{SPLIT_VAL_HEX}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM kept k
+    WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
+    ORDER BY k.doc_id
+"""
+
+QUERIES["q_curation_pipeline"] = q_curation_pipeline
+BENCH.append("q_curation_pipeline")
