@@ -60,3 +60,36 @@ def test_chunk_overlap_is_boundary_context(spark, sf_dir):
         .count()
     )
     assert violations == 0
+
+
+def test_textrank_empty_graph_returns_empty(spark):
+    """Single-token documents produce no co-occurrence edges; textrank
+    must return an empty (word, rank) frame, not divide by zero."""
+    from tfl_bikes_data_pipeline_spark.operators.text import textrank
+
+    docs = spark.createDataFrame([(1, "solo"), (2, "word")], ["doc_id", "text"])
+    out = textrank(docs)
+    assert out.columns == ["word", "rank"]
+    assert out.count() == 0
+
+
+def test_sessionize_and_rolling_actives_handle_empty(spark):
+    from tfl_bikes_data_pipeline_spark.operators.timeseries import (
+        rolling_active_users,
+        sessionize,
+    )
+
+    empty = spark.createDataFrame(
+        [], "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    )
+    assert sessionize(empty).count() == 0
+    assert rolling_active_users(empty).count() == 0
+
+
+def test_bpe_merges_degenerate_corpus(spark):
+    """A corpus with no adjacent pairs (1-word docs) yields zero merge
+    rows rather than crashing."""
+    from tfl_bikes_data_pipeline_spark.operators.text import bpe_merges
+
+    docs = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    assert bpe_merges(docs).count() == 0

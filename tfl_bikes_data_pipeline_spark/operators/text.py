@@ -922,6 +922,11 @@ def textrank(
     e = edges.join(outw, "src")
     nodes = edges.select(F.col("src").alias("word")).distinct()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # no co-occurrence edges (every doc < 2 tokens): empty result,
+        # not a divide-by-zero.
+        spark = documents.sparkSession
+        return spark.createDataFrame([], "word string, rank double")
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
     for _ in range(iterations):
