@@ -290,3 +290,33 @@ def test_segment_dedup_invariants(spark, sf_dir):
     for r in rows:
         assert r["n_dropped"] >= 0
         assert 1 <= r["n_segments"] - r["n_dropped"]
+
+
+def test_probed_two_level_recall_vs_flat(spark, sf_dir):
+    """The O(n·√k) two-level assignment behind the probed blocking must
+    reproduce the flat probed pair set with high recall and stay a
+    subset of exact all-pairs."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        embedding_cosine_pairs_probed,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs_probed(emb, COSINE_DUP_THRESHOLD).collect()
+    }
+    two = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs_probed(
+            emb, COSINE_DUP_THRESHOLD, assign_mode="two_level"
+        ).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs(emb, COSINE_DUP_THRESHOLD).collect()
+    }
+    assert two <= exact, "two-level probing must never invent pairs"
+    assert flat, "flat probed baseline should find pairs on the fixture"
+    recall = len(two & flat) / len(flat)
+    assert recall >= 0.9, f"two-level probed recall vs flat {recall:.2f} < 0.9"

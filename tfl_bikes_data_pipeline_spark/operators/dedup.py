@@ -557,6 +557,7 @@ def _two_level_multi_assign(
     k: int,
     nassign: int,
     coarse_probes: int = EMBED_COARSE_PROBES,
+    with_rank: bool = False,
 ) -> DataFrame:
     """(vec_id, centroid_id) — hierarchical coarse→fine assignment:
     the 100 TB replacement for the flat scorer's O(n·k) term.
@@ -621,11 +622,13 @@ def _two_level_multi_assign(
         )
     )
     wa = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
-    return (
-        cand_scored.withColumn("rn", F.row_number().over(wa))
-        .where(F.col("rn") <= nassign)
-        .select("vec_id", "centroid_id")
+    ranked = cand_scored.withColumn("rn", F.row_number().over(wa)).where(
+        F.col("rn") <= nassign
     )
+    # with_rank=True serves the asymmetric probed blocking, which needs
+    # rn to split the home (rn=1) index side from the probe side.
+    cols = ["vec_id", "centroid_id"] + (["rn"] if with_rank else [])
+    return ranked.select(*cols)
 
 
 def embedding_cosine_pairs_blocked(
@@ -736,6 +739,7 @@ def embedding_cosine_pairs_probed(
     threshold: float,
     num_centroids: int | None = None,
     nprobe: int = EMBED_PROBE_NPROBE,
+    assign_mode: str = "flat",
 ) -> DataFrame:
     """(vec_a, vec_b, cos_sim) — embedding near-dup with ASYMMETRIC
     IVF probing, the textbook IVF-search shape applied to dedup: every
@@ -774,23 +778,33 @@ def embedding_cosine_pairs_probed(
         F.col("cv").alias("qv"),
         F.col("nv").alias("nq"),
     )
-    scored = e.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "centroid_id",
-        F.round(
-            F.expr(dot_expr("cv", "qv")) / (F.col("nv") * F.col("nq")), 6
-        ).alias("c_sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
     # one ranked pass serves both sides: rn=1 is the home (index)
-    # assignment, rn≤nprobe the query probes. Arrays are re-attached
-    # once and the relation persisted — home and probe sides both read
-    # it (lifecycle via _retain, released at the next dedup call).
-    ranked = _retain(
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= nprobe)
-        .join(e, "vec_id")
-    )
+    # assignment, rn≤nprobe the query probes. ``assign_mode`` picks the
+    # scorer: "flat" scores all k centroids (exact, O(n·k) — the
+    # declared/oracle-mirrored form); "two_level" routes through the
+    # hierarchical coarse→fine quantizer (O(n·√k) — the beyond-10⁶-
+    # vector path, recall vs flat pinned in tests/test_dedup.py).
+    # Arrays are re-attached once and the relation persisted — home and
+    # probe sides both read it (lifecycle via _retain).
+    if assign_mode == "flat":
+        scored = e.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "centroid_id",
+            F.round(
+                F.expr(dot_expr("cv", "qv")) / (F.col("nv") * F.col("nq")), 6
+            ).alias("c_sim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+        ranked_ids = scored.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= nprobe
+        )
+    elif assign_mode == "two_level":
+        ranked_ids = _two_level_multi_assign(
+            e, centroids, num_centroids, nprobe, with_rank=True
+        )
+    else:
+        raise ValueError(f"unknown assign_mode {assign_mode!r}")
+    ranked = _retain(ranked_ids.join(e, "vec_id"))
     home = ranked.where(F.col("rn") == 1).select(
         "centroid_id",
         F.col("vec_id").alias("vec_h"),
