@@ -320,3 +320,19 @@ def test_probed_two_level_recall_vs_flat(spark, sf_dir):
     assert flat, "flat probed baseline should find pairs on the fixture"
     recall = len(two & flat) / len(flat)
     assert recall >= 0.9, f"two-level probed recall vs flat {recall:.2f} < 0.9"
+
+
+def test_connected_components_converges_on_deep_chain(spark):
+    """Pointer jumping must converge a chain far longer than the round
+    cap (propagation distance doubles per round): a 40-link chain
+    collapses to one component labeled by its min node well within
+    max_iter=20 — the plain one-hop propagation would need 40 rounds
+    and silently split the component."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["doc_a", "doc_b"]
+    )
+    labels = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert set(labels.values()) == {0}, "chain fragmented across clusters"
+    assert len(labels) == 41

@@ -142,3 +142,52 @@ def test_json_quarantine_routes_bad_records(spark, tmp_path):
     assert len(dead_lines) == 2
     assert "this is not json at all" in dead_lines
     assert any("NOT_A_NUMBER" in l for l in dead_lines)
+
+
+def test_xlsx_stdlib_codec_roundtrip(spark, tmp_path):
+    """The stdlib XLSX codec must round-trip header + rows losslessly,
+    including XML-special characters, None cells, and shared-string-free
+    inline text."""
+    p = str(tmp_path / "mini.xlsx")
+    header = ["Id", "Name <&>", "Qty"]
+    rows = [["1", "a & b", "10"], ["2", None, "<3>"], ["3", "plain", None]]
+    xlsx.write_minimal_xlsx(p, header, rows)
+    back = xlsx.read_xlsx(spark, p)
+    assert back.columns == header
+    got = [[r[c] for c in header] for r in back.orderBy("Id").collect()]
+    # None cells come back as empty inline strings (the all-string wire
+    # shape treats missing and empty alike at the ingest edge)
+    want = [[v if v is not None else "" for v in row] for row in rows]
+    assert got == want
+
+
+def test_xlsx_shared_strings_and_numbers(spark, tmp_path):
+    """Files from other writers use shared strings and numeric cells —
+    the parser must handle both (crafted part-level fixture)."""
+    import zipfile as _zf
+
+    p = str(tmp_path / "shared.xlsx")
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row><c r="A2" t="s"><v>2</v></c><c r="B2"><v>42.5</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    shared = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<si><t>k</t></si><si><t>v</t></si>"
+        "<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>"
+    )
+    with _zf.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", xlsx._CONTENT_TYPES)
+        z.writestr("_rels/.rels", xlsx._ROOT_RELS)
+        z.writestr("xl/workbook.xml", xlsx._WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", xlsx._WB_RELS)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    pdf = xlsx.parse_xlsx(p)
+    assert list(pdf.columns) == ["k", "v"]
+    assert pdf.iloc[0].tolist() == ["rich", "42.5"]

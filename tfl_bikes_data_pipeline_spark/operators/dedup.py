@@ -840,9 +840,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Iterative-algorithm shape (Spark has no recursive CTE): a driver
     loop of joins with per-round persist and a converged-count action.
-    Rounds needed = graph diameter — near-dup components are tiny
-    (pairs of near-identical docs plus small chains), so this converges
-    in 2-3 rounds in practice; ``max_iter`` bounds pathological chains.
+    Each round combines the one-hop neighbor minimum with POINTER
+    JUMPING (label ← label of my label), so propagation distance
+    DOUBLES per round and ``max_iter`` rounds cover components of
+    diameter 2^max_iter — a 20+-variant chain (e.g. serial-numbered
+    entity names) converges in ~5 rounds instead of silently stopping
+    mid-propagation at the round cap, which would split one component
+    into several and diverge from the exact recursive-CTE oracles.
+    Near-dup components are tiny in practice (2-3 rounds).
 
     Persisted-relation lifecycle: intermediate round labels are
     unpersisted inside the loop; ``edges`` and the FINAL labels (which
@@ -866,15 +871,31 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # pointer jump: my label's CURRENT label (labels self-joined on
+        # label = node). Nodes whose label is already a root (or is not
+        # a node, e.g. the component min) coalesce to their own label.
+        jump = labels.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
+        hop = labels.join(nbr_min, labels["node"] == nbr_min["src"], "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # localCheckpoint (eager) BOTH materializes the round and
+        # TRUNCATES logical lineage: labels is referenced three times
+        # per round (neighbor min, jump source, jump target), so
+        # without truncation the analyzed plan grows ~3^rounds and the
+        # analyzer itself becomes the bottleneck long before the data
+        # does. Cached-plan persist alone does not cut lineage.
         new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            hop.join(jump, hop["label"] == jump["jnode"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
+                    F.col("label"), F.coalesce("jlabel", "label")
                 ).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
         changed = (
             labels.withColumnRenamed("label", "old_label")

@@ -45,8 +45,18 @@ from ..tables import load_table
 FUZZY_MAX_DIST = 4
 
 
+def distinct_texts(df: DataFrame, text: str) -> DataFrame:
+    """(t, cnt) — the distinct-text collapse, exposed so composed
+    pipelines (entity resolution) aggregate the record table ONCE and
+    thread the relation into both blocking and multiplicity joins."""
+    return df.groupBy(F.col(text).alias("t")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def fuzzy_text_pairs(
-    df: DataFrame, text: str, max_dist: int = FUZZY_MAX_DIST
+    df: DataFrame,
+    text: str,
+    max_dist: int = FUZZY_MAX_DIST,
+    texts: DataFrame | None = None,
 ) -> DataFrame:
     """Verified distinct-text pairs ``(blk, t_a, t_b, dist, n_pairs)``
     with ``levenshtein ≤ max_dist``, blocked on the first token.
@@ -56,11 +66,9 @@ def fuzzy_text_pairs(
     ``t_a = t_b``). Diagonal entries with multiplicity 1 carry no
     record pair and are dropped.
     """
-    texts = (
-        df.groupBy(F.col(text).alias("t"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("blk", F.split(F.col("t"), " ").getItem(0))
-    )
+    if texts is None:
+        texts = distinct_texts(df, text)
+    texts = texts.withColumn("blk", F.split(F.col("t"), " ").getItem(0))
     a = texts.select(
         F.col("blk"), F.col("t").alias("t_a"), F.col("cnt").alias("cnt_a")
     )
@@ -155,15 +163,14 @@ def resolve_entities(df: DataFrame, text: str) -> DataFrame:
     Scale shape: the match graph lives over distinct texts (orders of
     magnitude smaller than records); component propagation shuffles
     only (node, label) pairs; the final multiplicity join is
-    broadcast-sized. The record table is touched once, in the distinct
-    collapse."""
+    broadcast-sized. The record table is aggregated exactly once — the
+    (t, cnt) collapse is computed here and THREADED into
+    fuzzy_text_pairs rather than rebuilt inside it."""
     from .dedup import connected_components
 
-    texts = df.groupBy(F.col(text).alias("t")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    texts = distinct_texts(df, text)
     edges = (
-        fuzzy_text_pairs(df, text)
+        fuzzy_text_pairs(df, text, texts=texts)
         .where(F.col("t_a") != F.col("t_b"))
         .select(F.col("t_a").alias("doc_a"), F.col("t_b").alias("doc_b"))
     )

@@ -599,15 +599,23 @@ def rolling_active_users(
         F.to_date("ts").alias("d"), "user_id"
     ).distinct()
     days = user_days.select("d").distinct()
+    # equality-keyed, never a nested-loop range join: each user-day
+    # EXPLODES into the ≤ window_days grid days it covers (a narrow
+    # ≤7× fan-out), then a plain hash aggregate per covered day and a
+    # semi filter onto observed days. Work is O(|user_days|·window),
+    # through one ordinary shuffle — the bounded shape a theta-join
+    # would destroy (Spark plans the d BETWEEN form as a
+    # BroadcastNestedLoopJoin over every (grid-day, user-day) pair).
+    covered = user_days.select(
+        F.explode(
+            F.expr(f"sequence(d, date_add(d, {window_days - 1}))")
+        ).alias("day"),
+        "user_id",
+    )
     w = (
-        days.alias("g")
-        .join(
-            user_days.alias("u"),
-            (F.col("u.d") <= F.col("g.d"))
-            & (F.col("u.d") > F.date_sub(F.col("g.d"), window_days)),
-        )
-        .groupBy(F.col("g.d").alias("day"))
-        .agg(F.countDistinct("u.user_id").alias("wau"))
+        covered.join(days.select(F.col("d").alias("day")), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
     )
     dau = user_days.groupBy(F.col("d").alias("day")).agg(
         F.countDistinct("user_id").alias("dau")

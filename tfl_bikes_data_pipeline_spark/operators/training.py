@@ -581,17 +581,15 @@ from .dedup import (  # noqa: E402 - oracle fragments
 _CURATION_SHINGLES = _DD_SHINGLES_CTE.replace("FROM documents", "FROM kept")
 
 ORACLES["q_curation_pipeline"] = f"""
-    WITH feats AS (
-        SELECT doc_id,
-               len(string_split(lower(trim(text)), ' '))::INT AS n_words,
-               CAST(len(list_filter(string_split(lower(trim(text)), ' '),
-                        x -> list_contains([{_STOP_ARR_TRAIN}], x))) AS DOUBLE)
-                   / len(string_split(lower(trim(text)), ' ')) AS stopword_ratio
-        FROM documents
-    ),
-    quality AS (
-        SELECT doc_id FROM feats
-        WHERE NOT (n_words < 15)
+    WITH quality AS (
+        -- the != 'low' gate reduces to n_words >= 15: 'high' demands
+        -- n_words >= 40 (plus stopword ratio) and 'mid' n_words >= 15,
+        -- so the stopword ratio never decides low-vs-rest.
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   len(string_split(lower(trim(text)), ' '))::INT AS n_words
+            FROM documents
+        ) WHERE NOT (n_words < 15)
     ),
     exact_keep AS (
         SELECT min(d.doc_id) AS doc_id

@@ -71,9 +71,9 @@ def _load_all() -> None:
     for mod in (dedup, similarity, text, multimodal, profile, asof, timeseries, merge, scd, fuzzy, training):
         _register(mod.QUERIES, mod.ORACLES, getattr(mod, "BENCH", list(mod.QUERIES)))
 
-    from .sources import raw, spatial, xml_feed
+    from .sources import raw, spatial, xlsx, xml_feed
 
-    for mod in (raw, spatial, xml_feed):
+    for mod in (raw, spatial, xlsx, xml_feed):
         _register(mod.QUERIES, mod.ORACLES, getattr(mod, "BENCH", list(mod.QUERIES)))
 
     from .streaming import jobs as streaming_jobs

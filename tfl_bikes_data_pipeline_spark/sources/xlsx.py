@@ -2,36 +2,129 @@
 
 The reference normalizes stray Excel weekly files to CSV with pandas
 (``airflow/dags/ingest_bike_data.py:136-144``) before the schema'd read.
-Same shape here: pandas at the ingest edge, Spark from the first
-DataFrame on. The Excel engine (openpyxl) is not a guaranteed
-dependency, so the reader is import-gated; the conversion logic itself
-is exercised in tests via the pandas round-trip seam.
+Same shape here — convert at the ingest edge, Spark from the first
+DataFrame on — but the codec needs NO third-party Excel engine: XLSX is
+a zip of XML parts, so :func:`parse_xlsx` reads the workbook with
+stdlib ``zipfile`` + ``ElementTree`` (workbook relationships → first
+worksheet, shared strings, inline strings, per-cell column addressing
+with gap fill). openpyxl, when importable, is used as a fallback for
+exotic files; in this container the stdlib path carries the format
+end-to-end, and :func:`write_minimal_xlsx` produces spec-conformant
+files so the whole S7 edge sits inside the correctness gate
+(``q_xlsx_roundtrip``).
+
+All cells surface as STRINGS (numbers keep their literal ``<v>`` text),
+matching the CSV path's read-then-cast discipline.
 """
 
 from __future__ import annotations
 
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_RID = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+
 
 def xlsx_support() -> bool:
-    try:
-        import openpyxl  # noqa: F401
+    """Always true: the stdlib codec needs no optional dependency.
+    Kept for API compatibility with the round-1..3 import gate."""
+    return True
 
-        return True
-    except ImportError:
-        return False
+
+def _col_index(cell_ref: str) -> int:
+    """'A1' → 0, 'AB7' → 27: base-26 column letters."""
+    idx = 0
+    for ch in re.match(r"[A-Z]+", cell_ref).group(0):
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    try:
+        data = zf.read("xl/sharedStrings.xml")
+    except KeyError:
+        return []
+    out = []
+    for si in ET.fromstring(data).iter(f"{_NS}si"):
+        # plain <t> or rich-text runs <r><t>..</t></r> — concatenate
+        out.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+    return out
+
+
+def _first_sheet_path(zf: zipfile.ZipFile) -> str:
+    """Resolve the FIRST sheet via workbook relationships (sheet order
+    in workbook.xml, r:id → target in workbook.xml.rels) instead of
+    assuming 'sheet1.xml' — writers number parts arbitrarily."""
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    rid_to_target = {
+        r.get("Id"): r.get("Target") for r in rels.iter(f"{_REL_NS}Relationship")
+    }
+    first = next(wb.iter(f"{_NS}sheet"))
+    target = rid_to_target[first.get(_RID)]
+    return target if target.startswith("xl/") else f"xl/{target}"
+
+
+def parse_xlsx(path: str) -> pd.DataFrame:
+    """First worksheet → pandas DataFrame of strings (row 1 = header,
+    missing cells = None). Handles shared strings (``t="s"``), inline
+    strings (``t="inlineStr"``), booleans, and raw numeric/formula
+    ``<v>`` text."""
+    with zipfile.ZipFile(path) as zf:
+        strings = _shared_strings(zf)
+        sheet = ET.fromstring(zf.read(_first_sheet_path(zf)))
+    rows: list[dict[int, str]] = []
+    for row in sheet.iter(f"{_NS}row"):
+        cells: dict[int, str] = {}
+        for c in row.iter(f"{_NS}c"):
+            ref, ctype = c.get("r"), c.get("t", "n")
+            if ref is None:  # cells without addresses: append position
+                ref_idx = len(cells)
+            else:
+                ref_idx = _col_index(ref)
+            if ctype == "s":
+                v = c.find(f"{_NS}v")
+                cells[ref_idx] = strings[int(v.text)] if v is not None else None
+            elif ctype == "inlineStr":
+                cells[ref_idx] = "".join(
+                    t.text or "" for t in c.iter(f"{_NS}t")
+                )
+            elif ctype == "b":
+                v = c.find(f"{_NS}v")
+                cells[ref_idx] = (
+                    None if v is None else ("TRUE" if v.text == "1" else "FALSE")
+                )
+            else:  # n / str (formula result) / d — keep literal text
+                v = c.find(f"{_NS}v")
+                cells[ref_idx] = v.text if v is not None else None
+        rows.append(cells)
+    if not rows:
+        return pd.DataFrame()
+    width = max(max(r.keys(), default=-1) for r in rows) + 1
+    table = [[r.get(i) for i in range(width)] for r in rows]
+    header, data = table[0], table[1:]
+    cols = [h if h is not None else f"col{i}" for i, h in enumerate(header)]
+    return pd.DataFrame(data, columns=cols)
 
 
 def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
-    """XLSX → pandas → Spark DataFrame (all columns as string, matching
-    the CSV path's read-then-cast discipline)."""
-    if not xlsx_support():
-        raise NotImplementedError(
-            "XLSX ingest requires openpyxl, which is not installed in this "
-            "environment; convert to CSV upstream or install openpyxl."
-        )
-    pdf = pd.read_excel(path, dtype=str)
+    """XLSX → pandas (stdlib codec; openpyxl fallback for files the
+    minimal parser rejects) → Spark DataFrame of strings."""
+    try:
+        pdf = parse_xlsx(path)
+    except Exception:
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError:
+            raise
+        pdf = pd.read_excel(path, dtype=str)
     return from_pandas_strings(spark, pdf)
 
 
@@ -40,3 +133,144 @@ def from_pandas_strings(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
     pandas-at-the-edge reader: everything string, NULLs preserved."""
     pdf = pdf.astype("string").where(pdf.notna(), None)
     return spark.createDataFrame(pdf.astype(object))
+
+
+# ---------------------------------------------------------------------------
+# minimal writer (fixtures + the reference's "stray Excel weekly file")
+# ---------------------------------------------------------------------------
+
+_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    "</Types>"
+)
+_ROOT_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    "</Relationships>"
+)
+_WORKBOOK = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+    '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+)
+_WB_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+    "</Relationships>"
+)
+
+
+def write_minimal_xlsx(path: str, header: list[str], rows: list[list]) -> str:
+    """Spec-conformant single-sheet XLSX via stdlib zipfile: every cell
+    an inline string (``t="inlineStr"``) — the lossless all-string wire
+    shape the ingest edge expects back."""
+    def row_xml(values) -> str:
+        cells = "".join(
+            f'<c t="inlineStr"><is><t>{escape("" if v is None else str(v))}</t></is></c>'
+            for v in values
+        )
+        return f"<row>{cells}</row>"
+
+    body = row_xml(header) + "".join(row_xml(r) for r in rows)
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{body}</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        zf.writestr("xl/workbook.xml", _WORKBOOK)
+        zf.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# declared query: the whole S7 edge inside the correctness gate
+# ---------------------------------------------------------------------------
+
+#: keep the roundtrip file weekly-file-sized (the reference's stray
+#: Excel files are small weekly drops; the modulus keeps the driver-side
+#: edge conversion bounded at any SF).
+XLSX_SAMPLE_MOD = 20
+
+
+def q_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 end-to-end: a deterministic sample of events → minimal XLSX
+    on disk (inline strings, the stray-weekly-file wire shape) →
+    stdlib parse → all-string Spark frame → typed aggregate. The
+    driver-side conversion mirrors the reference's pandas
+    normalization (ingest_bike_data.py:136-144) and is bounded by the
+    sample modulus — Spark takes over from the first DataFrame on. The
+    oracle computes the same aggregate straight from parquet, so any
+    loss in the XLSX layer (escaping, cell addressing, string typing)
+    fails the hash."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    sample = (
+        events.where(F.col("event_id") % XLSX_SAMPLE_MOD == 0)
+        .select(
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            "event_type",
+            F.col("value").cast("string"),
+        )
+        .collect()
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="raw_xlsx_"), "events.xlsx")
+    write_minimal_xlsx(
+        path,
+        ["Event Id", "User Id", "Event Type", "Value"],
+        [list(r) for r in sample],
+    )
+    raw = read_xlsx(spark, path)
+    typed = raw.select(
+        F.col("Event Id").cast("long").alias("event_id"),
+        F.col("User Id").cast("long").alias("user_id"),
+        F.col("Event Type").alias("event_type"),
+        F.col("Value").cast("double").alias("value"),
+    )
+    return (
+        typed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_value"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLES = {
+    "q_xlsx_roundtrip": f"""
+        SELECT event_type, count(1)::BIGINT AS cnt,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                   AS total_value,
+               max(event_id)::BIGINT AS max_event_id
+        FROM events
+        WHERE event_id % {XLSX_SAMPLE_MOD} = 0
+        GROUP BY event_type ORDER BY event_type
+    """
+}
+
+QUERIES = {"q_xlsx_roundtrip": q_xlsx_roundtrip}
+
+BENCH: list = []
