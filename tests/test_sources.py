@@ -191,3 +191,42 @@ def test_xlsx_shared_strings_and_numbers(spark, tmp_path):
     pdf = xlsx.parse_xlsx(p)
     assert list(pdf.columns) == ["k", "v"]
     assert pdf.iloc[0].tolist() == ["rich", "42.5"]
+
+
+def test_netcdf3_codec_roundtrip(tmp_path):
+    """The stdlib NetCDF-3 codec must round-trip multi-variable files
+    (int32 grid + float64 axis) bit-exactly, including 4-byte padding
+    of odd-sized payloads."""
+    import numpy as np
+
+    from tfl_bikes_data_pipeline_spark.sources.netcdf3 import (
+        parse_netcdf3,
+        write_netcdf3,
+    )
+
+    p = str(tmp_path / "grid.nc")
+    tas = (np.arange(2 * 3 * 5).reshape(2, 3, 5) * 13 % 251).astype("int32")
+    lat = np.linspace(-5.5, 7.25, 3).astype("float64")
+    flag = np.array([1, 0, 1], dtype="int8")  # odd byte count → padding
+    write_netcdf3(
+        p,
+        {"time": 2, "y": 3, "x": 5},
+        {"tas": (("time", "y", "x"), tas), "lat": (("y",), lat),
+         "flag": (("y",), flag)},
+    )
+    back = parse_netcdf3(p)
+    assert back["tas"][0] == ("time", "y", "x")
+    assert (back["tas"][1] == tas).all()
+    assert (back["lat"][1] == lat).all()
+    assert (back["flag"][1] == flag).all()
+
+
+def test_netcdf3_rejects_non_netcdf(tmp_path):
+    p = tmp_path / "junk.nc"
+    p.write_bytes(b"PK\x03\x04 definitely a zip")
+    import pytest as _pytest
+
+    from tfl_bikes_data_pipeline_spark.sources.netcdf3 import parse_netcdf3
+
+    with _pytest.raises(ValueError, match="magic"):
+        parse_netcdf3(str(p))

@@ -104,3 +104,106 @@ ORACLES: dict[str, str] = {
         SELECT station_id, grid_id, dist2 FROM dists WHERE rn = 1
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# the full S9 edge: binary netCDF grid file → Spark → spatial extraction
+# ---------------------------------------------------------------------------
+
+NC_TIMES = 3
+
+
+def weather_grid_from_netcdf(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a classic NetCDF-3 grid file ([[netcdf3]] stdlib codec)
+    and surface the ``tas`` variable as a long-form Spark relation
+    (t, gy, gx, tas). The driver-side array→rows conversion is the
+    ingest-edge step (grid snapshots are a few MB — the reference's
+    netCDF files are per-month station extracts, same magnitude); the
+    relation is grid-sized, broadcastable, and everything downstream is
+    distributed."""
+    from .netcdf3 import parse_netcdf3
+
+    dims, tas = parse_netcdf3(path)["tas"]
+    nt, ny, nx = tas.shape
+    rows = [
+        (int(t), int(y), int(x), int(tas[t, y, x]))
+        for t in range(nt)
+        for y in range(ny)
+        for x in range(nx)
+    ]
+    return spark.createDataFrame(rows, "t INT, gy INT, gx INT, tas INT")
+
+
+def q_netcdf_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 end-to-end, the reference's weather path re-expressed: write
+    a deterministic gridded ``tas`` snapshot as a BINARY classic
+    NetCDF-3 file (integer-valued so the oracle can re-derive every
+    cell arithmetically), parse it back through the stdlib codec, and
+    join each station's nearest grid cell ([[q_spatial_nearest]]'s
+    argmin) to its per-timestep values — (station_id, t, tas). Any
+    corruption in the binary layer (offsets, big-endian decode, shape
+    order) changes the extracted series and fails the hash."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from .netcdf3 import write_netcdf3
+
+    tas = np.fromfunction(
+        lambda t, y, x: t * 100000 + y * 1000 + x,
+        (NC_TIMES, GRID_N, GRID_N),
+    ).astype("int32")
+    path = os.path.join(tempfile.mkdtemp(prefix="raw_nc_"), "tas.nc")
+    write_netcdf3(
+        path,
+        {"time": NC_TIMES, "y": GRID_N, "x": GRID_N},
+        {"tas": (("time", "y", "x"), tas)},
+    )
+    weather = weather_grid_from_netcdf(spark, path)
+    nearest = nearest_grid(station_coords(spark, sf_dir), grid_points(spark))
+    # grid_id = gy * GRID_N + gx (the generated grid's id scheme)
+    cells = weather.select(
+        (F.col("gy") * GRID_N + F.col("gx")).alias("grid_id"), "t", "tas"
+    )
+    return (
+        nearest.join(F.broadcast(cells), "grid_id")
+        .select("station_id", "t", "tas")
+        .orderBy("station_id", "t")
+    )
+
+
+ORACLES["q_netcdf_weather"] = f"""
+    WITH stations AS (
+        SELECT s_suppkey::INT AS station_id,
+               (s_suppkey % 100)::INT AS lat,
+               ((s_suppkey * 7) % 100)::INT AS lon
+        FROM supplier
+    ), grid AS (
+        SELECT i::INT AS grid_id,
+               ((i // {GRID_N}) * {GRID_STEP})::INT AS glat,
+               ((i % {GRID_N}) * {GRID_STEP})::INT AS glon
+        FROM range({GRID_N * GRID_N}) t(i)
+    ), nearest AS (
+        SELECT station_id, grid_id FROM (
+            SELECT station_id, grid_id,
+                   row_number() OVER (
+                       PARTITION BY station_id
+                       ORDER BY (lat - glat) * (lat - glat)
+                                + (lon - glon) * (lon - glon), grid_id
+                   ) AS rn
+            FROM stations CROSS JOIN grid
+        ) WHERE rn = 1
+    ), weather AS (
+        SELECT (gy * {GRID_N} + gx)::INT AS grid_id, t::INT AS t,
+               (t * 100000 + gy * 1000 + gx)::INT AS tas
+        FROM range({NC_TIMES}) tt(t)
+        CROSS JOIN range({GRID_N}) yy(gy)
+        CROSS JOIN range({GRID_N}) xx(gx)
+    )
+    SELECT station_id, t, tas
+    FROM nearest JOIN weather USING (grid_id)
+    ORDER BY station_id, t
+"""
+
+QUERIES["q_netcdf_weather"] = q_netcdf_weather
