@@ -72,14 +72,14 @@ def test_opaque_payload_returns_none():
 
 
 def test_decode_gates_follow_import_probe():
-    # in this container the codec libs are absent → the gates raise with
-    # the documented marker; in a full runtime the same call decodes.
+    # PNG and PCM-WAV now decode NATIVELY (stdlib codecs) in any
+    # container; only the remaining families stay import-gated.
     if not mm.HAS_PIL:
         with pytest.raises(NotImplementedError):
-            mm.decode_image(_png(2, 2))
+            mm.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish payload")
     if not mm.HAS_SOUNDFILE:
         with pytest.raises(NotImplementedError):
-            mm.decode_audio(_wav(8000, 1))
+            mm.decode_audio(b"fLaC not a wav")
 
 
 def test_extract_meta_real_path_mixed_batch(spark):
@@ -159,3 +159,42 @@ def test_header_parse_never_crashes_on_magic_prefixed_garbage():
             assert meta["byte_len"] == len(payload)
 
     check()
+
+
+def test_decode_image_real_png_path():
+    """decode_image must return REAL pixels for PNG payloads via the
+    stdlib codec — no PIL in this container."""
+    import numpy as np
+
+    from tfl_bikes_data_pipeline_spark.operators.imaging import encode_png
+    from tfl_bikes_data_pipeline_spark.operators.multimodal import decode_image
+
+    px = (np.arange(6 * 4 * 3).reshape(6, 4, 3) * 23 % 256).astype("uint8")
+    out = decode_image(encode_png(px))
+    assert (out == px).all()
+
+
+def test_decode_audio_real_wav_path():
+    import numpy as np
+
+    from tfl_bikes_data_pipeline_spark.operators.imaging import encode_wav
+    from tfl_bikes_data_pipeline_spark.operators.multimodal import decode_audio
+
+    s = (np.arange(100) * 321 % 2000 - 1000).astype("int16")
+    arr, rate = decode_audio(encode_wav(s, 22050))
+    assert rate == 22050
+    assert (arr[:, 0] == s).all()
+
+
+def test_decode_image_non_png_still_gated():
+    import pytest as _pytest
+
+    from tfl_bikes_data_pipeline_spark.operators.multimodal import (
+        HAS_PIL,
+        decode_image,
+    )
+
+    if HAS_PIL:
+        _pytest.skip("PIL present: gate not exercised")
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 not actually decodable jpeg")

@@ -2,14 +2,14 @@
 metadata, processed by Arrow-batched Pandas UDFs over ``mapInPandas``.
 
 The Spark-side machinery is real and tested — schema contracts, binary
-columns, batch iteration, partition-preserving transforms. The actual
-codecs (image decode, audio resample, video frame-sample) are STUBBED:
-the container has no image/audio libraries, so ``decode_image`` etc.
-raise ``NotImplementedError`` with a clear marker, and the declared
-query uses ``fake_decode_meta`` — a deterministic byte-level "decode"
-(header-peek arithmetic on the payload) that exercises the identical
-dataflow: binary in, struct of typed metadata out, one Arrow batch at a
-time, no driver round-trip.
+columns, batch iteration, partition-preserving transforms. PNG pixel
+decode and PCM-WAV sample decode are REAL in any container (stdlib
+codecs, operators.imaging — exercised end-to-end by ``q_image_stats`` /
+``q_audio_stats``, which encode+decode inside the executors and reduce
+to oracle-checkable integer statistics). Only the remaining codec
+families (JPEG/GIF pixels, compressed audio, video) stay behind
+import gates (PIL/cv2/soundfile), with ``fake_decode_meta`` — a
+deterministic byte-level "decode" — keeping their dataflow tested.
 
 Scale notes: payload bytes never leave the executors; metadata
 extraction is mapInPandas (narrow, no shuffle); downstream analytics
@@ -48,27 +48,44 @@ HAS_SOUNDFILE = _probe("soundfile")
 
 
 def decode_image(payload: bytes) -> "object":
-    """Full pixel decode — auto-enabled when PIL is importable (probed
-    at module load); raises in codec-less containers. Header-level
-    metadata does NOT need this: parse_media_header below reads
-    container headers with pure byte arithmetic."""
+    """Full pixel decode. PNG decodes NATIVELY via the stdlib codec
+    (operators.imaging — zlib + the five row filters, returns a numpy
+    array) in ANY container; other formats route through PIL when
+    importable and raise otherwise. Header-level metadata does NOT
+    need this: parse_media_header below reads container headers with
+    pure byte arithmetic."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .imaging import decode_png
+
+        return decode_png(payload)
     if HAS_PIL:
         import io
 
         from PIL import Image
 
         return Image.open(io.BytesIO(payload))
-    raise NotImplementedError("image codec not available in this environment")
+    raise NotImplementedError(
+        "non-PNG image decode requires PIL, unavailable in this environment"
+    )
 
 
 def decode_audio(payload: bytes) -> "object":
+    """PCM WAV decodes NATIVELY via the stdlib ``wave`` codec
+    (operators.imaging) — (samples, rate); other formats need
+    soundfile."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from .imaging import decode_wav
+
+        return decode_wav(payload)
     if HAS_SOUNDFILE:
         import io
 
         import soundfile
 
         return soundfile.read(io.BytesIO(payload))
-    raise NotImplementedError("audio codec not available in this environment")
+    raise NotImplementedError(
+        "non-WAV audio decode requires soundfile, unavailable in this environment"
+    )
 
 
 def sample_video_frames(payload: bytes, every_n: int) -> "list[object]":
@@ -402,3 +419,112 @@ ORACLES["q_multimodal_phash_pairs"] = f"""
 """
 
 QUERIES["q_multimodal_phash_pairs"] = q_multimodal_phash_pairs
+
+
+# ---------------------------------------------------------------------------
+# REAL codec round-trips inside the gate
+# ---------------------------------------------------------------------------
+
+IMG_W, IMG_H = 16, 8
+IMG_DOC_MOD = 10
+AUDIO_N, AUDIO_RATE = 256, 16000
+
+
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode, distributed: every sampled doc becomes a
+    deterministic 16×8 grayscale image (pixel = (doc_id·31 + y·16 + x)
+    mod 256), PNG-ENCODED and PNG-DECODED inside the executor batch
+    (stdlib zlib codec — actual IDAT inflate + row unfilter), then
+    reduced to exact integer statistics. The DuckDB oracle re-derives
+    the statistics arithmetically from the pixel formula, so any fault
+    anywhere in the binary layer (chunk CRCs, filter math, stride
+    handling) breaks the value hash. This is the image half of the
+    multimodal decode seam running for real, not faked."""
+    import numpy as np
+
+    from .imaging import decode_png, encode_png
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % IMG_DOC_MOD == 0
+    ).select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "pixel_sum": [], "mean_px": []}
+            for doc_id in pdf["doc_id"]:
+                y, x = np.mgrid[0:IMG_H, 0:IMG_W]
+                px = ((int(doc_id) * 31 + y * IMG_W + x) % 256).astype("uint8")
+                decoded = decode_png(encode_png(px))
+                rows["doc_id"].append(doc_id)
+                rows["height"].append(decoded.shape[0])
+                rows["width"].append(decoded.shape[1])
+                s = int(decoded.astype("int64").sum())
+                rows["pixel_sum"].append(s)
+                rows["mean_px"].append(round(s / (IMG_H * IMG_W), 6))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        op, "doc_id long, width int, height int, pixel_sum long, mean_px double"
+    ).orderBy("doc_id")
+
+
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM-WAV decode, distributed: per sampled doc a 256-sample
+    int16 waveform (sample_i = (doc_id·7 + i·13) mod 4096 − 2048) is
+    WAV-encoded and WAV-decoded in the executor (stdlib ``wave``),
+    then reduced to exact integer statistics the oracle re-derives
+    from the formula — the audio half of the decode seam, real."""
+    import numpy as np
+
+    from .imaging import decode_wav, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % IMG_DOC_MOD == 0
+    ).select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "n_samples": [], "rate": [], "sample_sum": [], "max_abs": []}
+            for doc_id in pdf["doc_id"]:
+                i = np.arange(AUDIO_N)
+                s = ((int(doc_id) * 7 + i * 13) % 4096 - 2048).astype("int16")
+                arr, rate = decode_wav(encode_wav(s, AUDIO_RATE))
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(arr.shape[0])
+                rows["rate"].append(rate)
+                rows["sample_sum"].append(int(arr[:, 0].astype("int64").sum()))
+                rows["max_abs"].append(int(np.abs(arr[:, 0].astype("int64")).max()))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        op, "doc_id long, n_samples int, rate int, sample_sum long, max_abs int"
+    ).orderBy("doc_id")
+
+
+ORACLES["q_image_stats"] = f"""
+    WITH px AS (
+        SELECT d.doc_id, (d.doc_id * 31 + y.y * {IMG_W} + x.x) % 256 AS p
+        FROM (SELECT doc_id FROM documents WHERE doc_id % {IMG_DOC_MOD} = 0) d
+        CROSS JOIN range({IMG_H}) y(y)
+        CROSS JOIN range({IMG_W}) x(x)
+    )
+    SELECT doc_id, {IMG_W}::INT AS width, {IMG_H}::INT AS height,
+           sum(p)::BIGINT AS pixel_sum,
+           round(sum(p) / {IMG_H * IMG_W}.0, 6) AS mean_px
+    FROM px GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES["q_audio_stats"] = f"""
+    WITH s AS (
+        SELECT d.doc_id, (d.doc_id * 7 + i.i * 13) % 4096 - 2048 AS v
+        FROM (SELECT doc_id FROM documents WHERE doc_id % {IMG_DOC_MOD} = 0) d
+        CROSS JOIN range({AUDIO_N}) i(i)
+    )
+    SELECT doc_id, {AUDIO_N}::INT AS n_samples, {AUDIO_RATE}::INT AS rate,
+           sum(v)::BIGINT AS sample_sum, max(abs(v))::INT AS max_abs
+    FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["q_image_stats"] = q_image_stats
+QUERIES["q_audio_stats"] = q_audio_stats
+BENCH.append("q_image_stats")
