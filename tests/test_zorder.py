@@ -191,3 +191,56 @@ def test_optimize_table_compacts_and_clusters(spark, sf_dir, tmp_path):
                 hi_all = s.max if hi_all is None else max(hi_all, s.max)
     if md.num_row_groups > 1:
         assert min(spans) < (hi_all - lo_all), "no clustering footprint"
+
+
+# ---------------------------------------------------------------------------
+# versioned snapshots
+# ---------------------------------------------------------------------------
+
+def test_versioned_snapshots_time_travel_and_rollback(spark, tmp_path):
+    from tfl_bikes_data_pipeline_spark.warehouse import (
+        current_version,
+        read_versioned,
+        rollback_version,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    v0 = write_versioned(spark.range(5), t)
+    v1 = write_versioned(spark.range(9), t)
+    assert (v0, v1) == (0, 1)
+    assert current_version(t) == 1
+    assert read_versioned(spark, t).count() == 9
+    assert read_versioned(spark, t, version=0).count() == 5  # time travel
+    rollback_version(t, 0)
+    assert read_versioned(spark, t).count() == 5
+    v2 = write_versioned(spark.range(2), t)
+    assert v2 == 2 and read_versioned(spark, t).count() == 2
+    # vacuum keeps the newest two and never the current target
+    vacuumed = vacuum_versions(t, keep=2)
+    assert vacuumed == [0]
+    assert read_versioned(spark, t, version=1).count() == 9
+
+
+def test_versioned_crash_between_snapshot_and_pointer(spark, tmp_path):
+    """A snapshot directory without a pointer flip (crash window) must
+    not be visible to readers, and the next writer must not reuse its
+    number."""
+    import os
+
+    from tfl_bikes_data_pipeline_spark.warehouse import (
+        current_version,
+        read_versioned,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_versioned(spark.range(4), t)
+    # simulate the crash: orphan v1 exists, pointer still at 0
+    spark.range(99).write.parquet(os.path.join(t, "v1"))
+    assert current_version(t) == 0
+    assert read_versioned(spark, t).count() == 4
+    v = write_versioned(spark.range(7), t)
+    assert v == 2, "writer must skip the orphan snapshot number"
+    assert read_versioned(spark, t).count() == 7

@@ -282,3 +282,116 @@ def optimize_table(
         .drop("__z")
     )
     _stage_and_swap_rewrite(spark, clustered, path, partition_cols)
+
+
+# ---------------------------------------------------------------------------
+# versioned snapshots: time travel + rollback without a table format
+# ---------------------------------------------------------------------------
+
+_VERSION_PREFIX = "v"
+_CURRENT_MARKER = "_CURRENT"
+
+
+def write_versioned(df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as the table's next immutable snapshot version and
+    atomically advance the current-version pointer. Returns the new
+    version number.
+
+    Layout: ``table_dir/v{N}/`` parquet snapshots (immutable once
+    written) + a ``_CURRENT`` marker file whose content is the live
+    version number. The marker flips via write-temp + ``os.replace``
+    (atomic on POSIX), so readers NEVER observe a half-written
+    snapshot: they resolve the marker first and read an already-
+    complete immutable directory — the same commit discipline
+    Delta/Iceberg implement with manifest files, reduced to its
+    essence. Old versions stay readable (time travel) until
+    :func:`vacuum_versions` reclaims them."""
+    import os
+    import tempfile
+
+    os.makedirs(table_dir, exist_ok=True)
+    version = latest_version(table_dir) + 1
+    snap = os.path.join(table_dir, f"{_VERSION_PREFIX}{version}")
+    df.write.mode("errorifexists").parquet(snap)
+    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix=".cur_")
+    with os.fdopen(fd, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(table_dir, _CURRENT_MARKER))
+    return version
+
+
+def latest_version(table_dir: str) -> int:
+    """Highest snapshot number present on disk (-1 when none) —
+    independent of the pointer, so a crash between snapshot write and
+    pointer flip never reuses (and thus corrupts) the orphan number."""
+    import os
+    import re
+
+    if not os.path.isdir(table_dir):
+        return -1
+    best = -1
+    for name in os.listdir(table_dir):
+        m = re.fullmatch(rf"{_VERSION_PREFIX}(\d+)", name)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def current_version(table_dir: str) -> int:
+    """The committed (pointer-resolved) version; -1 when unborn."""
+    import os
+
+    marker = os.path.join(table_dir, _CURRENT_MARKER)
+    if not os.path.isfile(marker):
+        return -1
+    with open(marker) as f:
+        return int(f.read().strip())
+
+
+def read_versioned(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the current snapshot, or time-travel to ``version``."""
+    import os
+
+    v = current_version(table_dir) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    return spark.read.parquet(os.path.join(table_dir, f"{_VERSION_PREFIX}{v}"))
+
+
+def rollback_version(table_dir: str, version: int) -> None:
+    """Re-point the table at an older snapshot (the escape hatch after
+    a bad load). Pure pointer flip — the bad snapshot remains on disk
+    for forensics until vacuumed."""
+    import os
+    import tempfile
+
+    snap = os.path.join(table_dir, f"{_VERSION_PREFIX}{version}")
+    if not os.path.isdir(snap):
+        raise FileNotFoundError(f"version {version} not found in {table_dir}")
+    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix=".cur_")
+    with os.fdopen(fd, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(table_dir, _CURRENT_MARKER))
+
+
+def vacuum_versions(table_dir: str, keep: int = 2) -> list[int]:
+    """Delete snapshots older than the newest ``keep`` (never the
+    current pointer target). Returns the vacuumed version numbers."""
+    import os
+    import re
+    import shutil
+
+    cur = current_version(table_dir)
+    versions = sorted(
+        int(re.fullmatch(rf"{_VERSION_PREFIX}(\d+)", n).group(1))
+        for n in os.listdir(table_dir)
+        if re.fullmatch(rf"{_VERSION_PREFIX}\d+", n)
+    )
+    victims = [v for v in versions[:-keep] if v != cur] if keep else [
+        v for v in versions if v != cur
+    ]
+    for v in victims:
+        shutil.rmtree(os.path.join(table_dir, f"{_VERSION_PREFIX}{v}"))
+    return victims
