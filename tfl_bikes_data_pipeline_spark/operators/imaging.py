@@ -10,6 +10,9 @@ stdlib ``wave`` module — so both decode paths can be REAL here:
   full filter support (None/Sub/Up/Average/Paeth) on decode, exact
   CRC-checked chunk structure on encode.
 - :func:`decode_wav` / :func:`encode_wav` — PCM 16-bit via ``wave``.
+- :func:`decode_gif` / :func:`encode_gif` — palette GIF87a/89a with a
+  full variable-width LZW decoder (clear/EOI, table growth to 4096,
+  deinterlace); the fixture encoder emits spec-valid uncompressed LZW.
 
 ``multimodal.decode_image`` / ``decode_audio`` route PNG/WAV payloads
 here and fall back to the PIL/soundfile gates only for other formats.
@@ -149,3 +152,171 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         frames = wf.readframes(wf.getnframes())
     arr = np.frombuffer(frames, dtype="<i2").reshape(-1, nch)
     return arr, rate
+
+
+# ---------------------------------------------------------------------------
+# GIF: LZW pixel decode (stdlib) + minimal encoder for fixtures
+# ---------------------------------------------------------------------------
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: variable code width starting at
+    ``min_code_size``+1, clear/EOI codes, dictionary grows to 4096."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    # bit reader, LSB-first
+    bitpos = 0
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            if (byte >> ((bitpos + i) & 7)) & 1:
+                v |= 1 << i
+        bitpos += width
+        return v
+
+    def reset():
+        return {i: [i] for i in range(clear)}, min_code_size + 1, None
+
+    table, width, prev = reset()
+    next_code = eoi + 1
+    total_bits = len(data) * 8
+    while bitpos + width <= total_bits:
+        code = read_code(width)
+        if code == clear:
+            table, width, prev = reset()
+            next_code = eoi + 1
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a → (h, w, 3) uint8 via the global (or
+    first local) color table and stdlib LZW decode. Interlaced rows are
+    de-interlaced; transparency is ignored (first frame composite)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            interlaced = bool(ipacked & 0x40)
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 7) + 1)
+                ct = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += ln + 1
+            pos += 1
+            idx = np.array(_lzw_decode(b"".join(chunks), min_code), dtype=np.int32)[
+                : w * h
+            ].reshape(h, w)
+            if interlaced:
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                de = np.empty_like(idx)
+                de[order] = idx
+                idx = de
+            if ct is None:
+                raise ValueError("GIF frame without a color table")
+            return ct[idx]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block {b:#x}")
+    raise ValueError(f"GIF of {sw}x{sh} contains no image frame")
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal GIF87a encoder for fixtures: one frame, global color
+    table, UNCOMPRESSED LZW (literal codes with periodic clears — valid
+    per spec, decoder-agnostic)."""
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(2, (n - 1).bit_length())
+    n_padded = 1 << bits
+    pal = np.zeros((n_padded, 3), dtype=np.uint8)
+    pal[:n] = palette
+    header = b"GIF87a" + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    descriptor = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code = bits
+    clear, eoi = 1 << bits, (1 << bits) + 1
+    codes: list[int] = []
+    for i, v in enumerate(indices.reshape(-1)):
+        if i % ((1 << bits) - 2) == 0:
+            codes.append(clear)  # keep the table empty → literal codes stay valid
+        codes.append(int(v))
+    codes.append(eoi)
+    width = bits + 1
+    # pack LSB-first at FIXED width: after a clear the width resets to
+    # bits+1 and we clear before the table ever grows past it
+    buf, acc, nbits = bytearray(), 0, 0
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    blocks = b""
+    for i in range(0, len(buf), 255):
+        chunk = bytes(buf[i : i + 255])
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        header
+        + pal.tobytes()
+        + descriptor
+        + bytes([min_code])
+        + blocks
+        + b"\x00\x3b"
+    )

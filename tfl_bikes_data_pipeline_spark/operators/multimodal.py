@@ -58,6 +58,10 @@ def decode_image(payload: bytes) -> "object":
         from .imaging import decode_png
 
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .imaging import decode_gif
+
+        return decode_gif(payload)
     if HAS_PIL:
         import io
 
@@ -65,7 +69,7 @@ def decode_image(payload: bytes) -> "object":
 
         return Image.open(io.BytesIO(payload))
     raise NotImplementedError(
-        "non-PNG image decode requires PIL, unavailable in this environment"
+        "non-PNG/GIF image decode requires PIL, unavailable in this environment"
     )
 
 
