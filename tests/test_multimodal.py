@@ -246,3 +246,29 @@ def test_gif_lzw_with_growing_table():
         buf.append(acc & 0xFF)
     out = _lzw_decode(bytes(buf), min_code)
     assert out == [0, 0, 0], f"KwKwK LZW case mis-decoded: {out}"
+
+
+def test_ahash_uses_real_pixels_for_png(spark):
+    """PNG payloads hash from DECODED pixels: a near-identical image
+    (one pixel nudged) must collide, while an inverted image must not —
+    properties byte-hashing the compressed stream cannot provide."""
+    import numpy as np
+
+    from tfl_bikes_data_pipeline_spark.operators.imaging import encode_png
+    from tfl_bikes_data_pipeline_spark.operators.multimodal import ahash
+
+    rng = np.arange(32 * 32).reshape(32, 32)
+    base = ((rng * 37) % 256).astype("uint8")
+    nudged = base.copy()
+    nudged[0, 0] ^= 1  # different compressed BYTES, same visual content
+    inverted = (255 - base).astype("uint8")
+    rows = [
+        (1, bytearray(encode_png(base))),
+        (2, bytearray(encode_png(nudged))),
+        (3, bytearray(encode_png(inverted))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = {r["doc_id"]: r["ahash"] for r in ahash(df).collect()}
+    assert hashes[1] == hashes[2], "near-identical images must collide"
+    ham_inv = bin((hashes[1] ^ hashes[3]) & (2**64 - 1)).count("1")
+    assert ham_inv > 32, "inverted image should flip most hash bits"

@@ -313,12 +313,37 @@ def ahash(with_payload: DataFrame) -> DataFrame:
     byte i == character i); the threshold mean is an exact integer sum
     over a double division — identical in IEEE on both engines."""
 
+    def _pixel_cells(payload: bytes) -> list[int]:
+        """8×8 average-pooled grayscale cells from a REAL pixel decode
+        (PNG/GIF via the stdlib codecs) — the classic aHash recipe.
+        Opaque payloads fall back to their first 64 bytes (the
+        deterministic stand-in the text-fixture oracle mirrors)."""
+        import numpy as np
+
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:6] in (
+            b"GIF87a",
+            b"GIF89a",
+        ):
+            px = decode_image(bytes(payload)).astype("int64")
+            gray = px.mean(axis=2) if px.ndim == 3 else px
+            h, w = gray.shape
+            ys = np.linspace(0, h, 9).astype(int)
+            xs = np.linspace(0, w, 9).astype(int)
+            cells = [
+                int(gray[ys[i] : max(ys[i + 1], ys[i] + 1),
+                         xs[j] : max(xs[j + 1], xs[j] + 1)].mean())
+                for i in range(8)
+                for j in range(8)
+            ]
+            return cells
+        cells = list(payload[:AHASH_CELLS])
+        return cells + [0] * (AHASH_CELLS - len(cells))
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hashes = []
             for payload in pdf["payload"]:
-                cells = list(payload[:AHASH_CELLS])
-                cells += [0] * (AHASH_CELLS - len(cells))
+                cells = _pixel_cells(payload)
                 mean = sum(cells) / float(AHASH_CELLS)
                 h = 0
                 for i, c in enumerate(cells):
