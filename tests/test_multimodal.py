@@ -272,3 +272,18 @@ def test_ahash_uses_real_pixels_for_png(spark):
     assert hashes[1] == hashes[2], "near-identical images must collide"
     ham_inv = bin((hashes[1] ^ hashes[3]) & (2**64 - 1)).count("1")
     assert ham_inv > 32, "inverted image should flip most hash bits"
+
+
+def test_ahash_total_over_signature_colliding_payloads(spark):
+    """A payload that merely STARTS with an image signature but is not
+    decodable must hash via the byte fallback, not crash the job."""
+    from tfl_bikes_data_pipeline_spark.operators.multimodal import ahash
+
+    rows = [
+        (1, bytearray(b"GIF87a this is actually a text document about gifs")),
+        (2, bytearray(b"\x89PNG\r\n\x1a\n truncated garbage")),
+        (3, bytearray(b"plain opaque payload")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = ahash(df).collect()
+    assert len(out) == 3

@@ -230,3 +230,60 @@ def test_netcdf3_rejects_non_netcdf(tmp_path):
 
     with _pytest.raises(ValueError, match="magic"):
         parse_netcdf3(str(p))
+
+
+def test_xlsx_unaddressed_cell_follows_previous(spark, tmp_path):
+    """Per ECMA-376, a cell without r= follows the previous cell's
+    column — sparse addressing must not shift it."""
+    import zipfile as _zf
+
+    p = str(tmp_path / "sparse.xlsx")
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row><c r="A1" t="inlineStr"><is><t>h1</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>h2</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>h3</t></is></c>'
+        '<c r="D1" t="inlineStr"><is><t>h4</t></is></c></row>'
+        '<row><c r="C2"><v>x</v></c><c><v>y</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with _zf.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", xlsx._CONTENT_TYPES)
+        z.writestr("_rels/.rels", xlsx._ROOT_RELS)
+        z.writestr("xl/workbook.xml", xlsx._WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", xlsx._WB_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    pdf = xlsx.parse_xlsx(p)
+    row = pdf.iloc[0]
+    assert row["h3"] == "x" and row["h4"] == "y"
+    assert row["h1"] is None and row["h2"] is None
+
+
+def test_xlsx_phonetic_runs_excluded(tmp_path):
+    """<rPh> phonetic text must not leak into shared-string values."""
+    import zipfile as _zf
+
+    p = str(tmp_path / "furigana.xlsx")
+    shared = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<si><t>tokyo</t><rPh><t>toukyou</t></rPh></si></sst>"
+    )
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheetData><row><c r="A1" t="s"><v>0</v></c></row>'
+        '<row><c r="A2" t="s"><v>0</v></c></row></sheetData></worksheet>'
+    )
+    with _zf.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", xlsx._CONTENT_TYPES)
+        z.writestr("_rels/.rels", xlsx._ROOT_RELS)
+        z.writestr("xl/workbook.xml", xlsx._WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", xlsx._WB_RELS)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    pdf = xlsx.parse_xlsx(p)
+    assert list(pdf.columns) == ["tokyo"]
+    assert pdf.iloc[0, 0] == "tokyo"

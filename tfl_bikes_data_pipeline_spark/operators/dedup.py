@@ -849,11 +849,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     into several and diverge from the exact recursive-CTE oracles.
     Near-dup components are tiny in practice (2-3 rounds).
 
-    Persisted-relation lifecycle: intermediate round labels are
-    unpersisted inside the loop; ``edges`` and the FINAL labels (which
-    the returned lazy plan still references) go through ``_retain`` so
-    the next dedup invocation (or an explicit
-    ``release_cached_relations()``) frees them — no per-call leak.
+    Lifecycle: ``edges`` goes through ``_retain`` (freed at the next
+    dedup invocation); per-round label relations are CHECKPOINTED (see
+    the in-loop comment) — their blocks release at driver GC of the
+    underlying RDDs rather than via unpersist, a bounded
+    rounds × |labels| cost per call.
     """
     edges = _retain(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -881,34 +881,43 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             "node",
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
-        # localCheckpoint (eager) BOTH materializes the round and
-        # TRUNCATES logical lineage: labels is referenced three times
-        # per round (neighbor min, jump source, jump target), so
-        # without truncation the analyzed plan grows ~3^rounds and the
-        # analyzer itself becomes the bottleneck long before the data
-        # does. Cached-plan persist alone does not cut lineage.
-        new_labels = (
-            hop.join(jump, hop["label"] == jump["jnode"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("jlabel", "label")
-                ).alias("label"),
-            )
-            .localCheckpoint()
+        # Checkpointing BOTH materializes the round and TRUNCATES
+        # logical lineage: labels is referenced three times per round
+        # (neighbor min, jump source, jump target), so without
+        # truncation the analyzed plan grows ~3^rounds and the analyzer
+        # itself becomes the bottleneck long before the data does
+        # (cached-plan persist alone does not cut lineage). When the
+        # session has a RELIABLE checkpoint dir configured (the cluster
+        # deployment posture: HDFS-backed, survives executor loss) use
+        # checkpoint(); otherwise localCheckpoint() — executor-local
+        # blocks, fine for local mode, lost-executor reruns the job.
+        # Either way the blocks are freed at driver GC of the RDD, not
+        # by DataFrame.unpersist (a no-op on checkpointed plans) — a
+        # bounded, driver-lifetime cost of rounds × |labels|.
+        stepped = hop.join(jump, hop["label"] == jump["jnode"], "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("jlabel", "label")
+            ).alias("label"),
         )
+        spark_ctx = stepped.sparkSession.sparkContext
+        if spark_ctx.getCheckpointDir() is not None:
+            new_labels = stepped.checkpoint()
+        else:
+            new_labels = stepped.localCheckpoint()
         changed = (
             labels.withColumnRenamed("label", "old_label")
             .join(new_labels, "node")
             .where(F.col("old_label") != F.col("label"))
             .count()
         )
-        labels.unpersist()
+        labels.unpersist()  # real release round 1; no-op on checkpointed rounds
         labels = new_labels
         if changed == 0:
             break
-    # the returned lazy plan reads the final persisted labels — defer
-    # its release to the next dedup invocation.
+    # the returned lazy plan reads the final checkpointed labels;
+    # registration keeps the API uniform (unpersist is a no-op there —
+    # blocks free at driver GC, see the loop comment).
     _CACHED_RELATIONS.append(labels)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 

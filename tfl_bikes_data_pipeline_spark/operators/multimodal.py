@@ -7,7 +7,7 @@ decode and PCM-WAV sample decode are REAL in any container (stdlib
 codecs, operators.imaging — exercised end-to-end by ``q_image_stats`` /
 ``q_audio_stats``, which encode+decode inside the executors and reduce
 to oracle-checkable integer statistics). Only the remaining codec
-families (JPEG/GIF pixels, compressed audio, video) stay behind
+families (JPEG pixels, compressed audio, video) stay behind
 import gates (PIL/cv2/soundfile), with ``fake_decode_meta`` — a
 deterministic byte-level "decode" — keeping their dataflow tested.
 
@@ -324,18 +324,26 @@ def ahash(with_payload: DataFrame) -> DataFrame:
             b"GIF87a",
             b"GIF89a",
         ):
-            px = decode_image(bytes(payload)).astype("int64")
-            gray = px.mean(axis=2) if px.ndim == 3 else px
-            h, w = gray.shape
-            ys = np.linspace(0, h, 9).astype(int)
-            xs = np.linspace(0, w, 9).astype(int)
-            cells = [
-                int(gray[ys[i] : max(ys[i + 1], ys[i] + 1),
-                         xs[j] : max(xs[j + 1], xs[j] + 1)].mean())
-                for i in range(8)
-                for j in range(8)
-            ]
-            return cells
+            try:
+                px = decode_image(bytes(payload)).astype("int64")
+            except Exception:
+                # signature-colliding or truncated/corrupt payloads are
+                # ROUTINE in crawled corpora (a text doc starting with
+                # "GIF87a", a half-fetched PNG) — the hash must stay
+                # total over arbitrary bytes, so undecodable payloads
+                # take the byte-cell path instead of failing the job.
+                px = None
+            if px is not None:
+                gray = px.mean(axis=2) if px.ndim == 3 else px
+                h, w = gray.shape
+                ys = np.linspace(0, h, 9).astype(int)
+                xs = np.linspace(0, w, 9).astype(int)
+                return [
+                    int(gray[ys[i] : max(ys[i + 1], ys[i] + 1),
+                             xs[j] : max(xs[j + 1], xs[j] + 1)].mean())
+                    for i in range(8)
+                    for j in range(8)
+                ]
         cells = list(payload[:AHASH_CELLS])
         return cells + [0] * (AHASH_CELLS - len(cells))
 

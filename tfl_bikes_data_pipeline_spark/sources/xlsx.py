@@ -53,8 +53,17 @@ def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
         return []
     out = []
     for si in ET.fromstring(data).iter(f"{_NS}si"):
-        # plain <t> or rich-text runs <r><t>..</t></r> — concatenate
-        out.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+        # plain <t>, plus rich-text runs <r><t> — concatenated.
+        # Phonetic runs (<rPh>, furigana in East-Asian workbooks) are
+        # NOT cell text and must be skipped, or values come back with
+        # the reading appended (Excel/openpyxl render only <t>/<r>).
+        parts = []
+        for child in si:
+            if child.tag == f"{_NS}t":
+                parts.append(child.text or "")
+            elif child.tag == f"{_NS}r":
+                parts.extend(t.text or "" for t in child.iter(f"{_NS}t"))
+        out.append("".join(parts))
     return out
 
 
@@ -69,6 +78,8 @@ def _first_sheet_path(zf: zipfile.ZipFile) -> str:
     }
     first = next(wb.iter(f"{_NS}sheet"))
     target = rid_to_target[first.get(_RID)]
+    if target.startswith("/"):  # package-absolute target
+        return target.lstrip("/")
     return target if target.startswith("xl/") else f"xl/{target}"
 
 
@@ -83,12 +94,17 @@ def parse_xlsx(path: str) -> pd.DataFrame:
     rows: list[dict[int, str]] = []
     for row in sheet.iter(f"{_NS}row"):
         cells: dict[int, str] = {}
+        last_idx = -1
         for c in row.iter(f"{_NS}c"):
             ref, ctype = c.get("r"), c.get("t", "n")
-            if ref is None:  # cells without addresses: append position
-                ref_idx = len(cells)
+            if ref is None:
+                # per ECMA-376 an unaddressed cell FOLLOWS the previous
+                # cell's column (not the count of cells seen — sparse
+                # addressing would shift it)
+                ref_idx = last_idx + 1
             else:
                 ref_idx = _col_index(ref)
+            last_idx = ref_idx
             if ctype == "s":
                 v = c.find(f"{_NS}v")
                 cells[ref_idx] = strings[int(v.text)] if v is not None else None
@@ -119,11 +135,13 @@ def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
     minimal parser rejects) → Spark DataFrame of strings."""
     try:
         pdf = parse_xlsx(path)
-    except Exception:
+    except Exception as parse_err:
         try:
             import openpyxl  # noqa: F401
         except ImportError:
-            raise
+            # surface the PARSE failure, not a missing-dependency error:
+            # a corrupt file is an input problem, not an install problem.
+            raise parse_err
         pdf = pd.read_excel(path, dtype=str)
     return from_pandas_strings(spark, pdf)
 
