@@ -58,6 +58,7 @@ def _load_all() -> None:
         asof,
         dedup,
         fuzzy,
+        graph,
         merge,
         multimodal,
         profile,
@@ -68,7 +69,7 @@ def _load_all() -> None:
         training,
     )
 
-    for mod in (dedup, similarity, text, multimodal, profile, asof, timeseries, merge, scd, fuzzy, training):
+    for mod in (dedup, similarity, text, multimodal, profile, asof, timeseries, merge, scd, fuzzy, training, graph):
         _register(mod.QUERIES, mod.ORACLES, getattr(mod, "BENCH", list(mod.QUERIES)))
 
     from .sources import raw, spatial, xlsx, xml_feed

@@ -83,6 +83,39 @@ def build_fixture(spark: SparkSession, out_dir: str, m: int) -> None:
         os.path.join(out_dir, "embeddings.parquet")
     )
 
+    # events: copy i shifts ids and introduces a FRESH user population
+    # (user_id offset), so per-user session/series structure is
+    # identical per copy and total work grows linearly in m — naive
+    # replication would instead deepen every user's history m× and
+    # measure per-user state growth, a different (and unrepresentative)
+    # axis.
+    events = load_table(spark, BASE, "events")
+    n_events = events.count()
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+    ev_copies = []
+    for i in range(m):
+        c = events.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * n_events)
+        ).withColumn("user_id", F.col("user_id") + F.lit(i * n_users))
+        ev_copies.append(c)
+    all_ev = ev_copies[0]
+    for c in ev_copies[1:]:
+        all_ev = all_ev.unionByName(c)
+    all_ev.coalesce(max(4, m)).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+
+    # remaining tables (dims etc.) ride along unscaled — queries under
+    # scaling measurement only grow on the replicated corpus tables,
+    # and a missing table would fail unrelated relations they join.
+    from tfl_bikes_data_pipeline_spark.tables import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        src = os.path.join(BASE, f"{t}.parquet")
+        if not os.path.exists(dst) and os.path.exists(src):
+            os.symlink(src, dst)
+
 
 def run_once(spark: SparkSession, sf_dir: str, name: str) -> float:
     fn = registry.QUERIES[name]
