@@ -212,3 +212,83 @@ def test_ewma_matches_fold_model(spark, series):
     # the rounding grid, and widen the envelope by the same grid.
     assert abs(got["ewma"] - acc) <= 5.1e-7
     assert min(series) - 5.1e-7 <= got["ewma"] <= max(series) + 5.1e-7
+
+
+# ---------------------------------------------------------------------------
+# codec fuzz: arbitrary arrays must round-trip bit-exactly
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from tfl_bikes_data_pipeline_spark.operators.imaging import (
+    decode_gif,
+    decode_png,
+    decode_wav,
+    encode_gif,
+    encode_png,
+    encode_wav,
+)
+from tfl_bikes_data_pipeline_spark.sources.netcdf3 import (
+    parse_netcdf3,
+    write_netcdf3,
+)
+
+dims_small = st.integers(min_value=1, max_value=17)
+
+
+@given(h=dims_small, w=dims_small, c=st.sampled_from([1, 3, 4]),
+       seed=st.integers(0, 2**31 - 1))
+@settings(**SETTINGS)
+def test_png_roundtrip_fuzz(h, w, c, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    out = decode_png(encode_png(px))
+    assert out.shape == (h, w, c)
+    assert (out == px).all()
+
+
+@given(h=dims_small, w=dims_small, npal=st.integers(2, 17),
+       seed=st.integers(0, 2**31 - 1))
+@settings(**SETTINGS)
+def test_gif_roundtrip_fuzz(h, w, npal, seed):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+    idx = rng.integers(0, npal, size=(h, w)).astype(np.int32)
+    out = decode_gif(encode_gif(idx, pal))
+    assert (out == pal[idx]).all()
+
+
+@given(n=st.integers(1, 300), rate=st.sampled_from([8000, 16000, 44100]),
+       seed=st.integers(0, 2**31 - 1))
+@settings(**SETTINGS)
+def test_wav_roundtrip_fuzz(n, rate, seed):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    arr, r = decode_wav(encode_wav(s, rate))
+    assert r == rate and (arr[:, 0] == s).all()
+
+
+@given(
+    shape=st.tuples(dims_small, dims_small, dims_small),
+    dtype=st.sampled_from(["int8", "int16", "int32", "float32", "float64"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_netcdf3_roundtrip_fuzz(tmp_path_factory, shape, dtype, seed):
+    rng = np.random.default_rng(seed)
+    if dtype.startswith("float"):
+        arr = rng.standard_normal(shape).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.integers(info.min, info.max, size=shape, dtype=dtype)
+    p = str(tmp_path_factory.mktemp("nc") / "f.nc")
+    write_netcdf3(
+        p,
+        {"a": shape[0], "b": shape[1], "c": shape[2]},
+        {"v": (("a", "b", "c"), arr)},
+    )
+    back = parse_netcdf3(p)["v"][1]
+    assert back.shape == arr.shape
+    assert (back == arr).all() or (
+        dtype.startswith("float") and np.array_equal(back, arr, equal_nan=True)
+    )
