@@ -75,7 +75,9 @@ def test_decode_gates_follow_import_probe():
     # PNG and PCM-WAV now decode NATIVELY (stdlib codecs) in any
     # container; only the remaining families stay import-gated.
     if not mm.HAS_PIL:
-        with pytest.raises(NotImplementedError):
+        # a corrupt jpeg-ish stream is an INPUT error (ValueError from
+        # the stdlib baseline codec), no longer a missing-codec gate
+        with pytest.raises(ValueError):
             mm.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish payload")
     if not mm.HAS_SOUNDFILE:
         with pytest.raises(NotImplementedError):
@@ -196,7 +198,7 @@ def test_decode_image_non_png_still_gated():
 
     if HAS_PIL:
         _pytest.skip("PIL present: gate not exercised")
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises((NotImplementedError, ValueError)):
         decode_image(b"\xff\xd8\xff\xe0 not actually decodable jpeg")
 
 
@@ -287,3 +289,57 @@ def test_ahash_total_over_signature_colliding_payloads(spark):
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = ahash(df).collect()
     assert len(out) == 3
+
+
+def test_decode_image_real_jpeg_path():
+    """Baseline JPEG decodes to real pixels within quantization error,
+    for both 4:4:4 and 4:2:0 streams, via the stdlib codec."""
+    import numpy as np
+
+    from tfl_bikes_data_pipeline_spark.operators.jpeg import encode_jpeg
+    from tfl_bikes_data_pipeline_spark.operators.multimodal import decode_image
+
+    y, x = np.mgrid[0:24, 0:33]
+    # smooth ramps (no modulo wrap): JPEG ringing at hard
+    # discontinuities legitimately overshoots by ±30+, which would
+    # test the content, not the codec
+    rgb = np.stack(
+        [30 + x * 4 + y, 40 + y * 5, 25 + x * 2 + y * 3], axis=-1
+    ).clip(0, 255).astype("uint8")
+    for sub in (False, True):
+        from tfl_bikes_data_pipeline_spark.operators.jpeg import encode_jpeg
+
+        out = decode_image(encode_jpeg(rgb, subsample=sub))
+        assert out.shape == rgb.shape
+        err = np.abs(out.astype(int) - rgb.astype(int)).max()
+        assert err <= 20, f"subsample={sub}: max error {err} beyond JPEG bound"
+
+
+def test_jpeg_grayscale_and_odd_dims():
+    import numpy as np
+
+    from tfl_bikes_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    y, x = np.mgrid[0:13, 0:19]  # non-multiples of 8
+    gray = ((y * 7 + x * 5) % 200 + 20).astype("uint8")
+    out = decode_jpeg(encode_jpeg(gray))
+    assert out.shape == gray.shape
+    assert np.abs(out.astype(int) - gray.astype(int)).max() <= 16
+
+
+def test_jpeg_rejects_progressive_cleanly():
+    import pytest as _pytest
+
+    from tfl_bikes_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    # SOI + SOF2 (progressive) skeleton
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + (11).to_bytes(2, "big") + b"\x08" + (8).to_bytes(2, "big")
+        + (8).to_bytes(2, "big") + b"\x01" + b"\x01\x11\x00"
+    )
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(payload)

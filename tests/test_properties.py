@@ -292,3 +292,28 @@ def test_netcdf3_roundtrip_fuzz(tmp_path_factory, shape, dtype, seed):
     assert (back == arr).all() or (
         dtype.startswith("float") and np.array_equal(back, arr, equal_nan=True)
     )
+
+
+from tfl_bikes_data_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+
+@given(h=st.integers(8, 40), w=st.integers(8, 40), rgb=st.booleans(),
+       sub=st.booleans(), seed=st.integers(0, 2**31 - 1))
+@settings(**SETTINGS)
+def test_jpeg_roundtrip_fuzz(h, w, rgb, sub, seed):
+    """Arbitrary smooth images survive encode+decode within JPEG's
+    quantization error (smoothed noise: hard random noise would test
+    content ringing, not the codec)."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    rough = rng.integers(0, 256, size=shape).astype(np.float64)
+    # separable 5-tap box smooth clamps high frequencies
+    k = np.ones(5) / 5
+    sm = rough
+    sm = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 0, sm)
+    sm = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 1, sm)
+    img = sm.clip(0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, subsample=sub and rgb))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 15, f"mean error {err.mean():.1f} beyond JPEG bound"

@@ -7,7 +7,7 @@ decode and PCM-WAV sample decode are REAL in any container (stdlib
 codecs, operators.imaging — exercised end-to-end by ``q_image_stats`` /
 ``q_audio_stats``, which encode+decode inside the executors and reduce
 to oracle-checkable integer statistics). Only the remaining codec
-families (JPEG pixels, compressed audio, video) stay behind
+families (progressive JPEG, compressed audio, video) stay behind
 import gates (PIL/cv2/soundfile), with ``fake_decode_meta`` — a
 deterministic byte-level "decode" — keeping their dataflow tested.
 
@@ -62,6 +62,15 @@ def decode_image(payload: bytes) -> "object":
         from .imaging import decode_gif
 
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            # progressive/12-bit/restart-interval streams: PIL gate below
+            if not HAS_PIL:
+                raise
     if HAS_PIL:
         import io
 
@@ -69,7 +78,7 @@ def decode_image(payload: bytes) -> "object":
 
         return Image.open(io.BytesIO(payload))
     raise NotImplementedError(
-        "non-PNG/GIF image decode requires PIL, unavailable in this environment"
+        "image decode outside the stdlib codecs (PNG/GIF/baseline JPEG) requires PIL"
     )
 
 
