@@ -307,8 +307,6 @@ def test_decode_image_real_jpeg_path():
         [30 + x * 4 + y, 40 + y * 5, 25 + x * 2 + y * 3], axis=-1
     ).clip(0, 255).astype("uint8")
     for sub in (False, True):
-        from tfl_bikes_data_pipeline_spark.operators.jpeg import encode_jpeg
-
         out = decode_image(encode_jpeg(rgb, subsample=sub))
         assert out.shape == rgb.shape
         err = np.abs(out.astype(int) - rgb.astype(int)).max()

@@ -38,21 +38,38 @@ def degree_stats(pairs: DataFrame) -> DataFrame:
 
 def triangle_count(pairs: DataFrame) -> DataFrame:
     """1-row (n_triangles, n_edges, n_wedges): triangles via oriented
-    wedge join + closing-edge semi join; each triangle counted once
-    because a<b<c has exactly one generating wedge (a-b, b-c)."""
-    e = pairs.select(
-        F.least("doc_a", "doc_b").alias("lo"),
-        F.greatest("doc_a", "doc_b").alias("hi"),
-    ).distinct()
+    wedge join + closing-edge check; each triangle counted once because
+    a<b<c has exactly one generating wedge (a-b, b-c).
+
+    ONE wedge-join pass: the closing edge attaches as a LEFT join with
+    a match flag, so triangles and wedges count in the same aggregate
+    (a semi join + separate wedge count would run the O(Σdeg²) join
+    twice); the deduped edge relation is persisted across its three
+    readers for the duration of the plan (released at the next
+    [[dedup]]-lifecycle invocation)."""
+    from .dedup import _retain, release_cached_relations
+
+    release_cached_relations()
+    e = _retain(
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("lo"),
+            F.greatest("doc_a", "doc_b").alias("hi"),
+        ).distinct()
+    )
     ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     wedges = ab.join(bc, "b").select("a", "b", "c")
-    closing = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    tris = wedges.join(closing, ["a", "c"], "left_semi")
+    closing = e.select(
+        F.col("lo").alias("a"), F.col("hi").alias("c"), F.lit(1).alias("closed")
+    )
+    flagged = wedges.join(closing, ["a", "c"], "left")
+    counts = flagged.agg(
+        F.count("closed").alias("n_triangles"),
+        F.count(F.lit(1)).alias("n_wedges"),
+    )
     return (
-        tris.agg(F.count(F.lit(1)).alias("n_triangles"))
-        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
-        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        counts.crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .select("n_triangles", "n_edges", "n_wedges")
     )
 
 

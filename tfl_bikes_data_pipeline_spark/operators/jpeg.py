@@ -298,12 +298,7 @@ def encode_jpeg(pixels: np.ndarray, subsample: bool = False) -> bytes:
         # 2×2-averaged chroma plane
         mcux, mcuy = (w + 15) // 16, (h + 15) // 16
         ypad = pad_to(comps[0], mcuy * 2, mcux * 2)
-        sub = []
-        for c in comps[1:]:
-            cpad = pad_to(c, (h + 1) // 2 // 4 + 1, (w + 1) // 2 // 4 + 1)                 if False else None
-            half = (c[0::2, 0::2] + c[0::2, 1::2][:, : (w // 2)] if False else None)
-            sub.append(None)
-        # simple correct 2×2 average with edge handling: pad to even
+        # 2×2 chroma average with edge replication to even dims
         sub = []
         for c in comps[1:]:
             ce = np.empty(((h + 1) // 2 * 2, (w + 1) // 2 * 2))
@@ -392,7 +387,21 @@ def _read_huff(br: _BitReader, dec) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → (h, w) or (h, w, 3) uint8 RGB."""
+    """Baseline JPEG → (h, w) or (h, w, 3) uint8 RGB.
+
+    Error contract: malformed/truncated input raises ``ValueError``;
+    legal-but-out-of-scope streams (progressive, 12-bit, restart
+    intervals, non-interleaved multi-scan) raise
+    ``NotImplementedError`` so callers can route to a fuller codec."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except (IndexError, struct.error, TypeError) as e:
+        # unguarded reads off the end / length fields missing: the
+        # uniform input-error contract for half-fetched corpus files
+        raise ValueError(f"truncated or malformed JPEG ({type(e).__name__})") from e
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -403,7 +412,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI carries no length field
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -446,15 +460,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []
             for i in range(ns):
                 cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cid, tabs >> 4, tabs & 0x0F))
+            if {c for c, *_ in scan} != {c[0] for c in frame[2]}:
+                # legal baseline non-interleaved (one component per
+                # scan) is out of this codec's scope — not malformed
+                raise NotImplementedError(
+                    "non-interleaved multi-scan JPEG unsupported"
+                )
             entropy = payload[pos:]
             return _decode_scan(frame, scan, quant, huff_dc, huff_ac, entropy)
-        elif marker == 0xD9:
-            break
         # APPn/COM and others: skipped via seglen
     raise ValueError("JPEG contained no scan")
 

@@ -67,8 +67,11 @@ def decode_image(payload: bytes) -> "object":
 
         try:
             return decode_jpeg(payload)
-        except NotImplementedError:
-            # progressive/12-bit/restart-interval streams: PIL gate below
+        except (NotImplementedError, ValueError):
+            # out-of-scope (progressive/12-bit/restart/non-interleaved)
+            # OR malformed streams: a fuller codec may still decode
+            # them — fall through to PIL when present, re-raise the
+            # original otherwise.
             if not HAS_PIL:
                 raise
     if HAS_PIL:

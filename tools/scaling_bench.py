@@ -90,7 +90,9 @@ def build_fixture(spark: SparkSession, out_dir: str, m: int) -> None:
     # measure per-user state growth, a different (and unrepresentative)
     # axis.
     events = load_table(spark, BASE, "events")
-    n_events = events.count()
+    # max+1 offsets for BOTH ids: count() would collide copies if ids
+    # were ever sparse / non-zero-based
+    n_events = events.agg(F.max("event_id")).first()[0] + 1
     n_users = events.agg(F.max("user_id")).first()[0] + 1
     ev_copies = []
     for i in range(m):
