@@ -111,3 +111,38 @@ def test_compact_partitions_merges_small_files(spark, sf_dir, tmp_path):
         assert len(glob.glob(f"{m}/*.parquet")) == 1, f"{m} not compacted"
     assert spark.read.parquet(out).count() == n_before
     assert sorted(map(tuple, spark.read.parquet(out).groupBy("event_type").count().collect())) == sorted(map(tuple, before))
+
+
+def test_results_partition_independent(spark, sf_dir):
+    """The repo's central determinism claim: results are identical
+    under ANY partitioning. Flip shuffle partitions between extremes
+    and compare canonical row dumps for a cross-section of queries
+    (aggregates, window, dedup, fold-based, sketch-free stats)."""
+    from tfl_bikes_data_pipeline_spark import registry
+
+    SAMPLE = [
+        "q_topk_count",
+        "q_moving_avg",
+        "q_dedup_exact",
+        "q_ewma",
+        "q_stats_moments",
+        "q_text_unigram_logprob",
+    ]
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in SAMPLE:
+                results.setdefault(name, []).append(
+                    canon(registry.QUERIES[name](spark, sf_dir))
+                )
+        for name, (a, b) in results.items():
+            assert a == b, f"{name}: results differ across partitionings"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
