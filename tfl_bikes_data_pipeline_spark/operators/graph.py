@@ -47,9 +47,13 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     twice); the deduped edge relation is persisted across its three
     readers for the duration of the plan (released at the next
     [[dedup]]-lifecycle invocation)."""
-    from .dedup import _retain, release_cached_relations
+    from .dedup import _retain
 
-    release_cached_relations()
+    # no release here: the incoming pair plan may itself read relations
+    # the dedup lifecycle retained (q_dedup_minhash_lsh's shingle sets)
+    # — releasing them now would silently force full recomputation.
+    # This _retain joins the same generation; the NEXT top-level dedup
+    # invocation frees everything.
     e = _retain(
         pairs.select(
             F.least("doc_a", "doc_b").alias("lo"),
