@@ -1145,3 +1145,66 @@ ORACLES["q_local_supplier_volume"] = """
 """
 
 QUERIES["q_local_supplier_volume"] = q_local_supplier_volume
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency profile: per user, seconds from FIRST click
+    to the first purchase AFTER it; report population size, converted
+    count, exact mean latency and median — the funnel-depth metric
+    ([[q_funnel]] counts stages; this measures the time between them).
+    Deltas are integer epoch seconds (exact), the mean is an exact
+    integer-sum division, and the median uses the proven
+    percentile↔quantile_cont twin. One shuffle on user_id serves both
+    firsts; everything after is a two-column aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_timestamp("ts")).alias("first_click"))
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_timestamp("ts").alias("p_ts")
+    )
+    conv = (
+        clicks.join(purchases, "user_id")
+        .where(F.col("p_ts") > F.col("first_click"))
+        .groupBy("user_id", "first_click")
+        .agg(F.min("p_ts").alias("first_purchase"))
+        .select(
+            "user_id",
+            (F.col("first_purchase") - F.col("first_click")).alias("delta_s"),
+        )
+    )
+    return clicks.agg(F.count(F.lit(1)).alias("n_clicked")).crossJoin(
+        conv.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(
+                F.sum("delta_s").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_delta_s"),
+            F.round(F.expr("percentile(delta_s, 0.5)"), 6).alias("p50_delta_s"),
+        )
+    )
+
+
+ORACLES["q_time_to_convert"] = """
+    WITH clicks AS (
+        SELECT user_id, min(floor(epoch(ts))::BIGINT) AS first_click
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT c.user_id,
+               min(floor(epoch(e.ts))::BIGINT) - any_value(c.first_click) AS delta_s
+        FROM clicks c
+        JOIN events e ON e.user_id = c.user_id
+         AND e.event_type = 'purchase'
+         AND floor(epoch(e.ts))::BIGINT > c.first_click
+        GROUP BY c.user_id, c.first_click
+    )
+    SELECT (SELECT count(1) FROM clicks)::BIGINT AS n_clicked,
+           count(1)::BIGINT AS n_converted,
+           round(sum(delta_s)::DOUBLE / count(1)::DOUBLE, 6) AS avg_delta_s,
+           round(quantile_cont(delta_s, 0.5), 6) AS p50_delta_s
+    FROM conv
+"""
+
+QUERIES["q_time_to_convert"] = q_time_to_convert
