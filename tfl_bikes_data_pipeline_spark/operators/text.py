@@ -1294,3 +1294,103 @@ ORACLES["q_bpe_merges"] = f"""
 
 QUERIES["q_bpe_merges"] = q_bpe_merges
 BENCH.append("q_bpe_merges")
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth curve (Heaps' law)
+# ---------------------------------------------------------------------------
+
+VOCAB_DECILES = 10
+
+
+def vocab_growth(documents: DataFrame, buckets: int = VOCAB_DECILES) -> DataFrame:
+    """(decile, n_docs, vocab_size) — cumulative distinct-vocabulary
+    size over growing doc_id-ordered corpus prefixes: the Heaps'-law
+    curve a corpus report uses to judge whether a feed still adds new
+    language or has saturated (a flat tail means more data buys no new
+    vocabulary — a dedup/diversity smell).
+
+    Scale shape: ONE (word → first-decile) aggregate over the token
+    stream (min decile per word = the prefix where the word first
+    appears), then a 10-row running sum — the cumulative distinct
+    count per prefix without re-scanning the corpus per prefix (the
+    naive per-decile COUNT(DISTINCT) would scan 10×)."""
+    bounds = documents.agg(
+        F.max("doc_id").alias("max_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+    # integer DIV on both engines: double-divide-then-cast TRUNCATES in
+    # Spark but ROUNDS in DuckDB — boundary docs would shift deciles
+    decile = F.least(
+        F.lit(buckets),
+        F.expr(f"(doc_id * {buckets}) DIV (max_id + 1)").cast("int") + 1,
+    )
+    tokens = documents.crossJoin(F.broadcast(bounds)).select(
+        decile.alias("decile"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word"),
+    )
+    first_seen = tokens.groupBy("word").agg(F.min("decile").alias("first_decile"))
+    new_per = first_seen.groupBy("first_decile").agg(
+        F.count(F.lit(1)).alias("new_words")
+    )
+    docs_per = (
+        documents.crossJoin(F.broadcast(bounds))
+        .select(decile.alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("docs_in"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs_per.join(
+            new_per, docs_per["decile"] == new_per["first_decile"], "left"
+        )
+        .select(
+            "decile",
+            "docs_in",
+            F.coalesce("new_words", F.lit(0)).alias("new_words"),
+        )
+        .withColumn("n_docs", F.sum("docs_in").over(w))
+        .withColumn("vocab_size", F.sum("new_words").over(w))
+        .select("decile", "n_docs", "vocab_size")
+        .orderBy("decile")
+    )
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load_table(spark, sf_dir, "documents")
+    return vocab_growth(documents)
+
+
+ORACLES["q_vocab_growth"] = f"""
+    WITH bounds AS (
+        SELECT max(doc_id) AS max_id FROM documents
+    ),
+    docs AS (
+        SELECT doc_id, text,
+               least({VOCAB_DECILES},
+                     ((doc_id * {VOCAB_DECILES}) // (max_id + 1))::INT + 1) AS decile
+        FROM documents CROSS JOIN bounds
+    ),
+    tokens AS (
+        SELECT decile, unnest(string_split(lower(trim(text)), ' ')) AS word
+        FROM docs
+    ),
+    first_seen AS (
+        SELECT word, min(decile) AS first_decile FROM tokens GROUP BY word
+    ),
+    new_per AS (
+        SELECT first_decile AS decile, count(1) AS new_words
+        FROM first_seen GROUP BY first_decile
+    ),
+    docs_per AS (
+        SELECT decile, count(1) AS docs_in FROM docs GROUP BY decile
+    )
+    SELECT d.decile,
+           sum(d.docs_in) OVER (ORDER BY d.decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS n_docs,
+           sum(coalesce(n.new_words, 0)) OVER (ORDER BY d.decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS vocab_size
+    FROM docs_per d LEFT JOIN new_per n ON d.decile = n.decile
+    ORDER BY d.decile
+"""
+
+QUERIES["q_vocab_growth"] = q_vocab_growth
