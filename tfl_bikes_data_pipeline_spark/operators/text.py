@@ -1315,9 +1315,7 @@ def vocab_growth(documents: DataFrame, buckets: int = VOCAB_DECILES) -> DataFram
     appears), then a 10-row running sum — the cumulative distinct
     count per prefix without re-scanning the corpus per prefix (the
     naive per-decile COUNT(DISTINCT) would scan 10×)."""
-    bounds = documents.agg(
-        F.max("doc_id").alias("max_id"), F.count(F.lit(1)).alias("n_docs")
-    )
+    bounds = documents.agg(F.max("doc_id").alias("max_id"))
     # integer DIV on both engines: double-divide-then-cast TRUNCATES in
     # Spark but ROUNDS in DuckDB — boundary docs would shift deciles
     decile = F.least(
