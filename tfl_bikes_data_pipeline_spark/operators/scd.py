@@ -118,3 +118,125 @@ ORACLES: dict[str, str] = {
 QUERIES = {"q_scd2_history": q_scd2_history}
 
 BENCH = ["q_scd2_history"]
+
+
+# ---------------------------------------------------------------------------
+# point-in-time lookup against the history
+# ---------------------------------------------------------------------------
+
+#: probe instants (hours into the capture day) for the declared query
+POINT_LOOKUP_HOURS = (0, 6, 12, 18)
+
+
+def scd2_point_lookup(history: DataFrame, probes: DataFrame) -> DataFrame:
+    """(key, probe_ts, attr, n_events) — reconstruct each key's state
+    AS OF each probe instant from its SCD2 history: the canonical
+    point-in-time temporal join (`valid_from <= t < valid_to`, open
+    intervals match everything after ``valid_from``). Probes with no
+    valid version (before the key's first run) surface with NULL state
+    — absence is part of the answer.
+
+    Scale shape: equi-join on the key with the validity predicate as a
+    residual filter — per-key history is short (version chains), so
+    the residual scan is bounded; no range-join nested loop. At very
+    long histories you'd bucket valid_from like operators/asof.py."""
+    h = history.select(
+        F.col("key").alias("k"),
+        "attr",
+        "valid_from",
+        "valid_to",
+        "n_events",
+    )
+    return (
+        probes.join(
+            h,
+            (probes["key"] == h["k"])
+            & (h["valid_from"] <= probes["probe_ts"])
+            & (h["valid_to"].isNull() | (probes["probe_ts"] < h["valid_to"])),
+            "left",
+        )
+        .select(probes["key"], "probe_ts", "attr", "n_events")
+    )
+
+
+def q_scd2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every user's event-type state reconstructed at four fixed
+    instants of the capture day — the time-travel read over
+    [[q_scd2_history]]'s versioned state."""
+    events = load_table(spark, sf_dir, "events")
+    history = scd2_collapse(events, "user_id", "event_type", ["ts", "event_id"]).select(
+        F.col("user_id").alias("key"),
+        F.col("event_type").alias("attr"),
+        "valid_from",
+        "valid_to",
+        "n_events",
+    )
+    day0 = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0")
+    )
+    hours = F.array(*[F.lit(hh) for hh in POINT_LOOKUP_HOURS])
+    probes = (
+        events.select(F.col("user_id").alias("key")).distinct()
+        .crossJoin(F.broadcast(day0))
+        .select(
+            "key",
+            F.explode(hours).alias("hh"),
+            "d0",
+        )
+        .select(
+            "key",
+            (F.unix_timestamp("d0") + F.col("hh") * 3600).alias("probe_epoch"),
+        )
+        .select("key", F.timestamp_seconds(F.col("probe_epoch")).alias("probe_ts"))
+    )
+    return scd2_point_lookup(history, probes).orderBy("key", "probe_ts", "attr")
+
+
+ORACLES["q_scd2_point_lookup"] = f"""
+    WITH flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR event_type <> lag(event_type) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT *, sum(chg) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run
+        FROM flagged
+    ),
+    collapsed AS (
+        SELECT user_id, event_type, run,
+               date_trunc('microsecond', min(ts)) AS valid_from,
+               count(1)::BIGINT AS n_events
+        FROM runs GROUP BY user_id, event_type, run
+    ),
+    history AS (
+        SELECT user_id AS key, event_type AS attr, valid_from,
+               lead(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY run) AS valid_to,
+               n_events
+        FROM collapsed
+    ),
+    day0 AS (
+        SELECT date_trunc('day', min(ts)) AS d0 FROM events
+    ),
+    probes AS (
+        SELECT u.key,
+               d0 + to_seconds(hh.hh * 3600) AS probe_ts
+        FROM (SELECT DISTINCT user_id AS key FROM events) u
+        CROSS JOIN day0
+        CROSS JOIN (VALUES {", ".join(f"({hh})" for hh in POINT_LOOKUP_HOURS)}) hh(hh)
+    )
+    SELECT p.key, p.probe_ts, h.attr, h.n_events
+    FROM probes p
+    LEFT JOIN history h
+      ON h.key = p.key
+     AND h.valid_from <= p.probe_ts
+     AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
+    ORDER BY p.key, p.probe_ts, h.attr
+"""
+
+QUERIES["q_scd2_point_lookup"] = q_scd2_point_lookup
