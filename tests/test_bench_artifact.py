@@ -22,8 +22,10 @@ def test_bench_runs_to_completion_and_emits_contract_json():
     )
     assert proc.returncode == 0, f"bench crashed:\n{proc.stderr[-2000:]}"
 
-    # the driver takes the LAST stdout line as the artifact
+    # the driver takes the LAST stdout line as the artifact and
+    # tail-captures only ~2000 chars — the whole line must fit.
     line = proc.stdout.strip().splitlines()[-1]
+    assert len(line) <= 1900, f"bench line too long for tail capture: {len(line)}"
     out = json.loads(line)
     assert out["metric"] == "headline_queries_total"
     assert out["unit"] == "sec"
@@ -31,8 +33,19 @@ def test_bench_runs_to_completion_and_emits_contract_json():
     assert out["value"] > 0
     assert out["queries"], "no per-query timings"
     assert all(t >= 0 for t in out["queries"].values())
-    # the headline set must cover every BENCH-declared query
     from tfl_bikes_data_pipeline_spark import registry
 
-    assert set(out["queries"]) == set(registry.BENCH_QUERIES)
-    assert abs(out["value"] - sum(out["queries"].values())) < 0.01
+    # stdout carries the driver-pinned subset; value/n cover the full set
+    assert set(out["queries"]) <= set(registry.BENCH_QUERIES)
+    assert set(out["queries"]) <= registry.DRIVER_PINNED
+    assert out["n"] == len(registry.BENCH_QUERIES)
+    assert sum(out["queries"].values()) <= out["value"] + 0.01
+
+    # the complete per-query map lands in BENCH_DETAIL.md
+    detail = os.path.join(root, "BENCH_DETAIL.md")
+    assert os.path.exists(detail)
+    with open(detail) as fh:
+        body = fh.read()
+    full = json.loads(body.split("```json\n")[1].split("\n```")[0])
+    assert set(full["queries"]) == set(registry.BENCH_QUERIES)
+    assert abs(out["value"] - sum(full["queries"].values())) < 0.01

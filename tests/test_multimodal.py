@@ -341,3 +341,40 @@ def test_jpeg_rejects_progressive_cleanly():
     )
     with _pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg(payload)
+
+
+def test_phash_oracle_matches_spark_on_non_ascii_payloads(spark):
+    """ADVICE r4: the oracle must index UTF-8 BYTES, not codepoints —
+    a non-ASCII character in the first 64 bytes used to diverge the
+    two sides. Lockstep is asserted on crafted multilingual docs,
+    including an exact duplicate pair so the banded join emits rows."""
+    import duckdb
+    import pandas as pd
+
+    from tests.oracle_utils import assert_matches_oracle
+    from tfl_bikes_data_pipeline_spark import registry
+    from tfl_bikes_data_pipeline_spark.operators.multimodal import (
+        ahash,
+        ahash_pairs,
+        attach_payload,
+    )
+
+    texts = [
+        "héllo wörld " * 8,          # 2-byte chars inside the window
+        "héllo wörld " * 8,          # exact duplicate → pair
+        "日本語のテキストです。" * 6,    # 3-byte chars
+        "mixed ascii then é at the end " + "x" * 30 + "é",
+        "completely ascii payload " * 4,
+        "🙂 emoji (4-byte) starts this one " * 3,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = ahash_pairs(ahash(attach_payload(docs))).orderBy("doc_a", "doc_b")
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    assert_matches_oracle(
+        got, con, registry.ORACLES["q_multimodal_phash_pairs"], "phash_non_ascii"
+    )
+    assert got.count() >= 1  # the duplicate pair must survive

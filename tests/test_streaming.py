@@ -195,3 +195,35 @@ def test_foreachbatch_upsert_sink_converges_under_redelivery(spark, sf_dir):
         back.agg(F.sum(F.col("value").cast("decimal(18,6)"))).first()[0]
         == batch.agg(F.sum(F.col("value").cast("decimal(18,6)"))).first()[0]
     )
+
+
+def test_upsert_sink_self_heals_interrupted_swap(spark, sf_dir):
+    """Crash window between rename(out, __old_e) and rename(staged, out)
+    leaves out_path missing with the history in the aside dir; a restart
+    must restore the aside snapshot instead of silently rebuilding from
+    a single micro-batch (ADVICE r4)."""
+    from tfl_bikes_data_pipeline_spark.streaming.jobs import (
+        stage_landing_dir_with_redelivery,
+        stream_upsert_to_warehouse,
+    )
+
+    landing = stage_landing_dir_with_redelivery(sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="stream_upsert_crash_"), "events_live")
+    stream_upsert_to_warehouse(spark, landing, out)
+    full = spark.read.parquet(out)
+    n_full, sum_full = full.count(), full.agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+    ).first()[0]
+
+    # simulate the crash: live snapshot renamed aside, staged epoch left
+    # half-swapped (a stale partial dir), out_path gone.
+    os.rename(out, f"{out}.__old_7")
+    os.makedirs(f"{out}.__epoch_7")
+
+    stream_upsert_to_warehouse(spark, landing, out)
+    back = spark.read.parquet(out)
+    assert back.count() == n_full
+    assert back.agg(F.sum(F.col("value").cast("decimal(18,6)"))).first()[0] == sum_full
+    # leftovers swept
+    parent = os.path.dirname(out)
+    assert [e for e in os.listdir(parent) if "__old_" in e or "__epoch_" in e] == []

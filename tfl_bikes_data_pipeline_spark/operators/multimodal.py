@@ -21,6 +21,7 @@ query touches it.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -430,8 +431,13 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ahash_cell_sql(i: int) -> str:
-    # cell i (0-based): byte i of the payload, 0 past end-of-payload.
-    return f"CASE WHEN strlen(text) > {i} THEN ord(substr(text, {i + 1}, 1)) ELSE 0 END"
+    # cell i (0-based): BYTE i of the UTF-8 payload, 0 past end. Spark
+    # hashes encode(text,'utf-8') bytes, so the oracle must index bytes
+    # too — ord(substr(text,...)) would read CODEPOINTS and diverge on
+    # any non-ASCII character in the first 64 bytes (ADVICE r4). DuckDB
+    # has no blob[i], so go through the hex dump: byte i is the hex
+    # pair at chars 2i+1..2i+2, cast back via the 0x literal form.
+    return f"CASE WHEN blen > {i} THEN ('0x' || substr(hx, {2 * i + 1}, 2))::INT ELSE 0 END"
 
 
 _AHASH_SUM = " + ".join(_ahash_cell_sql(i) for i in range(AHASH_CELLS))
@@ -444,10 +450,14 @@ _AHASH_BITS = " + ".join(
 )
 
 ORACLES["q_multimodal_phash_pairs"] = f"""
-    WITH means AS (
-        SELECT doc_id, text,
-               ({_AHASH_SUM}) / {AHASH_CELLS}.0 AS cell_mean
+    WITH payloads AS (
+        SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS blen
         FROM documents
+    ),
+    means AS (
+        SELECT doc_id, hx, blen,
+               ({_AHASH_SUM}) / {AHASH_CELLS}.0 AS cell_mean
+        FROM payloads
     ),
     hashes AS (
         SELECT doc_id, ({_AHASH_BITS})::BIGINT AS ahash FROM means
@@ -509,7 +519,12 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["width"].append(decoded.shape[1])
                 s = int(decoded.astype("int64").sum())
                 rows["pixel_sum"].append(s)
-                rows["mean_px"].append(round(s / (IMG_H * IMG_W), 6))
+                # half-UP to 6dp, not Python round() (half-even): the
+                # oracle's DuckDB round() is half-away-from-zero, and
+                # s/128 terminates in 7 decimal digits so a 6dp tie is
+                # reachable — don't rely on pixel_sum parity (ADVICE r4).
+                mean = Decimal(s) / Decimal(IMG_H * IMG_W)
+                rows["mean_px"].append(float(mean.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)))
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(

@@ -426,6 +426,41 @@ QUERIES["q_stream_static_join"] = q_stream_static_join
 BENCH = ["q_stream_tumbling", "q_stream_sliding", "q_stream_join"]
 
 
+def _recover_interrupted_swap(out_path: str) -> None:
+    """Self-heal the stage-and-swap sink after a crash (ADVICE r4).
+
+    The swap in :func:`stream_upsert_to_warehouse` is
+    ``rename(out_path, __old_e)`` then ``rename(__epoch_e, out_path)``;
+    a crash between the two leaves ``out_path`` missing with the full
+    history sitting in the ``__old_e`` aside dir — and a naive restart
+    would silently rebuild the snapshot from a single micro-batch. On
+    sink start, restore the newest aside dir to ``out_path`` if the
+    live snapshot is missing (the interrupted batch re-merges via
+    at-least-once redelivery), then sweep stale aside/staged dirs.
+    """
+    import os
+    import re
+    import shutil
+
+    parent = os.path.dirname(out_path) or "."
+    base = os.path.basename(out_path)
+    if not os.path.isdir(parent):
+        return
+    leftovers: dict[str, list[tuple[int, str]]] = {"old": [], "epoch": []}
+    for entry in os.listdir(parent):
+        m = re.fullmatch(re.escape(base) + r"\.__(old|epoch)_(\d+)", entry)
+        if m:
+            leftovers[m.group(1)].append((int(m.group(2)), os.path.join(parent, entry)))
+    if not os.path.isdir(out_path) and leftovers["old"]:
+        # crash landed inside the swap window: bring the newest aside
+        # snapshot back live before anything merges against nothing.
+        _, newest = max(leftovers["old"])
+        os.rename(newest, out_path)
+    for _, path in leftovers["old"] + leftovers["epoch"]:
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+
+
 def stream_upsert_to_warehouse(
     spark: SparkSession,
     landing_dir: str,
@@ -456,6 +491,7 @@ def stream_upsert_to_warehouse(
     from ..operators.merge import merge_upsert
 
     keys = keys or ["event_id"]
+    _recover_interrupted_swap(out_path)
     events = read_events_stream(spark, landing_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
