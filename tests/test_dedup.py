@@ -101,13 +101,12 @@ def test_embedding_blocked_precision_and_recall(spark, sf_dir):
 
 
 def test_embedding_probed_precision_and_recall(spark, sf_dir):
-    """The asymmetric IVF-probed near-dup (the DECLARED q_dedup_embedding
-    plan) must be a subset of exact all-pairs with recall ≥ 0.95 at the
-    dedup threshold — nprobe=12 measured recall 1.0 on sf0.001 and
-    sf0.01; the floor leaves slack for fixture regeneration."""
-    from tfl_bikes_data_pipeline_spark.operators.dedup import (
-        embedding_cosine_pairs_probed,
-    )
+    """The DECLARED q_dedup_embedding plan (asymmetric IVF probing with
+    the two-level coarse→fine assignment) must be a subset of exact
+    all-pairs with recall ≥ 0.95 at the dedup threshold — measured 1.0
+    on sf0.001 and sf0.01; the floor leaves slack for fixture
+    regeneration."""
+    from tfl_bikes_data_pipeline_spark import registry
     from tfl_bikes_data_pipeline_spark.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -117,7 +116,7 @@ def test_embedding_probed_precision_and_recall(spark, sf_dir):
     }
     probed = {
         (r.vec_a, r.vec_b)
-        for r in embedding_cosine_pairs_probed(emb, COSINE_DUP_THRESHOLD).collect()
+        for r in registry.QUERIES["q_dedup_embedding"](spark, sf_dir).collect()
     }
     assert probed <= exact, "probing must never invent pairs"
     assert exact, "fixture should contain planted embedding near-dups"

@@ -242,6 +242,34 @@ def test_embedding_dedup_has_no_unbounded_cartesian(spark, sf_dir):
     )
 
 
+def test_embedding_dedup_uses_two_level_assignment(spark, sf_dir):
+    """The DECLARED plan must score the corpus only against the COARSE
+    (⌈√k⌉) centroid relation, never all k fine centroids — the flat
+    O(n·k) scorer is O(n²/50) at the corpus-scaled k and crosses over
+    past ~10⁶ vectors (VERDICT r4 item 3). Pinned via the filter
+    literals: both the fine bound (vec_id < k) and the coarse bound
+    (vec_id < k_c) must gate centroid relations in the plan."""
+    import math
+    import re
+
+    from tfl_bikes_data_pipeline_spark import registry
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        embed_block_num_centroids,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import table_row_count
+
+    k = embed_block_num_centroids(table_row_count(sf_dir, "embeddings"))
+    k_c = max(2, math.isqrt(max(k - 1, 0)) + 1)
+    assert k_c < k, "fixture too small to distinguish coarse from fine"
+    plan = plan_of(registry.QUERIES["q_dedup_embedding"](spark, sf_dir))
+    assert re.search(rf"vec_id#\d+L? < {k_c}\b", plan), (
+        f"no coarse-bound filter (vec_id < {k_c}) — flat assignment is back"
+    )
+    assert re.search(rf"vec_id#\d+L? < {k}\b", plan), (
+        f"no fine-bound filter (vec_id < {k}) in the plan"
+    )
+
+
 def test_ngram_dedup_caps_posting_lists(spark, sf_dir):
     """The n-gram jaccard candidate index must be df-capped: the plan
     filters shingles at document frequency ≤ NGRAM_MAX_DF BEFORE the

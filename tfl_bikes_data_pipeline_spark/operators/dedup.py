@@ -525,7 +525,11 @@ def embed_block_num_centroids(n_rows: int) -> int:
 #: coarse probes for the two-level assignment variant — how many coarse
 #: cells each vector expands before fine scoring (the recall knob of
 #: the hierarchical path, analogous to nassign for the flat path).
-EMBED_COARSE_PROBES = 3
+#: 4 measures recall 1.0 vs exact all-pairs on sf0.001 AND sf0.01
+#: (3 measured 0.92/0.90); stage-3 cost is O(n·probes·√k), so the 4/3
+#: bump is linear and stays sub-flat for k_c = ⌈√k⌉ > 4 (n > ~12k
+#: vectors at k = n/50).
+EMBED_COARSE_PROBES = 4
 
 
 def _flat_multi_assign(e: DataFrame, centroids: DataFrame, nassign: int) -> DataFrame:
@@ -572,9 +576,15 @@ def _two_level_multi_assign(
     recall vs the flat assignment pinned in tests/test_dedup.py.
     Every joined relation on the centroid side is broadcast (k rows at
     most) — the corpus never shuffles during assignment."""
+    import math
+
     from ..functions.vectors import dot_expr
 
-    k_c = max(2, int(k ** 0.5 + 0.9999))
+    # exact integer ceil-sqrt (isqrt(k-1)+1 ≡ ⌈√k⌉ for k ≥ 1): the
+    # DuckDB oracle mirrors this as floor(sqrt(k-1)) + 1, which is safe
+    # in IEEE doubles at any realistic k, unlike int(k**0.5 + 0.9999)
+    # whose fudge term can straddle an integer boundary.
+    k_c = max(2, math.isqrt(max(k - 1, 0)) + 1)
     coarse = centroids.where(F.col("centroid_id") < k_c).select(
         F.col("centroid_id").alias("coarse_id"),
         F.col("qv").alias("gv"),
@@ -1051,10 +1061,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed embedding near-dup — the production plan: bounded
     candidate generation (broadcast centroid scoring, one bucket-keyed
     shuffle, no unbounded crossJoin) with the ASYMMETRIC home/probe
-    blocking of :func:`embedding_cosine_pairs_probed` (recall 1.0 vs
-    exact all-pairs at the dedup threshold, measured and floor-pinned
-    in tests/test_dedup.py; the symmetric multi-assign and exact
-    all-pairs forms stay available as library functions).
+    blocking of :func:`embedding_cosine_pairs_probed` (recall vs exact
+    all-pairs measured and floor-pinned in tests/test_dedup.py; the
+    symmetric multi-assign and exact all-pairs forms stay available as
+    library functions).
+
+    Centroid ASSIGNMENT is the hierarchical coarse→fine quantizer
+    (``assign_mode="two_level"``, O(n·√k)) — with the corpus-scaled
+    centroid count k = n/50, the flat scorer's O(n·k) term is O(n²/50)
+    and crosses over past ~10⁶ vectors (PLANS.md scaling table), so the
+    DECLARED plan is the scale-safe shape and the oracle mirrors the
+    coarse→fine CTEs exactly (VERDICT r4 item 3).
 
     The centroid count comes from parquet FOOTER metadata (the
     table-stats lookup a catalog provides at warehouse scale), not a
@@ -1062,7 +1079,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings = load_table(spark, sf_dir, "embeddings")
     k = embed_block_num_centroids(table_row_count(sf_dir, "embeddings"))
     return embedding_cosine_pairs_probed(
-        embeddings, COSINE_DUP_THRESHOLD, num_centroids=k
+        embeddings, COSINE_DUP_THRESHOLD, num_centroids=k, assign_mode="two_level"
     ).orderBy("vec_a", "vec_b")
 
 
@@ -1383,34 +1400,71 @@ ORACLES: dict[str, str] = {
         SELECT node AS doc_id, min(root)::BIGINT AS cluster_id
         FROM reach GROUP BY node ORDER BY doc_id
     """,
-    # exact textual mirror of the ASYMMETRIC IVF probing: one ranked
-    # centroid-score pass (corpus-scaled centroid count via the same
-    # max(MIN, n // DOCS_PER) formula); rank 1 = home (index) bucket,
-    # rank ≤ nprobe = query probes; candidates pair probes with homes;
-    # cosine verify.
+    # exact textual mirror of the ASYMMETRIC IVF probing with the
+    # TWO-LEVEL (coarse→fine) assignment of _two_level_multi_assign:
+    # corpus-scaled centroid count via the same max(MIN, n // DOCS_PER)
+    # formula, k_c = ⌈√k⌉ coarse cells (floor(sqrt(k-1))+1), each fine
+    # centroid mapped to its nearest coarse cell, each vector probing
+    # its top EMBED_COARSE_PROBES cells and ranking only the fine
+    # centroids inside them; rank 1 = home (index) bucket, rank ≤
+    # nprobe = query probes; candidates pair probes with homes; cosine
+    # verify.
     "q_dedup_embedding": f"""
-        WITH corpus AS (
+        WITH params AS (
+            SELECT greatest({EMBED_BLOCK_MIN_CENTROIDS},
+                            count(*) // {EMBED_BLOCK_DOCS_PER_CENTROID}) AS k
+            FROM embeddings
+        ),
+        corpus AS (
             SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
         ),
         cent AS (
             SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS qv
             FROM embeddings
-            WHERE vec_id < (
-                SELECT greatest({EMBED_BLOCK_MIN_CENTROIDS},
-                                count(*) // {EMBED_BLOCK_DOCS_PER_CENTROID})
-                FROM embeddings
+            WHERE vec_id < (SELECT k FROM params)
+        ),
+        coarse AS (
+            SELECT centroid_id AS coarse_id, qv AS gv FROM cent
+            WHERE centroid_id < (
+                SELECT greatest(2, cast(floor(sqrt((k - 1)::DOUBLE)) AS BIGINT) + 1)
+                FROM params
             )
+        ),
+        fine_map AS (
+            SELECT centroid_id, coarse_id FROM (
+                SELECT f.centroid_id, g.coarse_id,
+                       row_number() OVER (
+                           PARTITION BY f.centroid_id
+                           ORDER BY round(list_cosine_similarity(g.gv, f.qv), 6) DESC,
+                                    g.coarse_id
+                       ) AS rn
+                FROM cent f CROSS JOIN coarse g
+            ) WHERE rn = 1
+        ),
+        vprobe AS (
+            SELECT vec_id, coarse_id FROM (
+                SELECT c.vec_id, g.coarse_id,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY round(list_cosine_similarity(g.gv, c.cv), 6) DESC,
+                                    g.coarse_id
+                       ) AS rn
+                FROM corpus c CROSS JOIN coarse g
+            ) WHERE rn <= {EMBED_COARSE_PROBES}
         ),
         ranked AS (
             SELECT vec_id, centroid_id, rn
             FROM (
-                SELECT c.vec_id, k.centroid_id,
+                SELECT v.vec_id, m.centroid_id,
                        row_number() OVER (
-                           PARTITION BY c.vec_id
-                           ORDER BY round(list_cosine_similarity(k.qv, c.cv), 6) DESC,
-                                    k.centroid_id
+                           PARTITION BY v.vec_id
+                           ORDER BY round(list_cosine_similarity(k2.qv, c.cv), 6) DESC,
+                                    m.centroid_id
                        ) AS rn
-                FROM corpus c CROSS JOIN cent k
+                FROM vprobe v
+                JOIN fine_map m ON m.coarse_id = v.coarse_id
+                JOIN corpus c ON c.vec_id = v.vec_id
+                JOIN cent k2 ON k2.centroid_id = m.centroid_id
             ) WHERE rn <= {EMBED_PROBE_NPROBE}
         ),
         home AS (
