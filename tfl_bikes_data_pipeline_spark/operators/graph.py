@@ -37,15 +37,24 @@ def degree_stats(pairs: DataFrame) -> DataFrame:
 
 
 def triangle_count(pairs: DataFrame) -> DataFrame:
-    """1-row (n_triangles, n_edges, n_wedges): triangles via oriented
-    wedge join + closing-edge check; each triangle counted once because
-    a<b<c has exactly one generating wedge (a-b, b-c).
+    """1-row (n_triangles, n_edges, n_wedges): triangles via DEGREE-
+    ORDERED wedge join + closing-edge check (node-iterator++ /
+    Schank–Wagner): every edge orients from its lower-(degree, id)
+    endpoint, wedges are pairs of out-edges from a common source, and
+    the closing edge is the oriented (b, c) edge. Each triangle has
+    exactly one generating wedge (at its minimum-key vertex), and —
+    the point of the degree ordering — out-degree is bounded by O(√m)
+    on ANY graph, so wedge work is O(m^1.5) even on the heavy-tailed
+    degree profiles near-dup graphs produce (id-ordering leaves
+    Σdeg² unbounded when a template family concentrates on low ids;
+    VERDICT r4 item 8). Costs one extra degree aggregate + two linear
+    joins to attach degrees; n_wedges reports the oriented wedge work
+    actually examined.
 
     ONE wedge-join pass: the closing edge attaches as a LEFT join with
-    a match flag, so triangles and wedges count in the same aggregate
-    (a semi join + separate wedge count would run the O(Σdeg²) join
-    twice); the deduped edge relation is persisted across its three
-    readers for the duration of the plan (released at the next
+    a match flag, so triangles and wedges count in the same aggregate;
+    the deduped edge and oriented-edge relations are persisted across
+    their readers for the duration of the plan (released at the next
     [[dedup]]-lifecycle invocation)."""
     from .dedup import _retain
 
@@ -60,13 +69,33 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
             F.greatest("doc_a", "doc_b").alias("hi"),
         ).distinct()
     )
-    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    wedges = ab.join(bc, "b").select("a", "b", "c")
-    closing = e.select(
-        F.col("lo").alias("a"), F.col("hi").alias("c"), F.lit(1).alias("closed")
+    sym = e.select(F.col("lo").alias("node")).unionAll(
+        e.select(F.col("hi").alias("node"))
     )
-    flagged = wedges.join(closing, ["a", "c"], "left")
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    ed = e.join(
+        deg.select(F.col("node").alias("lo"), F.col("d").alias("dl")), "lo"
+    ).join(deg.select(F.col("node").alias("hi"), F.col("d").alias("dh")), "hi")
+    # key(v) = (deg(v), v); lo < hi always, so lo comes first iff
+    # dl <= dh — the total order every stage below shares.
+    lo_first = F.col("dl") <= F.col("dh")
+    o = _retain(
+        ed.select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+            F.when(lo_first, F.col("dh")).otherwise(F.col("dl")).alias("dd"),
+        )
+    )
+    x = o.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dd").alias("db_"))
+    y = o.select(F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dd").alias("dc_"))
+    wedges = x.join(y, "a").where(
+        (F.col("db_") < F.col("dc_"))
+        | ((F.col("db_") == F.col("dc_")) & (F.col("b") < F.col("c")))
+    )
+    closing = o.select(
+        F.col("src").alias("b"), F.col("dst").alias("c"), F.lit(1).alias("closed")
+    )
+    flagged = wedges.join(closing, ["b", "c"], "left")
     counts = flagged.agg(
         F.count("closed").alias("n_triangles"),
         F.count(F.lit(1)).alias("n_wedges"),
@@ -117,12 +146,28 @@ ORACLES["q_graph_triangles"] = f"""
         SELECT DISTINCT least(doc_a, doc_b) AS lo, greatest(doc_a, doc_b) AS hi
         FROM pairs
     ),
+    deg AS (
+        SELECT node, count(1) AS d FROM (
+            SELECT lo AS node FROM e UNION ALL SELECT hi AS node FROM e
+        ) GROUP BY node
+    ),
+    o AS (
+        -- orient from the lower-(degree, id) endpoint; lo < hi always,
+        -- so lo leads iff d(lo) <= d(hi) — mirror of the Spark plan
+        SELECT CASE WHEN dl.d <= dh.d THEN e.lo ELSE e.hi END AS src,
+               CASE WHEN dl.d <= dh.d THEN e.hi ELSE e.lo END AS dst,
+               CASE WHEN dl.d <= dh.d THEN dh.d ELSE dl.d END AS dd
+        FROM e
+        JOIN deg dl ON dl.node = e.lo
+        JOIN deg dh ON dh.node = e.hi
+    ),
     wedges AS (
-        SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
-        FROM e ab JOIN e bc ON ab.hi = bc.lo
+        SELECT x.src AS a, x.dst AS b, y.dst AS c
+        FROM o x JOIN o y ON x.src = y.src
+        WHERE x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst)
     )
     SELECT (SELECT count(1) FROM wedges w
-            WHERE EXISTS (SELECT 1 FROM e WHERE e.lo = w.a AND e.hi = w.c)
+            WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.b AND o.dst = w.c)
            )::BIGINT AS n_triangles,
            (SELECT count(1) FROM e)::BIGINT AS n_edges,
            (SELECT count(1) FROM wedges)::BIGINT AS n_wedges
