@@ -146,3 +146,28 @@ def test_quantized_mips_recall_vs_float(spark, sf_dir):
     want = {(r.qid, r.vec_id) for r in exact.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.8, f"quantized MIPS recall {recall:.2f} too low"
+
+
+def test_embedding_covariance_matches_numpy(spark, sf_dir):
+    """The distributed partial-aggregate covariance must agree with a
+    single-node numpy covariance of the same quantized matrix to float
+    precision (grid 2^-20 -> worst-case per-value error ~1e-6)."""
+    import numpy as np
+
+    from tfl_bikes_data_pipeline_spark.operators.similarity import (
+        EMBED_COV_SHIFT,
+        embedding_covariance,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {(r.i, r.j): r.cov for r in embedding_covariance(emb).collect()}
+
+    x = np.array([r.embedding for r in emb.orderBy("vec_id").collect()], dtype=np.float64)
+    xq = np.floor(x * EMBED_COV_SHIFT) / EMBED_COV_SHIFT
+    ref = np.cov(xq, rowvar=False, bias=True)  # population covariance
+    for (i, j), c in got.items():
+        assert abs(c - ref[i - 1, j - 1]) < 1e-9, (i, j, c, ref[i - 1, j - 1])
+    d = x.shape[1]
+    assert len(got) == d * (d + 1) // 2  # full upper triangle incl. diagonal
+    assert all(got[(i, i)] >= 0 for i in range(1, d + 1))  # variances

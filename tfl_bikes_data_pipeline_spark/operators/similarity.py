@@ -827,3 +827,125 @@ ORACLES["q_knn_classify"] = f"""
 
 QUERIES["q_knn_classify"] = q_knn_classify
 BENCH.append("q_knn_classify")
+
+
+# ---------------------------------------------------------------------------
+# Distributed covariance — the PCA/whitening precursor
+# ---------------------------------------------------------------------------
+
+EMBED_COV_DIM = 64
+
+
+#: quantization grid for the covariance input: embeddings snap to
+#: multiples of 2^-20 (~1e-6) via floor BEFORE any arithmetic. This is
+#: the tie-free determinism device: double→DECIMAL(38,12) casts of raw
+#: float products can land exactly on a rounding tie (a float product
+#: that is an odd multiple of 2^-13 ties at the 12th decimal), and
+#: Spark (half-up) and DuckDB resolve ties differently — measured: one
+#: dimension of the sf0.01 fixture diverged by 1e-12. floor() is exact
+#: and tie-free in both engines, and on the grid every sum is pure
+#: INTEGER arithmetic (scaled by 2^20/2^40) with no rounding anywhere.
+EMBED_COV_SHIFT = 1 << 20
+
+
+def embedding_covariance(embeddings: DataFrame, dim: int = EMBED_COV_DIM) -> DataFrame:
+    """(i, j, cov) — upper-triangle covariance of the (2^-20-quantized)
+    embedding matrix (1-based dims), the statistic every PCA /
+    whitening / decorrelation stage starts from.
+
+    Plan shape — the distributed-matmul partial-aggregate, expressed in
+    JVM expressions: each row expands NARROWLY into its d(d+1)/2 upper-
+    triangle products (one ``transform``+``flatten``+``explode``, no
+    join, no UDF), and the single shuffle is the (i, j) hash aggregate,
+    which Spark partial-aggregates map-side — so only
+    ``cells × partitions`` rows cross the wire regardless of corpus
+    size, the same communication bound as an X^T·X block matmul.
+    Quantized values are BIGINTs (grid 2^-20, products on grid 2^-40,
+    see EMBED_COV_SHIFT), summed as exact DECIMAL(38,0) integers —
+    order-independent and identical on any partitioning — and the final
+    ``(sxy − sx·sy/n)/n`` runs in double through the same IEEE sequence
+    on both engines (descaling divides by powers of two: exact).
+    Per-dimension sums ride the same explode and join back as a
+    broadcast (d rows)."""
+    s = EMBED_COV_SHIFT
+    v = embeddings.select(
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {s}) AS BIGINT))"
+        ).alias("v")
+    )
+    tri = (
+        "flatten(transform(sequence(1, {d}), i -> "
+        "transform(sequence(i, {d}), j -> "
+        "struct(i AS i, j AS j, element_at(v, i) * element_at(v, j) AS p))))"
+    ).format(d=dim)
+    cells = (
+        v.select(F.explode(F.expr(tri)).alias("c"))
+        .select(
+            F.col("c.i").cast("int").alias("i"),
+            F.col("c.j").cast("int").alias("j"),
+            F.col("c.p").alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("p").cast("decimal(38,0)")).cast("string").cast("double").alias("sxy_i"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    dims = (
+        v.select(F.posexplode("v").alias("d0", "x"))
+        .select((F.col("d0") + 1).cast("int").alias("d"), "x")
+        .groupBy("d")
+        .agg(F.sum(F.col("x").cast("decimal(38,0)")).cast("string").cast("double").alias("sx_i"))
+    )
+    sxy = F.col("sxy_i") / float(s * s)
+    sxi = F.col("sxi_i") / float(s)
+    sxj = F.col("sxj_i") / float(s)
+    return (
+        cells.join(F.broadcast(dims.select(F.col("d").alias("i"), F.col("sx_i").alias("sxi_i"))), "i")
+        .join(F.broadcast(dims.select(F.col("d").alias("j"), F.col("sx_i").alias("sxj_i"))), "j")
+        .select(
+            "i",
+            "j",
+            ((sxy - sxi * sxj / F.col("n")) / F.col("n")).alias("cov"),
+        )
+    )
+
+
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb).orderBy("i", "j")
+
+
+ORACLES["q_embed_covariance"] = f"""
+    WITH v AS (
+        SELECT list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * {EMBED_COV_SHIFT}) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT i.i::INT AS i, j.j::INT AS j,
+               CAST(CAST(sum(CAST(v.v[i.i] * v.v[j.j] AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxy_i,
+               count(1) AS n
+        FROM v,
+             (SELECT unnest(generate_series(1, {EMBED_COV_DIM})) AS i) i,
+             (SELECT unnest(generate_series(1, {EMBED_COV_DIM})) AS j) j
+        WHERE i.i <= j.j
+        GROUP BY i.i, j.j
+    ),
+    dims AS (
+        SELECT d.d::INT AS d,
+               CAST(CAST(sum(CAST(v.v[d.d] AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx_i
+        FROM v, (SELECT unnest(generate_series(1, {EMBED_COV_DIM})) AS d) d
+        GROUP BY d.d
+    )
+    SELECT c.i, c.j,
+           (c.sxy_i / {float(EMBED_COV_SHIFT) ** 2}
+            - (di.sx_i / {float(EMBED_COV_SHIFT)}) * (dj.sx_i / {float(EMBED_COV_SHIFT)}) / c.n
+           ) / c.n AS cov
+    FROM cells c
+    JOIN dims di ON di.d = c.i
+    JOIN dims dj ON dj.d = c.j
+    ORDER BY c.i, c.j
+"""
+QUERIES["q_embed_covariance"] = q_embed_covariance
+BENCH.append("q_embed_covariance")

@@ -633,3 +633,50 @@ ORACLES["q_curation_pipeline"] = f"""
 
 QUERIES["q_curation_pipeline"] = q_curation_pipeline
 BENCH.append("q_curation_pipeline")
+
+
+#: per-source document cap — the web-curation "domain cap" pass
+#: (Common-Crawl-style pipelines cap pages per domain so no single
+#: template farm dominates the mixture). 20 keeps roughly the top
+#: quarter of each fixture source's documents.
+SOURCE_CAP = 20
+
+
+def cap_per_source(documents: DataFrame, cap: int = SOURCE_CAP) -> DataFrame:
+    """(doc_id, source, rk) — keep at most ``cap`` documents per source,
+    retained in (n_chars DESC, doc_id) order: a deterministic
+    quality-proxy ranking, NOT a random sample (the cap must keep the
+    best of an over-represented source, where hash_sample would keep a
+    uniform slice — both passes exist because they answer different
+    questions).
+
+    Scale: one window shuffle keyed on ``source``. Skewed sources are
+    the norm (that is why the cap exists); rank ≤ cap needs only a
+    per-partition running count after the sort, and with
+    ``spark.sql.rankLimit`` semantics (or AQE skew split + re-rank)
+    the per-source state is O(cap). No joins, no second pass."""
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        documents.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= cap)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load_table(spark, sf_dir, "documents")
+    return cap_per_source(documents).orderBy("source", "rk")
+
+
+ORACLES["q_source_caps"] = f"""
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+           )::INT AS rk
+    FROM documents
+    QUALIFY rk <= {SOURCE_CAP}
+    ORDER BY source, rk
+"""
+QUERIES["q_source_caps"] = q_source_caps
+BENCH.append("q_source_caps")
