@@ -867,18 +867,27 @@ def embedding_covariance(embeddings: DataFrame, dim: int = EMBED_COV_DIM) -> Dat
     on both engines (descaling divides by powers of two: exact).
     Per-dimension sums ride the same explode and join back as a
     broadcast (d rows)."""
+    from .dedup import _retain, release_cached_relations
+
+    release_cached_relations()
     s = EMBED_COV_SHIFT
     v = embeddings.select(
         F.expr(
             f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {s}) AS BIGINT))"
         ).alias("v")
     )
+    # each row emits its d(d+1)/2 upper-triangle products PLUS one
+    # marker cell (i, 0) carrying the linear term x_i, so the product
+    # sums and the per-dimension sums ride the SAME single corpus pass
+    # and the same shuffle — without the marker rows the per-dim sums
+    # would re-scan the corpus (the naive plan scans it three times).
     tri = (
-        "flatten(transform(sequence(1, {d}), i -> "
+        "flatten(transform(sequence(1, {d}), i -> concat("
+        "array(struct(i AS i, 0 AS j, element_at(v, i) AS p)), "
         "transform(sequence(i, {d}), j -> "
-        "struct(i AS i, j AS j, element_at(v, i) * element_at(v, j) AS p))))"
+        "struct(i AS i, j AS j, element_at(v, i) * element_at(v, j) AS p)))))"
     ).format(d=dim)
-    cells = (
+    sums = _retain(
         v.select(F.explode(F.expr(tri)).alias("c"))
         .select(
             F.col("c.i").cast("int").alias("i"),
@@ -887,16 +896,12 @@ def embedding_covariance(embeddings: DataFrame, dim: int = EMBED_COV_DIM) -> Dat
         )
         .groupBy("i", "j")
         .agg(
-            F.sum(F.col("p").cast("decimal(38,0)")).cast("string").cast("double").alias("sxy_i"),
+            F.sum(F.col("p").cast("decimal(38,0)")).cast("string").cast("double").alias("s_i"),
             F.count(F.lit(1)).alias("n"),
         )
     )
-    dims = (
-        v.select(F.posexplode("v").alias("d0", "x"))
-        .select((F.col("d0") + 1).cast("int").alias("d"), "x")
-        .groupBy("d")
-        .agg(F.sum(F.col("x").cast("decimal(38,0)")).cast("string").cast("double").alias("sx_i"))
-    )
+    cells = sums.where(F.col("j") >= 1).select("i", "j", F.col("s_i").alias("sxy_i"), "n")
+    dims = sums.where(F.col("j") == 0).select(F.col("i").alias("d"), F.col("s_i").alias("sx_i"))
     sxy = F.col("sxy_i") / float(s * s)
     sxi = F.col("sxi_i") / float(s)
     sxj = F.col("sxj_i") / float(s)
