@@ -171,3 +171,39 @@ def test_embedding_covariance_matches_numpy(spark, sf_dir):
     d = x.shape[1]
     assert len(got) == d * (d + 1) // 2  # full upper triangle incl. diagonal
     assert all(got[(i, i)] >= 0 for i in range(1, d + 1))  # variances
+
+
+def test_pca_projection_matches_numpy_power_iteration(spark, sf_dir):
+    """The distributed pipeline must reproduce numpy's power iteration
+    from the same start vector, round for round (alignment ~1.0 of the
+    projection score vectors) — implementation exactness, independent
+    of the fixture's spectrum. Convergence TO the true eigenvector is
+    eigengap-dependent (the synthetic embeddings are nearly isotropic:
+    top eigenvalues 0.0289 vs 0.0269, so 3 rounds barely rotate v0);
+    PCA_ROUNDS is the knob, documented rather than asserted."""
+    import numpy as np
+
+    from tfl_bikes_data_pipeline_spark.operators.similarity import (
+        EMBED_COV_SHIFT,
+        PCA_ROUNDS,
+        pca_power_projection,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = pca_power_projection(emb).orderBy("vec_id").collect()
+    got = np.array([r.score for r in rows])
+
+    x = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    xq = np.floor(x * EMBED_COV_SHIFT) / EMBED_COV_SHIFT
+    c = np.cov(xq, rowvar=False, bias=True)
+    v = np.full(x.shape[1], 0.125)
+    for _ in range(PCA_ROUNDS):
+        w = c @ v
+        v = w / np.linalg.norm(w)
+    ref = xq @ v
+    g, r = got - got.mean(), ref - ref.mean()
+    align = abs(g @ r) / (np.linalg.norm(g) * np.linalg.norm(r))
+    assert align > 0.999999, f"distributed power iteration diverged from numpy: {align:.6f}"

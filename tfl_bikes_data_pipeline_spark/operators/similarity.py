@@ -954,3 +954,138 @@ ORACLES["q_embed_covariance"] = f"""
 """
 QUERIES["q_embed_covariance"] = q_embed_covariance
 BENCH.append("q_embed_covariance")
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via power iteration + corpus projection
+# ---------------------------------------------------------------------------
+
+PCA_ROUNDS = 3
+
+
+def pca_power_projection(
+    embeddings: DataFrame, dim: int = EMBED_COV_DIM, rounds: int = PCA_ROUNDS
+) -> DataFrame:
+    """(vec_id, score) — every vector's coordinate along the corpus's
+    dominant principal component: the embedding-quality / outlier /
+    drift diagnostic a curation pipeline runs after covariance.
+
+    Three stages, each in its scale-correct shape:
+    1. covariance — the distributed X^T·X partial-aggregate
+       ([[embedding_covariance]]: one corpus pass, one shuffle);
+    2. power iteration — ``rounds`` unrolled steps of
+       v ← normalize(C·v) on the d×d matrix, a FIXED-SIZE relation
+       (d² rows) independent of corpus size: matvec is a d²-row join +
+       exact-DECIMAL aggregate, the norm is a 1-row scalar broadcast
+       back — iteration cost does not grow with the corpus;
+    3. projection — one narrow explode + broadcast join of the d-row
+       component + per-doc exact-DECIMAL dot sum.
+
+    Determinism: v₀ = 1/8 exactly (all dims; ‖v₀‖ = 1 at d = 64),
+    every cross-row sum is an exact DECIMAL(38,12) aggregate
+    (order-independent), scalar ops (norm sqrt, divisions) run the
+    same IEEE sequence on both engines, and the corpus is quantized to
+    the same 2^-20 grid as the covariance — so the DuckDB oracle's
+    unrolled-CTE mirror is bit-identical with no per-round rounding."""
+    spark = embeddings.sparkSession
+    cov = embedding_covariance(embeddings, dim)
+    full = cov.select("i", "j", F.col("cov").alias("c")).unionAll(
+        cov.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("cov").alias("c")
+        )
+    )
+    v = spark.range(1, dim + 1).select(
+        F.col("id").cast("int").alias("j"), F.lit(1.0 / 8.0).alias("v")
+    )
+    for _ in range(rounds):
+        w = (
+            full.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("c") * F.col("v")).cast("decimal(38,12)"))
+                .cast("string").cast("double").alias("w")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)"))
+                .cast("string").cast("double")
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"), (F.col("w") / F.col("nrm")).alias("v")
+        )
+    s = EMBED_COV_SHIFT
+    ex = (
+        embeddings.select(
+            "vec_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {s}) AS BIGINT))"
+                )
+            ).alias("d0", "xi"),
+        )
+        .select("vec_id", (F.col("d0") + 1).cast("int").alias("j"), "xi")
+    )
+    return (
+        ex.join(F.broadcast(v), "j")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(((F.col("xi") / float(s)) * F.col("v")).cast("decimal(38,12)"))
+            .cast("string").cast("double").alias("score")
+        )
+    )
+
+
+def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_power_projection(emb).orderBy("vec_id")
+
+
+def _pca_round_sql(prev: str, rnd: int) -> str:
+    return f"""
+    w{rnd} AS (
+        SELECT m.i AS j,
+               CAST(CAST(sum(CAST(m.c * v.v AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS w
+        FROM full_m m JOIN {prev} v ON v.j = m.j
+        GROUP BY m.i
+    ),
+    n{rnd} AS (
+        SELECT sqrt(CAST(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)) AS nrm
+        FROM w{rnd}
+    ),
+    v{rnd} AS (
+        SELECT j, w / (SELECT nrm FROM n{rnd}) AS v FROM w{rnd}
+    )"""
+
+
+_PCA_ROUNDS_SQL = ",".join(
+    _pca_round_sql("v0" if r == 1 else f"v{r - 1}", r) for r in range(1, PCA_ROUNDS + 1)
+)
+
+ORACLES["q_embed_pca_project"] = f"""
+    WITH cov_cells AS ({ORACLES["q_embed_covariance"]}),
+    full_m AS (
+        SELECT i, j, cov AS c FROM cov_cells
+        UNION ALL
+        SELECT j AS i, i AS j, cov AS c FROM cov_cells WHERE i != j
+    ),
+    v0 AS (
+        SELECT d.d::INT AS j, 0.125::DOUBLE AS v
+        FROM (SELECT unnest(generate_series(1, {EMBED_COV_DIM})) AS d) d
+    ),
+    {_PCA_ROUNDS_SQL},
+    ex AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1)::INT AS j,
+               CAST(floor(unnest(embedding::DOUBLE[]) * {EMBED_COV_SHIFT}) AS BIGINT) AS xi
+        FROM embeddings
+    )
+    SELECT e.vec_id,
+           CAST(CAST(sum(CAST((e.xi / {float(EMBED_COV_SHIFT)}) * v.v AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS score
+    FROM ex e JOIN v{PCA_ROUNDS} v ON v.j = e.j
+    GROUP BY e.vec_id
+    ORDER BY e.vec_id
+"""
+QUERIES["q_embed_pca_project"] = q_embed_pca_project
+BENCH.append("q_embed_pca_project")
