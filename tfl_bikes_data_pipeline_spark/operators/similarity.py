@@ -986,35 +986,45 @@ def pca_power_projection(
     (order-independent), scalar ops (norm sqrt, divisions) run the
     same IEEE sequence on both engines, and the corpus is quantized to
     the same 2^-20 grid as the covariance — so the DuckDB oracle's
-    unrolled-CTE mirror is bit-identical with no per-round rounding."""
+    unrolled-CTE mirror is bit-identical with no per-round rounding.
+
+    The iteration itself runs on the DRIVER over the collected d²-cell
+    matrix — bounded algorithm state, not corpus data (the same
+    placement MLlib's iterative algorithms use for centroids): an
+    all-relational iteration re-materializes every prior round's
+    lineage per broadcast, turning 3 rounds of 64-row math into ~10 s
+    of job scheduling. The driver math mirrors the engines' decimal
+    discipline exactly — Decimal(repr(x)) is the shortest-repr decimal
+    Spark's cast uses, quantized HALF_UP at 12 dp — so the oracle
+    CTE-unrolled values stay bit-identical."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import math
+
     spark = embeddings.sparkSession
     cov = embedding_covariance(embeddings, dim)
-    full = cov.select("i", "j", F.col("cov").alias("c")).unionAll(
-        cov.where(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), F.col("cov").alias("c")
-        )
-    )
-    v = spark.range(1, dim + 1).select(
-        F.col("id").cast("int").alias("j"), F.lit(1.0 / 8.0).alias("v")
-    )
+    cells = {(r.i, r.j): r.cov for r in cov.collect()}  # d(d+1)/2 values
+
+    q12 = Decimal("0.000000000001")
+
+    def dec12(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(q12, rounding=ROUND_HALF_UP)
+
+    def c_at(i: int, j: int) -> float:
+        return cells[(i, j)] if i <= j else cells[(j, i)]
+
+    v = [1.0 / 8.0] * dim
     for _ in range(rounds):
-        w = (
-            full.join(F.broadcast(v), "j")
-            .groupBy("i")
-            .agg(
-                F.sum((F.col("c") * F.col("v")).cast("decimal(38,12)"))
-                .cast("string").cast("double").alias("w")
-            )
-        )
-        nrm = w.agg(
-            F.sqrt(
-                F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)"))
-                .cast("string").cast("double")
-            ).alias("nrm")
-        )
-        v = w.crossJoin(F.broadcast(nrm)).select(
-            F.col("i").alias("j"), (F.col("w") / F.col("nrm")).alias("v")
-        )
+        w = [
+            float(str(sum(dec12(c_at(i, j + 1) * v[j]) for j in range(dim))))
+            for i in range(1, dim + 1)
+        ]
+        nrm = math.sqrt(float(str(sum(dec12(x * x) for x in w))))
+        v = [x / nrm for x in w]
+
+    vrel = spark.createDataFrame(
+        [(j + 1, v[j]) for j in range(dim)], "j int, v double"
+    )
     s = EMBED_COV_SHIFT
     ex = (
         embeddings.select(
@@ -1028,7 +1038,7 @@ def pca_power_projection(
         .select("vec_id", (F.col("d0") + 1).cast("int").alias("j"), "xi")
     )
     return (
-        ex.join(F.broadcast(v), "j")
+        ex.join(F.broadcast(vrel), "j")
         .groupBy("vec_id")
         .agg(
             F.sum(((F.col("xi") / float(s)) * F.col("v")).cast("decimal(38,12)"))
