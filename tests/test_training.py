@@ -71,3 +71,37 @@ def test_pack_bins_are_contiguous_per_shard(spark, sf_dir):
     )
     bad = fill.where((F.col("t") >= CONTEXT_TOKENS + F.col("m")) & (F.col("n") > 1))
     assert bad.count() == 0
+
+
+def test_cap_per_source_invariants(spark, sf_dir):
+    """Per-source caps: never more than CAP rows per source, ranks are
+    contiguous from 1, retention is by (n_chars DESC, doc_id) so the
+    kept set is exactly the top-CAP of each source, and the operator is
+    a pure filter (kept rows exist in the input)."""
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.operators.training import (
+        SOURCE_CAP,
+        cap_per_source,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = cap_per_source(docs).collect()
+    by_source = {}
+    for r in kept:
+        by_source.setdefault(r.source, []).append(r)
+    rows = {(r.doc_id, r.source) for r in docs.select("doc_id", "source").collect()}
+    for source, members in by_source.items():
+        assert len(members) <= SOURCE_CAP
+        assert sorted(m.rk for m in members) == list(range(1, len(members) + 1))
+        for m in members:
+            assert (m.doc_id, source) in rows
+    # exact top-CAP check against a driver-side sort
+    full = docs.select("doc_id", "source", "n_chars").collect()
+    for source, members in by_source.items():
+        pool = sorted(
+            (r for r in full if r.source == source),
+            key=lambda r: (-r.n_chars, r.doc_id),
+        )[:SOURCE_CAP]
+        assert {m.doc_id for m in members} == {r.doc_id for r in pool}
