@@ -227,3 +227,39 @@ def test_upsert_sink_self_heals_interrupted_swap(spark, sf_dir):
     # leftovers swept
     parent = os.path.dirname(out)
     assert [e for e in os.listdir(parent) if "__old_" in e or "__epoch_" in e] == []
+
+
+def test_checkpoint_resume_skips_consumed_files(spark, sf_dir):
+    """Restarting a checkpointed drain must consume only files that
+    arrived since the last run, and a restart with NO new files must be
+    a no-op — source offsets + parquet-sink commit log together give
+    exactly-once across restarts."""
+    import tempfile as _tf
+
+    from tfl_bikes_data_pipeline_spark.streaming.jobs import (
+        _stage_half,
+        stream_drain_with_checkpoint,
+    )
+
+    landing = _tf.mkdtemp(prefix="ckpt_landing_")
+    base = _tf.mkdtemp(prefix="ckpt_base_")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+
+    _stage_half(sf_dir, landing, 0, "a.parquet")
+    stream_drain_with_checkpoint(spark, landing, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+
+    _stage_half(sf_dir, landing, 1, "b.parquet")
+    stream_drain_with_checkpoint(spark, landing, out, ckpt)
+    n2 = spark.read.parquet(out).count()
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    even = batch.where(F.col("event_id") % 2 == 0).count()
+    assert n1 == even
+    assert n2 == batch.count()
+
+    # idle restart: nothing new → nothing processed
+    stream_drain_with_checkpoint(spark, landing, out, ckpt)
+    assert spark.read.parquet(out).count() == n2
+    # and no duplicate event ids anywhere
+    assert spark.read.parquet(out).select("event_id").distinct().count() == n2

@@ -522,3 +522,76 @@ def stream_upsert_to_warehouse(
 
     q = events.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+def stream_drain_with_checkpoint(
+    spark: SparkSession, landing_dir: str, out_path: str, checkpoint_dir: str
+) -> None:
+    """One AvailableNow drain of the landing dir into a parquet SINK
+    with a checkpoint: source offsets (which files are consumed) and
+    sink commits (_spark_metadata) both persist, so a later drain with
+    the SAME checkpoint processes only files that arrived since — the
+    exactly-once restart discipline every production stream runs with,
+    which the ephemeral memory-sink drains above deliberately skip."""
+    q = (
+        read_events_stream(spark, landing_dir)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _stage_half(sf_dir: str, landing: str, parity: int, name: str) -> None:
+    """Write the events with event_id % 2 == parity as one landing file
+    via pyarrow (byte-preserving: the nanosecond ts column keeps its
+    physical type, so the stream's schema probe sees the same file
+    shape the real feed delivers)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    half = t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), parity))
+    pq.write_table(half, f"{landing}/{name}")
+
+
+def q_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed restart: drain half the feed, then deliver the
+    second half and drain again REUSING the checkpoint. Offset tracking
+    must skip the already-consumed file — if the restart re-processed
+    it, every even-id event would appear twice and the per-type profile
+    below would double away from the single-delivery oracle."""
+    landing = tempfile.mkdtemp(prefix="events_ckpt_landing_")
+    base = tempfile.mkdtemp(prefix="events_ckpt_")
+    out, ckpt = f"{base}/out", f"{base}/checkpoint"
+
+    _stage_half(sf_dir, landing, 0, "half_even.parquet")
+    stream_drain_with_checkpoint(spark, landing, out, ckpt)
+    _stage_half(sf_dir, landing, 1, "half_odd.parquet")
+    stream_drain_with_checkpoint(spark, landing, out, ckpt)
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# single-delivery profile: a restart that re-reads consumed files would
+# double cnt/total_value and fail the hash.
+ORACLES["q_stream_checkpoint_resume"] = """
+    SELECT event_type, count(1)::BIGINT AS cnt,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value,
+           min(event_id)::BIGINT AS min_event_id,
+           max(event_id)::BIGINT AS max_event_id
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+QUERIES["q_stream_checkpoint_resume"] = q_stream_checkpoint_resume
