@@ -17,9 +17,37 @@ def con(sf_dir):
     c.close()
 
 
+#: queries that RUN the streaming engine inside the builder — their
+#: returned frame is a drained memory/parquet sink, so the interesting
+#: plan (pinned separately in test_streaming/test_plan_quality) is not
+#: the one `explain` would show here.
+_STREAMING = ("q_stream_", "q_session_window")
+
+#: plan anti-patterns no declared query may ever contain: an unbounded
+#: corpus cartesian, or a row-at-a-time Python UDF (Arrow-batched
+#: MapInPandas / ArrowEvalPython remain allowed — they are the sanctioned
+#: Python seam). Enforced suite-wide on every oracle run, not just the
+#: hand-picked plans in test_plan_quality.
+_FORBIDDEN_NODES = ("CartesianProduct", "BatchEvalPython")
+
+
+def _assert_plan_clean(df, name: str) -> None:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    for node in _FORBIDDEN_NODES:
+        assert node not in plan, f"{name}: forbidden plan node {node}"
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, sf_dir, con, name):
     df = registry.QUERIES[name](spark, sf_dir)
+    if not name.startswith(_STREAMING):
+        _assert_plan_clean(df, name)
     assert_matches_oracle(df, con, registry.ORACLES[name], name)
 
 
