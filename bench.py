@@ -54,46 +54,38 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     pinned = {n: t for n, t in timings.items() if n in registry.DRIVER_PINNED}
 
+    # best-effort: the stdout artifact is the contract — a read-only
+    # checkout must still get its JSON line after the full run.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.md")
-    with open(detail_path, "w") as fh:
-        fh.write(
-            "# Bench detail (full per-query map)\n\n"
-            f"sf={sf} cpus={os.environ.get('SPARK_GRAFT_CPUS', '32')} "
-            f"total={total}s over {len(timings)} queries "
-            "(stdout line carries the driver-pinned subset only — "
-            "2000-char tail-capture budget).\n\n```json\n"
-        )
-        fh.write(json.dumps({"sf": sf, "total_sec": total, "queries": timings}, indent=1))
-        fh.write("\n```\n")
-
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "n": len(timings),
-            "detail": "BENCH_DETAIL.md",
-            "queries": pinned,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        },
-        separators=(",", ":"),
-    )
-    if len(line) > MAX_LINE:  # drop slowest-name entries until it fits
-        names = sorted(pinned, key=len)
-        while len(line) > MAX_LINE and names:
-            pinned.pop(names.pop())
-            line = json.dumps(
-                {
-                    "metric": "headline_queries_total",
-                    "value": total,
-                    "unit": "sec",
-                    "n": len(timings),
-                    "detail": "BENCH_DETAIL.md",
-                    "queries": pinned,
-                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                },
-                separators=(",", ":"),
+    try:
+        with open(detail_path, "w") as fh:
+            fh.write(
+                "# Bench detail (full per-query map)\n\n"
+                f"sf={sf} cpus={os.environ.get('SPARK_GRAFT_CPUS', '32')} "
+                f"total={total}s over {len(timings)} queries "
+                "(stdout line carries the driver-pinned subset only — "
+                "2000-char tail-capture budget).\n\n```json\n"
             )
+            fh.write(json.dumps({"sf": sf, "total_sec": total, "queries": timings}, indent=1))
+            fh.write("\n```\n")
+    except OSError as e:
+        print(f"warning: could not write {detail_path}: {e}", file=sys.stderr)
+
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "n": len(timings),
+        "detail": "BENCH_DETAIL.md",
+        "queries": pinned,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    # drop longest-name entries until the line fits the tail capture
+    names = sorted(pinned, key=len)
+    while len(line) > MAX_LINE and names:
+        pinned.pop(names.pop())
+        line = json.dumps(payload, separators=(",", ":"))
     print(line)
     spark.stop()
 

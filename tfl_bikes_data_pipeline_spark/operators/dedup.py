@@ -618,7 +618,12 @@ def _two_level_multi_assign(
         .where(F.col("rn") <= coarse_probes)
         .select("vec_id", "coarse_id")
     )
-    # (3) fine scoring confined to probed cells
+    # (3) fine scoring confined to probed cells. The vector arrays
+    # (cv, nv) ride through the rank window and OUT of this function:
+    # callers need them attached anyway, and re-joining `e` downstream
+    # would re-scan + re-transform the whole corpus a third time (the
+    # shuffle volume is the same either way — the arrays cross one
+    # exchange — but the extra corpus pass isn't).
     cand = vprobe.join(F.broadcast(fine_map), "coarse_id").select("vec_id", "centroid_id")
     cand_scored = (
         cand.join(e, "vec_id")
@@ -626,6 +631,8 @@ def _two_level_multi_assign(
         .select(
             "vec_id",
             "centroid_id",
+            "cv",
+            "nv",
             F.round(
                 F.expr(dot_expr("qv", "cv")) / (F.col("nq") * F.col("nv")), 6
             ).alias("c_sim"),
@@ -637,7 +644,7 @@ def _two_level_multi_assign(
     )
     # with_rank=True serves the asymmetric probed blocking, which needs
     # rn to split the home (rn=1) index side from the probe side.
-    cols = ["vec_id", "centroid_id"] + (["rn"] if with_rank else [])
+    cols = ["vec_id", "centroid_id", "cv", "nv"] + (["rn"] if with_rank else [])
     return ranked.select(*cols)
 
 
@@ -686,12 +693,6 @@ def embedding_cosine_pairs_blocked(
     )
     # same IEEE sequence as functions.vectors.cosine_expr: the
     # precomputed norm IS sqrt(dot(v, v)), so dot/(nq*nv) is bit-equal.
-    if assign_mode == "flat":
-        assign = _flat_multi_assign(e, centroids, nassign)
-    elif assign_mode == "two_level":
-        assign = _two_level_multi_assign(e, centroids, num_centroids, nassign)
-    else:
-        raise ValueError(f"unknown assign_mode {assign_mode!r}")
     # attach vectors to the assignments ONCE and score inside the
     # bucket self-join, projecting the arrays away immediately — the
     # only array-bearing shuffle is the |corpus|·nassign bucket
@@ -702,8 +703,16 @@ def embedding_cosine_pairs_blocked(
     # centroid-scoring + window pipeline runs once, not twice (no
     # ReusedExchange fires here: the two sides project different
     # aliases before the bucket-key partitioning). Lifecycle via
-    # _retain — released at the next dedup invocation.
-    bucketed = _retain(assign.join(e, "vec_id"))
+    # _retain — released at the next dedup invocation. The two-level
+    # assignment already carries (cv, nv) through its rank window, so
+    # only the flat path re-attaches them (a second corpus pass the
+    # two-level path avoids).
+    if assign_mode == "flat":
+        bucketed = _retain(_flat_multi_assign(e, centroids, nassign).join(e, "vec_id"))
+    elif assign_mode == "two_level":
+        bucketed = _retain(_two_level_multi_assign(e, centroids, num_centroids, nassign))
+    else:
+        raise ValueError(f"unknown assign_mode {assign_mode!r}")
     a = bucketed.select(
         "centroid_id",
         F.col("vec_id").alias("vec_a"),
@@ -790,12 +799,14 @@ def embedding_cosine_pairs_probed(
     )
     # one ranked pass serves both sides: rn=1 is the home (index)
     # assignment, rn≤nprobe the query probes. ``assign_mode`` picks the
-    # scorer: "flat" scores all k centroids (exact, O(n·k) — the
-    # declared/oracle-mirrored form); "two_level" routes through the
-    # hierarchical coarse→fine quantizer (O(n·√k) — the beyond-10⁶-
-    # vector path, recall vs flat pinned in tests/test_dedup.py).
-    # Arrays are re-attached once and the relation persisted — home and
-    # probe sides both read it (lifecycle via _retain).
+    # scorer: "two_level" (the declared/oracle-mirrored form) routes
+    # through the hierarchical coarse→fine quantizer (O(n·√k)) and
+    # carries the vector arrays through its rank window, so the corpus
+    # is never re-scanned to re-attach them; "flat" (library variant,
+    # exact O(n·k)) scores all k centroids on an array-free stream and
+    # re-attaches arrays with one join. Either way the persisted
+    # relation below is read by BOTH the home and probe sides
+    # (lifecycle via _retain).
     if assign_mode == "flat":
         scored = e.crossJoin(F.broadcast(centroids)).select(
             "vec_id",
@@ -808,13 +819,13 @@ def embedding_cosine_pairs_probed(
         ranked_ids = scored.withColumn("rn", F.row_number().over(w)).where(
             F.col("rn") <= nprobe
         )
+        ranked = _retain(ranked_ids.join(e, "vec_id"))
     elif assign_mode == "two_level":
-        ranked_ids = _two_level_multi_assign(
-            e, centroids, num_centroids, nprobe, with_rank=True
+        ranked = _retain(
+            _two_level_multi_assign(e, centroids, num_centroids, nprobe, with_rank=True)
         )
     else:
         raise ValueError(f"unknown assign_mode {assign_mode!r}")
-    ranked = _retain(ranked_ids.join(e, "vec_id"))
     home = ranked.where(F.col("rn") == 1).select(
         "centroid_id",
         F.col("vec_id").alias("vec_h"),

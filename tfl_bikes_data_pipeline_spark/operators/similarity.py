@@ -866,10 +866,15 @@ def embedding_covariance(embeddings: DataFrame, dim: int = EMBED_COV_DIM) -> Dat
     ``(sxy − sx·sy/n)/n`` runs in double through the same IEEE sequence
     on both engines (descaling divides by powers of two: exact).
     Per-dimension sums ride the same explode and join back as a
-    broadcast (d rows)."""
-    from .dedup import _retain, release_cached_relations
+    broadcast (d rows).
 
-    release_cached_relations()
+    Composable library operator: it _retains its aggregate but never
+    releases the dedup cache lifecycle — releasing here would silently
+    force recomputation of any retained relation the INPUT plan reads
+    (the q_graph_triangles bug class; see the dedup lifecycle notes).
+    The top-level query builders call release_cached_relations()."""
+    from .dedup import _retain
+
     s = EMBED_COV_SHIFT
     v = embeddings.select(
         F.expr(
@@ -917,6 +922,9 @@ def embedding_covariance(embeddings: DataFrame, dim: int = EMBED_COV_DIM) -> Dat
 
 
 def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import release_cached_relations
+
+    release_cached_relations()  # top-level query over fresh scans
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_covariance(emb).orderBy("i", "j")
 
@@ -961,6 +969,10 @@ BENCH.append("q_embed_covariance")
 # ---------------------------------------------------------------------------
 
 PCA_ROUNDS = 3
+#: quantization grid for the iteration MATRIX (2^-30): finer than the
+#: vector grid because matvec products cq·vq must stay ≤ 2^52 per term
+#: (|c| ≤ 4 → cq ≤ 2^32, |v| ≤ 1 → vq ≤ 2^20).
+PCA_MAT_SHIFT = 1 << 30
 
 
 def pca_power_projection(
@@ -974,80 +986,90 @@ def pca_power_projection(
     1. covariance — the distributed X^T·X partial-aggregate
        ([[embedding_covariance]]: one corpus pass, one shuffle);
     2. power iteration — ``rounds`` unrolled steps of
-       v ← normalize(C·v) on the d×d matrix, a FIXED-SIZE relation
-       (d² rows) independent of corpus size: matvec is a d²-row join +
-       exact-DECIMAL aggregate, the norm is a 1-row scalar broadcast
-       back — iteration cost does not grow with the corpus;
+       v ← normalize(C·v) on the d×d matrix — FIXED-SIZE algorithm
+       state independent of corpus size, iterated in exact integer
+       arithmetic;
     3. projection — one narrow explode + broadcast join of the d-row
-       component + per-doc exact-DECIMAL dot sum.
+       component + per-doc exact integer dot sum.
 
-    Determinism: v₀ = 1/8 exactly (all dims; ‖v₀‖ = 1 at d = 64),
-    every cross-row sum is an exact DECIMAL(38,12) aggregate
-    (order-independent), scalar ops (norm sqrt, divisions) run the
-    same IEEE sequence on both engines, and the corpus is quantized to
-    the same 2^-20 grid as the covariance — so the DuckDB oracle's
-    unrolled-CTE mirror is bit-identical with no per-round rounding.
+    Determinism — fully TIE-FREE integer-grid arithmetic (see the
+    covariance notes: double→decimal casts of products can land on
+    rounding ties the engines resolve differently, so no decimal cast
+    appears anywhere in this pipeline):
+    - matrix cells quantize to the 2^-30 grid (``floor``, exact and
+      tie-free in every engine), iteration vectors to the 2^-20 grid;
+    - every cross-term sum is pure BIGINT arithmetic (bounds: matvec
+      terms ≤ 2^52, sums ≤ 2^58 — exact in Python ints and DuckDB
+      HUGEINT), converted to double through an exact integer STRING
+      (correctly-rounded parse on both sides) and descaled by powers
+      of two (exact);
+    - the norm and division run the same IEEE double sequence, and
+      the result immediately re-quantizes via ``floor``.
+    v₀ = 1/8 exactly on the 2^-20 grid (‖v₀‖ = 1 at d = 64).
 
     The iteration itself runs on the DRIVER over the collected d²-cell
     matrix — bounded algorithm state, not corpus data (the same
     placement MLlib's iterative algorithms use for centroids): an
     all-relational iteration re-materializes every prior round's
     lineage per broadcast, turning 3 rounds of 64-row math into ~10 s
-    of job scheduling. The driver math mirrors the engines' decimal
-    discipline exactly — Decimal(repr(x)) is the shortest-repr decimal
-    Spark's cast uses, quantized HALF_UP at 12 dp — so the oracle
-    CTE-unrolled values stay bit-identical."""
-    from decimal import ROUND_HALF_UP, Decimal
-
+    of job scheduling. Python's int/float ops mirror the oracle's
+    unrolled CTEs exactly."""
     import math
 
     spark = embeddings.sparkSession
     cov = embedding_covariance(embeddings, dim)
     cells = {(r.i, r.j): r.cov for r in cov.collect()}  # d(d+1)/2 values
 
-    q12 = Decimal("0.000000000001")
-
-    def dec12(x: float) -> Decimal:
-        return Decimal(repr(x)).quantize(q12, rounding=ROUND_HALF_UP)
+    cs, vs = PCA_MAT_SHIFT, EMBED_COV_SHIFT
 
     def c_at(i: int, j: int) -> float:
         return cells[(i, j)] if i <= j else cells[(j, i)]
 
-    v = [1.0 / 8.0] * dim
+    cq = {
+        (i, j): math.floor(c_at(i, j) * cs)
+        for i in range(1, dim + 1)
+        for j in range(1, dim + 1)
+    }
+    vq = [math.floor(0.125 * vs)] * dim  # exact: 2^-3 on the 2^-20 grid
     for _ in range(rounds):
-        w = [
-            float(str(sum(dec12(c_at(i, j + 1) * v[j]) for j in range(dim))))
+        sums = [
+            sum(cq[(i, j + 1)] * vq[j] for j in range(dim))
             for i in range(1, dim + 1)
         ]
-        nrm = math.sqrt(float(str(sum(dec12(x * x) for x in w))))
-        v = [x / nrm for x in w]
+        w = [float(str(x)) / float(cs * vs) for x in sums]
+        qn = [math.floor(x * vs) for x in w]
+        nrm = math.sqrt(float(sum(q * q for q in qn)) / float(vs * vs))
+        vq = [math.floor((x / nrm) * vs) for x in w]
 
     vrel = spark.createDataFrame(
-        [(j + 1, v[j]) for j in range(dim)], "j int, v double"
+        [(j + 1, vq[j]) for j in range(dim)], "j int, vq long"
     )
-    s = EMBED_COV_SHIFT
     ex = (
         embeddings.select(
             "vec_id",
             F.posexplode(
                 F.expr(
-                    f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {s}) AS BIGINT))"
+                    f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {vs}) AS BIGINT))"
                 )
             ).alias("d0", "xi"),
         )
         .select("vec_id", (F.col("d0") + 1).cast("int").alias("j"), "xi")
     )
+    # per-doc dot on the integer grid: terms ≤ 2^41, d-term sums ≤ 2^47
+    # — exact in BIGINT and exactly double-convertible (< 2^53).
     return (
         ex.join(F.broadcast(vrel), "j")
         .groupBy("vec_id")
         .agg(
-            F.sum(((F.col("xi") / float(s)) * F.col("v")).cast("decimal(38,12)"))
-            .cast("string").cast("double").alias("score")
+            (F.sum(F.col("xi") * F.col("vq")).cast("double") / float(vs * vs)).alias("score")
         )
     )
 
 
 def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import release_cached_relations
+
+    release_cached_relations()  # top-level query over fresh scans
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_power_projection(emb).orderBy("vec_id")
 
@@ -1056,16 +1078,18 @@ def _pca_round_sql(prev: str, rnd: int) -> str:
     return f"""
     w{rnd} AS (
         SELECT m.i AS j,
-               CAST(CAST(sum(CAST(m.c * v.v AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS w
-        FROM full_m m JOIN {prev} v ON v.j = m.j
+               CAST(CAST(sum(m.cq * v.vq) AS VARCHAR) AS DOUBLE)
+                   / {float(PCA_MAT_SHIFT * EMBED_COV_SHIFT)} AS w
+        FROM cq m JOIN {prev} v ON v.j = m.j
         GROUP BY m.i
     ),
     n{rnd} AS (
-        SELECT sqrt(CAST(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)) AS nrm
-        FROM w{rnd}
+        SELECT sqrt(CAST(sum(q * q) AS DOUBLE) / {float(EMBED_COV_SHIFT) ** 2}) AS nrm
+        FROM (SELECT CAST(floor(w * {EMBED_COV_SHIFT}) AS BIGINT) AS q FROM w{rnd})
     ),
     v{rnd} AS (
-        SELECT j, w / (SELECT nrm FROM n{rnd}) AS v FROM w{rnd}
+        SELECT j, CAST(floor((w / (SELECT nrm FROM n{rnd})) * {EMBED_COV_SHIFT}) AS BIGINT) AS vq
+        FROM w{rnd}
     )"""
 
 
@@ -1073,6 +1097,10 @@ _PCA_ROUNDS_SQL = ",".join(
     _pca_round_sql("v0" if r == 1 else f"v{r - 1}", r) for r in range(1, PCA_ROUNDS + 1)
 )
 
+# mirror of the driver-side integer-grid iteration: matrix cells on the
+# 2^-30 grid, vectors on the 2^-20 grid, every sum pure BIGINT (exact),
+# integer→double via exact VARCHAR where the magnitude can pass 2^53,
+# floor (tie-free) at every re-quantization. No decimal casts anywhere.
 ORACLES["q_embed_pca_project"] = f"""
     WITH cov_cells AS ({ORACLES["q_embed_covariance"]}),
     full_m AS (
@@ -1080,8 +1108,12 @@ ORACLES["q_embed_pca_project"] = f"""
         UNION ALL
         SELECT j AS i, i AS j, cov AS c FROM cov_cells WHERE i != j
     ),
+    cq AS (
+        SELECT i, j, CAST(floor(c * {PCA_MAT_SHIFT}) AS BIGINT) AS cq FROM full_m
+    ),
     v0 AS (
-        SELECT d.d::INT AS j, 0.125::DOUBLE AS v
+        SELECT d.d::INT AS j,
+               CAST(floor(0.125 * {EMBED_COV_SHIFT}) AS BIGINT) AS vq
         FROM (SELECT unnest(generate_series(1, {EMBED_COV_DIM})) AS d) d
     ),
     {_PCA_ROUNDS_SQL},
@@ -1092,7 +1124,7 @@ ORACLES["q_embed_pca_project"] = f"""
         FROM embeddings
     )
     SELECT e.vec_id,
-           CAST(CAST(sum(CAST((e.xi / {float(EMBED_COV_SHIFT)}) * v.v AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS score
+           CAST(sum(e.xi * v.vq) AS DOUBLE) / {float(EMBED_COV_SHIFT) ** 2} AS score
     FROM ex e JOIN v{PCA_ROUNDS} v ON v.j = e.j
     GROUP BY e.vec_id
     ORDER BY e.vec_id

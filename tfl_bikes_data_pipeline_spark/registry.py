@@ -126,10 +126,15 @@ def _driver_pinned_from_artifacts() -> frozenset[str]:
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
-    arts = sorted(
-        repo.glob("CORRECTNESS_r*.json"),
-        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
-    )
+    # fullmatch-filter before sorting: a stray CORRECTNESS_rerun.json
+    # would match the glob but not the round pattern, and must not
+    # crash package import.
+    numbered = [
+        (int(m.group(1)), p)
+        for p in repo.glob("CORRECTNESS_r*.json")
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name))
+    ]
+    arts = [p for _, p in sorted(numbered)]
     for art in reversed(arts):
         try:
             names = frozenset(json.loads(art.read_text()))
