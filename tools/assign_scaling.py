@@ -67,7 +67,11 @@ def time_assign(spark, n: int, mode: str) -> float:
     if mode == "flat":
         assign = _flat_multi_assign(e, centroids, EMBED_PROBE_NPROBE)
     else:
-        assign = _two_level_multi_assign(e, centroids, k, EMBED_PROBE_NPROBE)
+        # two_level carries (cv, nv) for its callers; project down to the
+        # id pairs so both modes materialize the same output volume.
+        assign = _two_level_multi_assign(e, centroids, k, EMBED_PROBE_NPROBE).select(
+            "vec_id", "centroid_id"
+        )
     t0 = time.perf_counter()
     assign.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
