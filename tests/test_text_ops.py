@@ -93,3 +93,63 @@ def test_bpe_merges_degenerate_corpus(spark):
 
     docs = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
     assert bpe_merges(docs).count() == 0
+
+
+def test_text_oracles_hold_on_adversarial_corpus(spark):
+    """Edge corpus from the round-5 review: empty text (0/0 ratio),
+    vertical tab (Java \\s vs RE2 \\s divergence), single-word and
+    repeated-token docs, digit runs, double/trailing spaces. The
+    hardened quality/token/tfidf queries must stay in DuckDB lockstep
+    on all of them."""
+    import duckdb
+    import pandas as pd
+
+    from tests.oracle_utils import assert_matches_oracle
+    from tfl_bikes_data_pipeline_spark import registry
+    from tfl_bikes_data_pipeline_spark.operators.text import (
+        quality_features,
+        tfidf_top_terms,
+        token_counts,
+    )
+
+    texts = [
+        "",
+        "tab\x0bhere and more words now ok",
+        "one",
+        "dup dup dup dup dup",
+        "digits 12345 and 678 mixed 9",
+        "double  space and trailing space ",
+        "the quick brown fox jumps over the lazy dog again and again",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+
+    assert_matches_oracle(
+        quality_features(docs).orderBy("doc_id"),
+        con, registry.ORACLES["q_text_quality"], "quality/adversarial",
+    )
+    assert_matches_oracle(
+        token_counts(docs).orderBy("doc_id"),
+        con, registry.ORACLES["q_token_count"], "tokens/adversarial",
+    )
+    assert_matches_oracle(
+        tfidf_top_terms(docs).orderBy("doc_id", "rank"),
+        con, registry.ORACLES["q_text_tfidf"], "tfidf/adversarial",
+    )
+
+
+def test_tfidf_ranks_characteristic_terms_over_stopwords(spark):
+    """The round-5 fix: ranking must follow tf/df (true TF-IDF order),
+    not raw tf — a rare term must outrank a corpus-wide stopword that
+    merely repeats inside the document."""
+    from tfl_bikes_data_pipeline_spark.operators.text import tfidf_top_terms
+
+    texts = ["the the the the zebra"] + ["the common filler words here"] * 9
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    top = [r.term for r in tfidf_top_terms(docs, k=1).where("doc_id = 0").collect()]
+    assert top == ["zebra"], f"stopword outranked the characteristic term: {top}"

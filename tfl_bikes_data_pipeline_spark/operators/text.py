@@ -30,7 +30,11 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 EN_STOPWORDS = LANG_MARKERS["en"]
 
-BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+#: whitespace spelled out EXPLICITLY instead of \s: Java regex \s is
+#: [ \t\n\x0B\f\r] but RE2 (DuckDB) \s EXCLUDES \x0B — a vertical tab
+#: in a document silently diverged the two engines' token counts.
+#: Both engines parse the \t/\n/\x0B/\f/\r escapes identically.
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"
 
 FINGERPRINT_K = 3
 FP_SHINGLE = 5
@@ -93,9 +97,11 @@ def quality_features(documents: DataFrame) -> DataFrame:
         F.expr(
             "CAST(length(replace(lower(trim(text)), ' ', '')) AS DOUBLE) / size(w)"
         ).alias("avg_word_len"),
+        # nullif guard: text = '' would be a 0/0 — ANSI Spark raises
+        # where DuckDB yields NULL; NULL-on-empty on BOTH sides instead.
         F.expr(
             "CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '')) AS DOUBLE)"
-            " / length(text)"
+            " / nullif(length(text), 0)"
         ).alias("punct_ratio"),
         F.expr(
             f"CAST(size(filter(w, x -> array_contains(array({stop_arr}), x))) AS DOUBLE)"
@@ -128,27 +134,30 @@ TFIDF_TOP_K = 3
 
 def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     """(doc_id, term, rank) — top-k characteristic terms per document by
-    TF-IDF. tf = in-doc term count; idf = N/df kept as an exact integer
-    RATIO: ranking compares tf·N/df via the cross-multiplied integer
-    tf·N·df_other ordering... simplified here to the equivalent
-    (tf * N, -df) lexicographic score — fully integer, so the ranking is
-    bit-identical across engines (no log/double in the hot path; a
-    downstream consumer wanting calibrated weights applies ln at the
-    edge). Deterministic tie-break on the term itself.
+    TF-IDF. tf = in-doc term count; idf = N/df. Since N is a positive
+    per-corpus constant, ranking by tf·N/df is EXACTLY ranking by
+    tf/df — computed as one division of exact integers, so both
+    engines produce the identical double and the identical order (and
+    no corpus count() is needed at all). The earlier (tf·N desc,
+    df asc) lexicographic form was NOT equivalent: it ranked by raw
+    term frequency with df only as a tie-break, surfacing stopwords
+    over characteristic terms. Deterministic tie-break (df asc,
+    term asc) covers equal ratios (e.g. 1/2 vs 2/4).
 
-    Plan shape: one explode+count per (doc, term) [shuffle on doc_id],
-    a broadcast-joined document-frequency dimension [shuffle on term,
-    tiny], and a per-doc top-k window — the standard distributed
-    TF-IDF, linear in corpus size.
+    Plan shape: one explode+count per (doc, term) [shuffle on doc_id]
+    — retained, since the document-frequency dimension aggregates the
+    same relation the join probes — then a per-doc top-k window: the
+    standard distributed TF-IDF, linear in corpus size.
     """
+    from .dedup import _retain
+
     words = documents.select(
         "doc_id", F.explode(F.expr(_words())).alias("term")
     )
-    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _retain(words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = documents.count()
     w = Window.partitionBy("doc_id").orderBy(
-        F.desc(F.col("tf") * n_docs), F.asc("df"), F.asc("term")
+        F.desc(F.col("tf").cast("double") / F.col("df")), F.asc("df"), F.asc("term")
     )
     return (
         tf.join(df_rel, "term")
@@ -252,7 +261,7 @@ ORACLES: dict[str, str] = {
                    CAST(length(replace(lower(trim(text)), ' ', '')) AS DOUBLE)
                        / len(string_split(lower(trim(text)), ' ')) AS avg_word_len,
                    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-                       / length(text) AS punct_ratio,
+                       / nullif(length(text), 0) AS punct_ratio,
                    CAST(len(list_filter(string_split(lower(trim(text)), ' '),
                             x -> list_contains([{_STOP_ARR}], x))) AS DOUBLE)
                        / len(string_split(lower(trim(text)), ' ')) AS stopword_ratio
@@ -303,15 +312,14 @@ ORACLES["q_text_tfidf"] = f"""
     ),
     dfr AS (
         SELECT term, count(1) AS df FROM tf GROUP BY 1
-    ),
-    n AS (SELECT count(1) AS n_docs FROM documents)
+    )
     SELECT doc_id, term, rank FROM (
         SELECT tf.doc_id, tf.term,
                row_number() OVER (
                    PARTITION BY tf.doc_id
-                   ORDER BY tf.tf * n.n_docs DESC, dfr.df ASC, tf.term ASC
+                   ORDER BY tf.tf::DOUBLE / dfr.df DESC, dfr.df ASC, tf.term ASC
                )::INT AS rank
-        FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n
+        FROM tf JOIN dfr ON tf.term = dfr.term
     ) t WHERE rank <= {TFIDF_TOP_K}
     ORDER BY doc_id, rank
 """
@@ -401,8 +409,13 @@ def bigram_quality(documents: DataFrame) -> DataFrame:
     filters, entirely engine-portable (no log/exp: integer sums and a
     single double division). At 100 TB the bigram join is skewed by
     stop-bigrams ('of the') — compose with skew.salted_join, or prune
-    the head of the frequency table into a broadcast map."""
-    rel = bigram_rel(documents)
+    the head of the frequency table into a broadcast map. The exploded
+    bigram stream is retained: the frequency aggregate reads the same
+    relation the join probes (without the cache the corpus would be
+    re-scanned and re-exploded twice)."""
+    from .dedup import _retain
+
+    rel = _retain(bigram_rel(documents))
     freqs = rel.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
     return (
         rel.join(freqs, "bigram")
@@ -792,10 +805,16 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     relation is a vocabulary table (≤ millions of rows, broadcastable
     after a min-count floor) and the token stream never shuffles: the
     join is broadcast-hash against the scan, then one per-doc
-    aggregate. Total: two aggregates + one broadcast join, all linear."""
-    tokens = documents.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word"),
+    aggregate. Total: two aggregates + one broadcast join, all linear.
+    The token stream is retained — the model aggregate reads the same
+    exploded relation the scoring join probes."""
+    from .dedup import _retain
+
+    tokens = _retain(
+        documents.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word"),
+        )
     )
     model = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     total = model.agg(F.sum("c").alias("total"))
@@ -1215,10 +1234,25 @@ def bpe_merges(documents: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     symbol stream (map-side partial agg), a 1-row broadcast of the
     winning pair, and a narrow per-document replace — the exact
     map-reduce decomposition of distributed BPE training; rounds are a
-    fixed driver loop like k-means/TextRank."""
+    fixed driver loop like k-means/TextRank.
+
+    Each round references the previous corpus TWICE (pair counting and
+    the merge rewrite), so without lineage truncation the analyzed
+    plan doubles per round (~2^rounds) and the analyzer becomes the
+    bottleneck — the connected-components lesson. Checkpointing the
+    corpus per round (reliable dir if configured, else local) caps the
+    plan at one round's depth; cached-persist alone would NOT cut
+    lineage."""
     corpus = _bpe_corpus(documents)
     results = []
     for r in range(1, rounds + 1):
+        sc = corpus.sparkSession.sparkContext
+        if r > 1:  # round 1 reads the raw scan — nothing to truncate
+            corpus = (
+                corpus.checkpoint()
+                if sc.getCheckpointDir() is not None
+                else corpus.localCheckpoint()
+            )
         top = _bpe_top_pair(corpus)
         results.append(
             top.select(
