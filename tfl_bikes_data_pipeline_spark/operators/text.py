@@ -388,9 +388,13 @@ def bigram_rel(documents: DataFrame) -> DataFrame:
     words = documents.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
     )
+    # element_at (1-based, matching DuckDB list indexing) per the
+    # lockstep rule — not w[i] (0-based in Spark SQL), whose matching
+    # oracle needs a shifted index range and invites off-by-one drift.
     bigrams = (
         "CASE WHEN size(w) >= 2 THEN "
-        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1])) "
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))) "
         "ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     return words.select("doc_id", F.explode(F.expr(bigrams)).alias("bigram"))
@@ -492,7 +496,8 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     )
     trigrams = (
         "CASE WHEN size(w) >= 3 THEN "
-        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) "
+        "transform(sequence(1, size(w) - 2), "
+        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))) "
         "ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     tri_rel = documents.select(
