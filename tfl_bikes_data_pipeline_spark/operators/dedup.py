@@ -103,21 +103,14 @@ def shingle_rel(documents: DataFrame, n: int = DEFAULT_SHINGLE) -> DataFrame:
     Docs with fewer than n words produce no shingles (and drop out of
     downstream signatures) — mirrored in the oracles.
 
-    The tokenization is projected to a concrete column first: Catalyst
-    does not common-subexpression-eliminate into higher-order-function
-    lambdas, so inlining ``split(...)`` into the transform would re-split
-    the text for every shingle.
-    """
-    words = documents.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    Built as the NARROW form: per-doc ``array_distinct`` inside
+    :func:`shingle_sets` is exactly the global (doc_id, shingle)
+    distinct, so exploding the deduped array replaces the corpus-wide
+    ``.distinct()`` Exchange the naive explode-then-distinct plan pays
+    — zero shuffles, and one shingle pipeline instead of two."""
+    return shingle_sets(documents, n, with_digests=False).select(
+        "doc_id", F.explode("sset").alias("shingle")
     )
-    shingles = (
-        f"CASE WHEN size(w) >= {n} THEN "
-        f"transform(sequence(0, size(w) - {n}), "
-        f"i -> concat_ws(' ', slice(w, i + 1, {n}))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END"
-    )
-    return words.select("doc_id", F.explode(F.expr(shingles)).alias("shingle")).distinct()
 
 
 def shingle_sets(
@@ -262,9 +255,12 @@ def ngram_candidate_pairs(
         .where((F.size("docs") >= 2) & (F.size("docs") <= max_df))
     )
     pair_expansion = (
-        "flatten(transform(sequence(0, size(docs) - 2), i -> "
-        "transform(slice(docs, i + 2, size(docs) - i - 1), d -> "
-        "struct(docs[i] AS doc_a, d AS doc_b))))"
+        # element_at (1-based, matching DuckDB/slice indexing) per the
+        # lockstep rule — not docs[i] (0-based), whose shifted sequence
+        # bounds invite off-by-one drift in any future textual mirror.
+        "flatten(transform(sequence(1, size(docs) - 1), i -> "
+        "transform(slice(docs, i + 1, size(docs) - i), d -> "
+        "struct(element_at(docs, i) AS doc_a, d AS doc_b))))"
     )
     return (
         grouped.select(F.explode(F.expr(pair_expansion)).alias("p"))
@@ -478,23 +474,15 @@ def embedding_cosine_pairs(embeddings: DataFrame, threshold: float) -> DataFrame
     the oracle do identical IEEE double math; the result is rounded to
     6 decimals (error ~1e-12 never straddles the rounding boundary).
     """
-    e = embeddings.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-    )
+    from ..functions.vectors import cosine_expr, to_double_vec
+
+    e = embeddings.select("vec_id", to_double_vec("embedding", "v"))
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    na = "sqrt(aggregate(zip_with(va, va, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
-    nb = "sqrt(aggregate(zip_with(vb, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
     return (
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(F.expr(f"({dot}) / (({na}) * ({nb}))"), 6).alias("cos_sim"),
-        )
+        .select("vec_a", "vec_b", cosine_expr("va", "vb").alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
 
@@ -1002,9 +990,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: shingle → 8-hash signature →
-    4 bands → bucket-join candidates → jaccard-verified pairs."""
+def _lsh_pairs_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH verified pairs WITHOUT the presentation sort —
+    consumers that aggregate or cluster (connected components, degree
+    stats, triangles) must not inherit a useless global range-exchange
+    baked into their cached edge relation."""
     documents = _ensure_scan_parallelism(
         load_table(spark, sf_dir, "documents"), spark
     )
@@ -1014,9 +1004,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_cached_relations()
     sets = _retain(shingle_sets(documents))
     candidates = lsh_candidate_pairs(minhash_signatures(sets))
-    return verify_candidates(sets, candidates, JACCARD_THRESHOLD).orderBy(
-        "doc_a", "doc_b"
-    )
+    return verify_candidates(sets, candidates, JACCARD_THRESHOLD)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → 8-hash signature →
+    4 bands → bucket-join candidates → jaccard-verified pairs."""
+    return _lsh_pairs_unordered(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1064,7 +1058,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH near-dup pairs → connected components → (doc_id, cluster_id).
     The full keep/drop decision surface of a dedup pipeline: keep
     cluster_id (the min doc), drop the rest."""
-    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    pairs = _lsh_pairs_unordered(spark, sf_dir)
     return connected_components(pairs).orderBy("doc_id")
 
 
@@ -1087,11 +1081,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     The centroid count comes from parquet FOOTER metadata (the
     table-stats lookup a catalog provides at warehouse scale), not a
     ``count()`` action — the whole query runs as one job."""
+    return _embedding_pairs_unordered(spark, sf_dir).orderBy("vec_a", "vec_b")
+
+
+def _embedding_pairs_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_embedding without the presentation sort — the clustering
+    consumer must not cache a range-exchange it never needed."""
     embeddings = load_table(spark, sf_dir, "embeddings")
     k = embed_block_num_centroids(table_row_count(sf_dir, "embeddings"))
     return embedding_cosine_pairs_probed(
         embeddings, COSINE_DUP_THRESHOLD, num_centroids=k, assign_mode="two_level"
-    ).orderBy("vec_a", "vec_b")
+    )
 
 
 #: segment width (in words) for sub-document dedup — the C4-style
@@ -1222,7 +1222,7 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IVF-blocked pair generation with the iterative min-label
     propagation. The textual-twin oracle is the blocked-pair SQL
     spliced into a recursive transitive-closure CTE."""
-    pairs = q_dedup_embedding(spark, sf_dir).select(
+    pairs = _embedding_pairs_unordered(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     return (
@@ -1302,7 +1302,13 @@ ORACLES: dict[str, str] = {
         SELECT min(doc_id) AS keep_id, count(1)::BIGINT AS n_batch_copies
         FROM fp
         WHERE doc_id % 4 = 0
-          AND fingerprint NOT IN (SELECT fingerprint FROM corpus)
+          -- NOT EXISTS, never NOT IN: a NULL fingerprint (md5 of NULL
+          -- text) makes NOT IN drop the row — or empty the whole
+          -- result from the corpus side — where Spark's left_anti
+          -- keeps it (the anti-join lockstep rule).
+          AND NOT EXISTS (
+              SELECT 1 FROM corpus c WHERE c.fingerprint = fp.fingerprint
+          )
         GROUP BY fingerprint
         ORDER BY keep_id
     """,
@@ -1575,7 +1581,9 @@ ORACLES["q_dedup_incremental_lsh"] = f"""
     )
     SELECT doc_id FROM documents
     WHERE doc_id % 4 = 0
-      AND doc_id NOT IN (SELECT b_id FROM matched)
+      -- NOT EXISTS per the anti-join lockstep rule (b_id is never NULL
+      -- today, but NOT IN's NULL semantics are a standing trap)
+      AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.b_id = documents.doc_id)
     ORDER BY doc_id
 """
 

@@ -108,18 +108,18 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
 
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree histogram of the verified MinHash-LSH near-dup graph."""
-    from .dedup import q_dedup_minhash_lsh
+    from .dedup import _lsh_pairs_unordered
 
-    return degree_stats(q_dedup_minhash_lsh(spark, sf_dir))
+    return degree_stats(_lsh_pairs_unordered(spark, sf_dir))
 
 
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the near-dup graph — transitivity evidence
     (near-dup similarity is approximately transitive, so template
     families show up as dense triangle clusters)."""
-    from .dedup import q_dedup_minhash_lsh
+    from .dedup import _lsh_pairs_unordered
 
-    return triangle_count(q_dedup_minhash_lsh(spark, sf_dir))
+    return triangle_count(_lsh_pairs_unordered(spark, sf_dir))
 
 
 def _lsh_pairs_sql() -> str:
