@@ -193,8 +193,9 @@ def q_bucket_by_location(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_join_cte_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, "orders", "customer")
     return spark.sql(
         f"""
         WITH bucketed_customer AS (
@@ -273,6 +274,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("l_quantity", "sum_qty"),
             exact_sum("l_extendedprice", "sum_base_price"),
             exact_sum(disc_price, "sum_disc_price"),
+            # deliberately count(1), not functions.exact_avg's
+            # count(col): the TPC-H pricing summary divides by the ROW
+            # count of the group (l_quantity is non-null here, but the
+            # oracle's count(1) is the semantics being mirrored).
             (
                 F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("string").cast("double")
                 / F.count(F.lit(1))
@@ -370,10 +375,7 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_rank_lag — ranking + offset window family (survey §2.6 notes the
-# reference's "top four destinations" dashboards imply rank-style
-# queries; lag/lead is the standard sessionless delta). Deterministic
-# via the unique event_id tie-break in the window order.
+# q_quantiles — exact grouped percentiles (survey §2.5 extension).
 # ---------------------------------------------------------------------------
 
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,6 +394,13 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
 
+
+# ---------------------------------------------------------------------------
+# q_rank_lag — ranking + offset window family (survey §2.6 notes the
+# reference's "top four destinations" dashboards imply rank-style
+# queries; lag/lead is the standard sessionless delta). Deterministic
+# via the unique event_id tie-break in the window order.
+# ---------------------------------------------------------------------------
 
 def q_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -605,13 +614,16 @@ ORACLES: dict[str, str] = {
         FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
-        GROUP BY p_name ORDER BY cnt DESC, p_name LIMIT 10
+        -- NULLS FIRST matches Spark's ASC default: a lineitem with no
+        -- part match groups under NULL p_name, and at a tied limit-10
+        -- boundary the two engines must agree on its position.
+        GROUP BY p_name ORDER BY cnt DESC, p_name NULLS FIRST LIMIT 10
     """,
     "q_filter_hour_topk": """
         SELECT c_name, count(1)::BIGINT AS cnt
         FROM events LEFT JOIN customer ON user_id = c_custkey
         WHERE hour(ts) = 3
-        GROUP BY c_name ORDER BY cnt DESC, c_name LIMIT 10
+        GROUP BY c_name ORDER BY cnt DESC, c_name NULLS FIRST LIMIT 10
     """,
     "q_group_by_hour": """
         SELECT hour(ts)::INT AS hour, count(1)::BIGINT AS cnt
@@ -698,10 +710,13 @@ ORACLES: dict[str, str] = {
     """,
     "q_semi_anti": """
         SELECT c_custkey, 'with_orders' AS segment FROM customer
-        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey)
         UNION ALL
+        -- NOT EXISTS, never NOT IN: a NULL o_custkey would turn NOT IN
+        -- UNKNOWN for every customer (anti arm empties) where Spark's
+        -- left_anti keeps unmatched rows — the anti-join lockstep rule.
         SELECT c_custkey, 'no_orders' AS segment FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey)
         ORDER BY c_custkey
     """,
     "q_quantiles": """
@@ -769,7 +784,7 @@ ORACLES: dict[str, str] = {
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag, l_linestatus
     """,
-    "q_full_outer": """
+    "q_full_outer": f"""
         SELECT nationkey,
                coalesce(n_cust, 0)::BIGINT AS n_cust,
                coalesce(n_supp, 0)::BIGINT AS n_supp
@@ -779,7 +794,7 @@ ORACLES: dict[str, str] = {
         ) c
         FULL OUTER JOIN (
             SELECT s_nationkey::INT AS nationkey, count(1) AS n_supp
-            FROM supplier WHERE s_nationkey < 13 GROUP BY 1
+            FROM supplier WHERE s_nationkey < {FULL_OUTER_NATION_CUT} GROUP BY 1
         ) s USING (nationkey)
         ORDER BY nationkey
     """,
@@ -1015,10 +1030,11 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.where(F.col("l_shipdate") > cutoff)
         .join(orders.where(F.col("o_orderdate") < cutoff),
               F.col("l_orderkey") == F.col("o_orderkey"))
+        # no broadcast hint: customer scales with SF (file broadcast
+        # policy) — AQE picks broadcast locally and degrades to
+        # sort-merge on a cluster instead of OOMing the driver.
         .join(
-            F.broadcast(
-                customer.where(F.col("c_mktsegment") == "BUILDING")
-            ),
+            customer.where(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -1089,11 +1105,13 @@ QUERIES["q_k_anonymity"] = q_k_anonymity
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (local supplier volume): revenue by nation where the
     customer and supplier share a nation, one region, one order year —
-    the 6-way join-ordering stress test. The dimension chain
-    (region → nation → customer/supplier) broadcasts; lineitem joins
-    orders on the shuffled orderkey; the nation-equality predicate
-    lands as a join condition, not a post-filter; exact DECIMAL
-    revenue → double via string."""
+    the 6-way join-ordering stress test. Broadcast policy by how each
+    table scales: region/nation are fixed-cardinality → hinted;
+    customer/supplier grow with SF → NO hint, AQE picks broadcast
+    locally and degrades to sort-merge on a cluster (same policy as
+    q_star_view). lineitem joins orders on the shuffled orderkey; the
+    nation-equality predicate lands as a join condition, not a
+    post-filter; exact DECIMAL revenue → double via string."""
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     customer = load_table(spark, sf_dir, "customer")
@@ -1111,9 +1129,9 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
