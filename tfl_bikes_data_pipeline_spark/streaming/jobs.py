@@ -47,11 +47,39 @@ def _fallback_stream_schema(spark: SparkSession) -> T.StructType:
     )
 
 
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp that is swept at interpreter exit — streaming queries
+    stage fixture copies per invocation, and without the sweep a long
+    bench/correctness session accumulates them for the machine's
+    lifetime."""
+    import atexit
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def _copy_events_fixture(sf_dir: str, landing: str, name: str) -> None:
+    """Stage the events fixture as one landing file. Supports both
+    fixture layouts the batch readers accept (tables.table_row_count):
+    a single events.parquet file, or a directory of part files."""
+    import os
+
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        import glob
+
+        for i, part in enumerate(sorted(glob.glob(f"{src}/*.parquet"))):
+            shutil.copy(part, f"{landing}/{name.removesuffix('.parquet')}_{i}.parquet")
+    else:
+        shutil.copy(src, f"{landing}/{name}")
+
+
 def stage_landing_dir(sf_dir: str) -> str:
     """The file stream source consumes a *directory* (the landing zone
     new weekly files drop into); stage the fixture file there."""
-    landing = tempfile.mkdtemp(prefix="events_landing_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
+    landing = _tmpdir("events_landing_")
+    _copy_events_fixture(sf_dir, landing, "events.parquet")
     return landing
 
 
@@ -163,6 +191,10 @@ class rocksdb_state:
 STREAM_DRAIN_PARTITIONS = 8
 
 
+#: the previous drain's memory-sink table, dropped on the next drain.
+_LAST_DRAIN_TABLE: str | None = None
+
+
 def run_available_now(
     stream_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:
@@ -170,8 +202,17 @@ def run_available_now(
     input (Trigger.AvailableNow → memory sink). Default complete mode so
     every window — including the final, never-closed-by-watermark ones —
     is emitted; stateful operators that only support update mode pass
-    ``output_mode="update"`` (the memory sink then keeps every emission)."""
+    ``output_mode="update"`` (the memory sink then keeps every emission).
+
+    The memory sink pins the drained result in driver heap under its
+    query name; dropping the PREVIOUS drain's table here caps the
+    session's leak at one result set instead of one per invocation
+    (the current name must survive — the returned frame reads it)."""
+    global _LAST_DRAIN_TABLE
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    if _LAST_DRAIN_TABLE is not None:
+        spark.catalog.dropTempView(_LAST_DRAIN_TABLE)
+    _LAST_DRAIN_TABLE = name
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # hold the reduced setting through awaitTermination: the streaming
     # engine captures shuffle partitions when it constructs the FIRST
@@ -194,21 +235,48 @@ def run_available_now(
 def stream_events_to_warehouse(
     spark: SparkSession, sf_dir: str, out_path: str
 ) -> None:
-    """foreachBatch exactly-once-per-batch sink into the month-
-    partitioned warehouse — the streaming twin of the batch
-    incremental-append path (dynamic partition overwrite keeps month
-    re-processing idempotent)."""
+    """foreachBatch append sink into the month-partitioned warehouse —
+    the streaming twin of the batch incremental-append path.
+
+    Epoch idempotence: foreachBatch is at-least-once (an epoch can be
+    re-delivered after a restart), and a plain append would duplicate
+    its rows — dynamic partition overwrite does NOT apply to append
+    mode, so it cannot save this shape. Each committed epoch therefore
+    leaves a marker under ``_epochs/``; a re-delivered epoch is skipped.
+    A checkpoint keeps epoch ids stable across restarts (without it a
+    restarted query renumbers from 0 and the markers are meaningless).
+    The marker commits AFTER the append, so the one remaining failure
+    window (crash between append and marker) re-appends a single batch
+    — at-least-once, converged by the MERGE sink variant
+    ([[stream_upsert_to_warehouse]]) when duplicates are unacceptable."""
+    import os
+
     events = read_events_stream(spark, stage_landing_dir(sf_dir))
+    ckpt = _tmpdir("events_wh_ckpt_")
+    # markers are scoped to the checkpoint generation: epoch ids are
+    # only stable WITHIN one checkpoint, so a fresh query (new ckpt)
+    # must not collide with a previous generation's epoch 0.
+    run_id = os.path.basename(ckpt.rstrip("/"))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(out_path, "_epochs", f"{run_id}-{epoch_id}")
+        if os.path.exists(marker):
+            return
         (
             batch_df.withColumn("ym", month_partition("ts"))
             .write.mode("append")
             .partitionBy("ym")
             .parquet(out_path)
         )
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        open(marker, "w").close()
 
-    q = events.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q = (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
     q.awaitTermination()
 
 
@@ -333,9 +401,9 @@ def stage_landing_dir_with_redelivery(sf_dir: str) -> str:
     file it already delivered). Two files → two micro-batches, so the
     duplicate set crosses a batch boundary and only cross-batch state
     can catch it."""
-    landing = tempfile.mkdtemp(prefix="events_redelivered_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events_a.parquet")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events_b.parquet")
+    landing = _tmpdir("events_redelivered_")
+    _copy_events_fixture(sf_dir, landing, "events_a.parquet")
+    _copy_events_fixture(sf_dir, landing, "events_b.parquet")
     return landing
 
 
@@ -478,7 +546,10 @@ def stream_upsert_to_warehouse(
     :func:`~..operators.merge.merge_upsert` with a stage-and-swap
     write (write the merged snapshot to a temp dir, atomically rename
     over the live one) — exactly-once per epoch without a
-    transactional table format. Within-batch duplicates collapse to
+    transactional table format. (warehouse.write_versioned's pointer
+    flip is the windowless alternative when consumers can read through
+    read_versioned; this sink keeps out_path a plain parquet dir, so
+    it pays the two-rename swap plus the startup self-heal below.) Within-batch duplicates collapse to
     the latest row by (ts, event_id) before the merge, mirroring the
     CDC latest-wins rule. Spark cannot express this as a native
     streaming sink (no MERGE target); foreachBatch is the documented
@@ -495,12 +566,22 @@ def stream_upsert_to_warehouse(
     events = read_events_stream(spark, landing_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        w = Window.partitionBy(*keys).orderBy(F.desc("ts"), F.desc("event_id"))
-        latest = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        # within-batch latest-wins via the shared change-log compactor.
+        # The tiebreak must TOTALLY order each key's rows: event_id is
+        # the partition key itself (constant within a partition), so
+        # two same-key corrections with identical ts need a content
+        # hash to resolve deterministically — otherwise the kept row is
+        # shuffle-dependent (identical-content duplicates tie safely:
+        # any winner is the same row).
+        from ..operators.merge import latest_per_key
+
+        latest = latest_per_key(
+            batch_df.withColumn(
+                "__content", F.md5(F.to_json(F.struct(*batch_df.columns)))
+            ),
+            keys,
+            ["ts", "__content"],
+        ).drop("__content")
         if os.path.isdir(out_path):
             base = spark.read.parquet(out_path)
             merged = merge_upsert(base, latest.select(*base.columns), keys)
@@ -554,7 +635,11 @@ def _stage_half(sf_dir: str, landing: str, parity: int, name: str) -> None:
 
     t = pq.read_table(f"{sf_dir}/events.parquet")
     half = t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), parity))
-    pq.write_table(half, f"{landing}/{name}")
+    # version 2.6 explicitly: older pyarrow defaults (2.4) cannot write
+    # TIMESTAMP(NANOS) and would coerce/raise, changing the staged
+    # file's physical type away from the feed's (same guard as
+    # tables.nanos_arrival_type's probe writer).
+    pq.write_table(half, f"{landing}/{name}", version="2.6")
 
 
 def q_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,8 +648,8 @@ def q_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     must skip the already-consumed file — if the restart re-processed
     it, every even-id event would appear twice and the per-type profile
     below would double away from the single-delivery oracle."""
-    landing = tempfile.mkdtemp(prefix="events_ckpt_landing_")
-    base = tempfile.mkdtemp(prefix="events_ckpt_")
+    landing = _tmpdir("events_ckpt_landing_")
+    base = _tmpdir("events_ckpt_")
     out, ckpt = f"{base}/out", f"{base}/checkpoint"
 
     _stage_half(sf_dir, landing, 0, "half_even.parquet")
