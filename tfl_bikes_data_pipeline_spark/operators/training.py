@@ -40,8 +40,11 @@ SPLIT_VAL_HEX = "f3"
 #: ceilings (lexicographic compare — portable across engines, no
 #: hex→int conversion needed). The fixture corpus has sources
 #: src0..src19; rates cycle 25%/50%/75%/100% by suffix — low-quality
-#: tiers downsampled hard, highest kept whole.
-_RATE_CYCLE = ("40", "80", "c0", "ff")
+#: tiers downsampled hard, highest kept whole. The keep-all tier's
+#: ceiling must sort ABOVE every hex bucket: "ff" would exclude the
+#: 'ff' bucket itself (a silent ~0.4% drop from the 100% tier —
+#: review r5), so it is "zz".
+_RATE_CYCLE = ("40", "80", "c0", "zz")
 MIXTURE_RATES = {f"src{i}": _RATE_CYCLE[i % 4] for i in range(20)}
 
 CONTEXT_TOKENS = 2048
@@ -85,10 +88,16 @@ def pack_sequences(
     ``context`` occupy ≥1 bin alone; the stream stays contiguous, the
     standard concat-then-chunk pretraining layout)."""
     h = F.md5(F.col(key).cast("string"))
+    # shard = first-4-hex-chars integer mod ``shards`` — honors the
+    # parameter (the earlier single-hex-char shard silently pinned the
+    # count to 16 whatever the caller asked for; review r5). conv/
+    # '0x'-cast give the same integer in both engines.
     sharded = df.select(
         F.col(key).alias("k"),
         F.col(token_col).alias("toks"),
-        F.substring(h, 1, 1).alias("shard"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % shards)
+        .cast("int")
+        .alias("shard"),
         h.alias("h"),
     )
     w = Window.partitionBy("shard").orderBy("h", "k")
@@ -175,12 +184,13 @@ def decontaminate(train_docs: DataFrame, benchmark_docs: DataFrame) -> DataFrame
     shared with the near-dup pipeline, one place to change it (plan
     shape pinned in tests/test_plan_quality.py).
     """
-    from .dedup import shingle_rel, shingle_sets
+    from .dedup import shingle_rel
 
     bench = shingle_rel(benchmark_docs).select("shingle").distinct()
-    train_shingles = shingle_sets(train_docs).select(
-        "doc_id", F.explode("sset").alias("shingle")
-    )
+    # shingle_rel is the shared (doc_id, shingle) relation — digest-free
+    # by construction, where the earlier inline shingle_sets+explode
+    # requested per-shingle md5s it immediately discarded.
+    train_shingles = shingle_rel(train_docs)
     return (
         train_shingles.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
@@ -288,10 +298,10 @@ ORACLES: dict[str, str] = {
         WHERE s.doc_id % {BENCH_DOC_MOD} != 0
         GROUP BY s.doc_id ORDER BY s.doc_id
     """,
-    "q_split_assign": """
+    "q_split_assign": f"""
         SELECT source,
-               CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'train'
-                    WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'f3' THEN 'val'
+               CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '{SPLIT_TRAIN_HEX}' THEN 'train'
+                    WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '{SPLIT_VAL_HEX}' THEN 'val'
                     ELSE 'test' END AS split,
                count(1)::BIGINT AS n_docs,
                sum(n_chars)::BIGINT AS total_chars
@@ -307,11 +317,12 @@ ORACLES: dict[str, str] = {
         WHERE substr(md5(d.doc_id::VARCHAR), 1, 2) < rates.r
         GROUP BY d.source ORDER BY d.source
     """,
-    "q_pack_sequences": """
+    "q_pack_sequences": f"""
         WITH toks AS (
             SELECT doc_id, n_chars // 5 AS toks,
                    md5(doc_id::VARCHAR) AS h,
-                   substr(md5(doc_id::VARCHAR), 1, 1) AS shard
+                   (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+                       % {N_PACK_SHARDS})::INT AS shard
             FROM documents
         ),
         packed AS (
@@ -319,7 +330,7 @@ ORACLES: dict[str, str] = {
                    (sum(toks) OVER (
                         PARTITION BY shard ORDER BY h, doc_id
                         ROWS UNBOUNDED PRECEDING) - toks)
-                    // 2048 AS bin
+                    // {CONTEXT_TOKENS} AS bin
             FROM toks
         )
         SELECT shard, count(1)::BIGINT AS n_docs,
@@ -415,7 +426,7 @@ ORACLES["q_sample_weighted"] = f"""
            sum(n_chars)::BIGINT AS chars_kept
     FROM documents, mw
     WHERE {WEIGHTED_RATE_DEN} * {_HEX4_DUCK} * max_w
-          < {65536 * WEIGHTED_RATE_NUM} * n_chars
+          < {65536 * WEIGHTED_RATE_NUM} * n_chars::BIGINT
     GROUP BY source ORDER BY source
 """
 
@@ -452,9 +463,11 @@ def assemble_examples(
     quality = quality_features(documents).where(
         F.col("quality_band") != "low"
     )
+    from ..functions.vectors import to_double_vec
+
     emb = embeddings.select(
         F.col("vec_id").alias("doc_id"),
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        to_double_vec("embedding", "v"),
         "label",
     ).select(
         "doc_id", "label", F.round(F.expr(norm_expr("v")), 6).alias("emb_norm")
@@ -473,9 +486,10 @@ def q_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_examples(documents, embeddings).orderBy("doc_id")
 
 
-from .text import EN_STOPWORDS as _TRAIN_STOPWORDS
-
-_STOP_ARR_TRAIN = ", ".join(f"'{w}'" for w in _TRAIN_STOPWORDS)
+# one definition of the stopword-array SQL fragment (text.py builds it
+# from EN_STOPWORDS) — a second copy could drift from the quality-band
+# oracle it must match.
+from .text import _STOP_ARR as _STOP_ARR_TRAIN  # noqa: E402 - oracle fragment
 
 ORACLES["q_training_examples"] = f"""
     WITH feats AS (
@@ -538,7 +552,6 @@ def curate_corpus(documents: DataFrame) -> DataFrame:
         _retain,
         lsh_candidate_pairs,
         minhash_signatures,
-        release_cached_relations,
         shingle_sets,
         verify_candidates,
     )
@@ -554,17 +567,26 @@ def curate_corpus(documents: DataFrame) -> DataFrame:
         .select("doc_id")
     )
     kept = documents.join(exact_keep, "doc_id")
-    release_cached_relations()
+    # composable operator: _retain joins the CURRENT cache generation —
+    # releasing here would unpersist relations a caller's upstream plan
+    # may still read (the lifecycle contract: release only at the start
+    # of a TOP-LEVEL query over fresh scans — q_curation_pipeline does).
     sets = _retain(shingle_sets(kept))
     pairs = verify_candidates(
         sets, lsh_candidate_pairs(minhash_signatures(sets)), JACCARD_THRESHOLD
     )
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    final = kept.select("doc_id").join(drop, "doc_id", "left_anti")
+    # survivors come off the RETAINED sets relation (one row per kept
+    # doc) — re-deriving them from `kept` would execute the quality
+    # gate + exact-dedup subplan a second time over the corpus text.
+    final = sets.select("doc_id").join(drop, "doc_id", "left_anti")
     return split_assign(final, "doc_id").select("doc_id", "split")
 
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import release_cached_relations
+
+    release_cached_relations()  # top-level query over fresh scans
     documents = load_table(spark, sf_dir, "documents")
     return curate_corpus(documents).orderBy("doc_id")
 
@@ -627,7 +649,9 @@ ORACLES["q_curation_pipeline"] = f"""
                 WHEN substr(md5(k.doc_id::VARCHAR), 1, 2) < '{SPLIT_VAL_HEX}' THEN 'val'
                 ELSE 'test' END AS split
     FROM kept k
-    WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
+    -- NOT EXISTS per the anti-join lockstep rule (NOT IN's NULL
+    -- semantics diverge from Spark's left_anti)
+    WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = k.doc_id)
     ORDER BY k.doc_id
 """
 
