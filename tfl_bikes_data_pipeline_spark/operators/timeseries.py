@@ -29,9 +29,12 @@ from pyspark.sql import functions as F
 from ..functions import exact_avg
 from ..tables import load_table
 
-#: Known event-type domain (pinned, as in plans.queries.EVENT_TYPES —
-#: avoids a discovery pass over the fact table).
-EVENT_TYPES = ("click", "purchase", "view")
+#: The FULL event-type domain, imported from its single definition —
+#: a stale local copy previously pinned only 3 of the fixture's 5
+#: types, so gap-fill silently produced no series for 'error'/'signup'
+#: events (review r5). Pinned (vs discovered) to avoid a discovery
+#: pass over the fact table.
+from ..plans.queries import EVENT_TYPES  # noqa: E402
 
 #: Keep rows whose md5(key) hex digest starts with this prefix — a
 #: deterministic 1/16 sample per prefix character.
@@ -39,6 +42,10 @@ SAMPLE_PREFIX = "0"
 
 HIST_BIN_WIDTH = 50.0
 HIST_N_BINS = 10  # values clamp into [0, HIST_BIN_WIDTH * HIST_N_BINS)
+
+#: resample bucket width (seconds) — interpolated into the oracle so a
+#: width change cannot desynchronize the twin.
+RESAMPLE_BUCKET_S = 3600
 
 
 def hash_sample(df: DataFrame, key: str, prefix: str = SAMPLE_PREFIX) -> DataFrame:
@@ -53,7 +60,7 @@ def hash_sample(df: DataFrame, key: str, prefix: str = SAMPLE_PREFIX) -> DataFra
 
 def resample_fill(
     events: DataFrame,
-    bucket_seconds: int = 3600,
+    bucket_seconds: int = RESAMPLE_BUCKET_S,
     types: tuple[str, ...] = EVENT_TYPES,
 ) -> DataFrame:
     """(event_type, bucket, cnt, filled_val) — dense per-type time grid.
@@ -107,8 +114,12 @@ def histogram(
     b = F.least(
         F.greatest(F.floor(F.col(col) / width), F.lit(0)), F.lit(n_bins - 1)
     ).cast("int")
+    # NULL values must not land in a bin: floor(NULL/w) is NULL and both
+    # engines' greatest() SKIPS null args, silently mapping NULL to bin
+    # 0 (review r5) — exclude them before bucketing on both sides.
     return (
-        df.groupBy(b.alias("bin"))
+        df.where(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("bin", (F.col("bin") * width).alias("lo"), "cnt")
         .orderBy("bin")
@@ -169,7 +180,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     # same md5-of-decimal-string ranking; identical hex digests on
     # both engines make the quota sample engine-portable.
-    "q_sample_stratified": """
+    "q_sample_stratified": f"""
         SELECT event_type, rk, event_id
         FROM (
             SELECT event_type, event_id,
@@ -178,7 +189,7 @@ ORACLES: dict[str, str] = {
                        ORDER BY md5(event_id::VARCHAR), event_id
                    )::INT AS rk
             FROM events
-        ) WHERE rk <= 50 ORDER BY event_type, rk
+        ) WHERE rk <= {STRATA_K} ORDER BY event_type, rk
     """,
     "q_sample_hash": f"""
         SELECT event_type, count(1)::BIGINT AS n_sample,
@@ -188,10 +199,10 @@ ORACLES: dict[str, str] = {
         WHERE md5(event_id::VARCHAR) LIKE '{SAMPLE_PREFIX}%'
         GROUP BY event_type ORDER BY event_type
     """,
-    "q_gap_fill": """
+    "q_gap_fill": f"""
         WITH hourly AS (
             SELECT event_type,
-                   CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS bucket,
+                   CAST(floor(floor(epoch(ts)) / {RESAMPLE_BUCKET_S}) AS BIGINT) AS bucket,
                    count(1) AS cnt,
                    CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                        / count(value) AS avg_val
@@ -203,7 +214,7 @@ ORACLES: dict[str, str] = {
         grid AS (
             SELECT t.event_type, unnest(generate_series(lo, hi)) AS bucket
             FROM bounds
-            CROSS JOIN (VALUES ('click'), ('purchase'), ('view')) t(event_type)
+            CROSS JOIN (VALUES {", ".join(f"('{t}')" for t in EVENT_TYPES)}) t(event_type)
         )
         SELECT grid.event_type, grid.bucket,
                coalesce(cnt, 0)::BIGINT AS cnt,
@@ -219,7 +230,7 @@ ORACLES: dict[str, str] = {
         FROM (
             SELECT least(greatest(floor(value / {HIST_BIN_WIDTH}), 0),
                          {HIST_N_BINS - 1})::INT AS bin
-            FROM events
+            FROM events WHERE value IS NOT NULL
         ) GROUP BY bin ORDER BY bin
     """,
 }
@@ -253,7 +264,11 @@ def hourly_profile(events: DataFrame) -> DataFrame:
     )
 
 
-def profile_distances(profiles: DataFrame, dims: int = 24) -> DataFrame:
+#: profile dimensionality (hour-of-day cycle) — interpolated into
+#: the oracle so a dims change cannot desynchronize the twin.
+PROFILE_DIMS = 24
+
+def profile_distances(profiles: DataFrame, dims: int = PROFILE_DIMS) -> DataFrame:
     """All-pairs squared-euclidean distance between per-user profiles,
     computed in LONG form: self-join on the dimension key, one exact
     aggregate of squared diffs per pair. Order-independent (DECIMAL
@@ -305,7 +320,11 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TS_SIM_CANDIDATES)
         .select("user_id")
     )
-    prof = hourly_profile(events).join(F.broadcast(top_users), "user_id")
+    # filter the FACT rows to candidates BEFORE the profile aggregate —
+    # aggregating all users' profiles and then discarding all but the
+    # candidates wasted |users|x24 groups (the oracle always joined
+    # events to top_users first; review r5).
+    prof = hourly_profile(events.join(F.broadcast(top_users), "user_id"))
     return (
         profile_distances(prof)
         .orderBy("dist_sq", "user_a", "user_b")
@@ -313,10 +332,10 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["q_ts_similarity"] = """
+ORACLES["q_ts_similarity"] = f"""
     WITH top_users AS (
         SELECT user_id FROM events
-        GROUP BY user_id ORDER BY count(1) DESC, user_id LIMIT 100
+        GROUP BY user_id ORDER BY count(1) DESC, user_id LIMIT {TS_SIM_CANDIDATES}
     ),
     prof AS (
         SELECT user_id, extract(hour FROM ts)::INT AS hour,
@@ -335,7 +354,7 @@ ORACLES["q_ts_similarity"] = """
         GROUP BY a.user_id, b.user_id
     )
     SELECT user_a, user_b, n_shared, dist_sq
-    FROM pairs WHERE n_shared = 24
+    FROM pairs WHERE n_shared = {PROFILE_DIMS}
     ORDER BY dist_sq, user_a, user_b LIMIT 10
 """
 
@@ -519,8 +538,10 @@ def zscore_outliers(
     computes the identical z bit-for-bit. The per-type stats relation is
     tiny and broadcast back onto the fact scan — two passes over the
     fact, no wide shuffle of fact rows at all."""
+    from ..functions import exact_sum
+
     stats = events.groupBy("event_type").agg(
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("sx"),
+        exact_sum("value", "sx"),
         F.sum(
             (F.col("value").cast("decimal(18,6)") * F.col("value").cast("decimal(18,6)")).cast("decimal(38,12)")
         ).cast("string").cast("double").alias("sxx"),

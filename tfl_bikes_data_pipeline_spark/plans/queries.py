@@ -450,19 +450,27 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # discovery pass and the schema is stable.
 # ---------------------------------------------------------------------------
 
-EVENT_TYPES = ("click", "purchase", "view")
+#: the FULL event-type domain of the fixture feed — the constant other
+#: modules (gap-fill resampling) import so no series silently drops.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+#: q_pivot deliberately pins a SUBSET (the reference's is_warm ×
+#: is_raining grid is likewise a chosen 2×2, not the full domain) —
+#: explicit pivot values keep the plan discovery-free and the output
+#: schema stable.
+PIVOT_TYPES = ("click", "purchase", "view")
 
 
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.hour("ts").cast("int").alias("hour"))
-        .pivot("event_type", list(EVENT_TYPES))
+        .pivot("event_type", list(PIVOT_TYPES))
         .agg(F.count(F.lit(1)))
-        .na.fill(0, list(EVENT_TYPES))
+        .na.fill(0, list(PIVOT_TYPES))
         .select(
             "hour",
-            *[F.col(t).cast("long").alias(f"n_{t}") for t in EVENT_TYPES],
+            *[F.col(t).cast("long").alias(f"n_{t}") for t in PIVOT_TYPES],
         )
         .orderBy("hour")
     )
