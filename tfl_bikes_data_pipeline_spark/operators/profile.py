@@ -26,8 +26,10 @@ from ..tables import load_table
 
 
 def null_count(col: str) -> Column:
-    """NULL tally for one column, aggregation-ready."""
-    return F.sum(F.col(col).isNull().cast("int")).cast("long").alias(f"{col}_nulls")
+    """NULL tally for one column, aggregation-ready. count(1)-count(col)
+    rather than sum(isNull::int): the sum form returns NULL on an empty
+    relation where the oracle's count-minus-count form returns 0."""
+    return (F.count(F.lit(1)) - F.count(F.col(col))).cast("long").alias(f"{col}_nulls")
 
 
 def profile_nulls(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -66,6 +68,11 @@ def moments(df: DataFrame, group: str, x: Column, y: Column) -> DataFrame:
     def to_dbl(c):
         return c.cast("string").cast("double")
 
+    # row-set coherence: n counts non-null x, so the y/xy sums must run
+    # over the SAME rows — without the filter, x-NULL rows inflate sy
+    # and the Pearson formula drifts off the (x, y) pairs (both engines
+    # equally, so the oracle could not catch it; review r5).
+    df = df.where(x.isNotNull())
     sums = df.groupBy(group).agg(
         F.count(x).alias("n"),
         to_dbl(F.sum(x.cast("decimal(27,6)"))).alias("sx"),
@@ -74,16 +81,19 @@ def moments(df: DataFrame, group: str, x: Column, y: Column) -> DataFrame:
         to_dbl(F.sum((y * y).cast("decimal(38,6)"))).alias("syy"),
         to_dbl(F.sum((x * y).cast("decimal(38,6)"))).alias("sxy"),
     )
-    # textual twins of the oracle SQL — same IEEE op sequence
+    # textual twins of the oracle SQL — same IEEE op sequence. sqrt
+    # args are clamped with greatest(x, 0): a constant-valued group's
+    # closed-form variance is ulp-NEGATIVE (~-2e-12 measured), which
+    # DuckDB hard-errors on while Spark returns NaN — the lockstep rule.
     return sums.selectExpr(
         group,
         "n",
         "sx / n AS mean_x",
         "sxx / n - (sx / n) * (sx / n) AS var_x",
-        "sqrt(sxx / n - (sx / n) * (sx / n)) AS std_x",
+        "sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS std_x",
         "(sxy / n - (sx / n) * (sy / n)) / "
-        "(sqrt(sxx / n - (sx / n) * (sx / n)) * "
-        "sqrt(syy / n - (sy / n) * (sy / n))) AS corr_xy",
+        "(sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) * "
+        "sqrt(greatest(syy / n - (sy / n) * (sy / n), 0.0))) AS corr_xy",
     )
 
 
@@ -201,6 +211,7 @@ ORACLES: dict[str, str] = {
                    CAST(floor(epoch(ts))::BIGINT - 1700000000 AS DOUBLE)
                        / 3600.0 AS y
             FROM events
+            WHERE value IS NOT NULL
         ),
         s AS (
             SELECT event_type,
@@ -215,10 +226,10 @@ ORACLES: dict[str, str] = {
         SELECT event_type, n,
                sx / n AS mean_x,
                sxx / n - (sx / n) * (sx / n) AS var_x,
-               sqrt(sxx / n - (sx / n) * (sx / n)) AS std_x,
+               sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS std_x,
                (sxy / n - (sx / n) * (sy / n)) /
-               (sqrt(sxx / n - (sx / n) * (sx / n)) *
-                sqrt(syy / n - (sy / n) * (sy / n))) AS corr_xy
+               (sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) *
+                sqrt(greatest(syy / n - (sy / n) * (sy / n), 0.0))) AS corr_xy
         FROM s ORDER BY event_type
     """,
 }
@@ -272,15 +283,21 @@ def cms_sketch(df: DataFrame, key: str) -> DataFrame:
 def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str) -> DataFrame:
     """(key, cms_n) — point estimates: min over the CMS_D cells each
     key hashes into. The sketch side is ≤256 rows → broadcast; the
-    probe is a narrow explode + broadcast join + per-key min."""
+    probe is a narrow explode + broadcast join + per-key min.
+
+    LEFT join + coalesce-to-0: a probe key absent from the sketched
+    table hashes into cells no sketched key populated — an empty CMS
+    cell means count 0, and an inner join would instead drop the cell
+    (inflating the min past the true CMS estimate) or lose the key
+    from the output entirely (review r5)."""
     probes = keys.select(
         F.col(key),
         F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j"),
     ).select(F.col(key), "j", _cms_bucket(F.col("j"), F.col(key)))
     return (
-        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(key)
-        .agg(F.min("cnt").alias("cms_n"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_n"))
     )
 
 
@@ -377,12 +394,20 @@ def q_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = cms_sketch(lineitem, "l_orderkey").select(
         "j", "bucket", F.col("cnt").alias("cnt_l")
     )
+    # DECIMAL(38,0) products/sums: per-bucket counts at 10^11-row
+    # tables reach ~1.5e9, so Σ cnt_o·cnt_l can pass 2^63 — a plain
+    # long sum would silently wrap exactly at the scale the estimator
+    # exists for (the oracle's HUGEINT sum never wraps; review r5).
     per_row = (
         so.join(sl, ["j", "bucket"])
         .groupBy("j")
-        .agg(F.sum(F.col("cnt_o") * F.col("cnt_l")).alias("row_est"))
+        .agg(
+            F.sum(
+                F.col("cnt_o").cast("decimal(38,0)") * F.col("cnt_l").cast("decimal(38,0)")
+            ).alias("row_est")
+        )
     )
-    est = per_row.agg(F.min("row_est").cast("long").alias("cms_join_est"))
+    est = per_row.agg(F.min("row_est").cast("decimal(38,0)").alias("cms_join_est"))
     exact = orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey")).agg(
         F.count(F.lit(1)).alias("exact_join_n")
     )
@@ -407,17 +432,19 @@ ORACLES["q_cms_join_estimate"] = f"""
         FROM lineitem, hrows GROUP BY 1, 2
     ),
     per_row AS (
-        SELECT so.j, sum(cnt_o * cnt_l) AS row_est
+        -- DECIMAL(38,0): the HUGEINT sum is exact, and the output type
+        -- mirrors the Spark side's overflow-proof decimal aggregation
+        SELECT so.j, sum((cnt_o * cnt_l)::DECIMAL(38,0)) AS row_est
         FROM so JOIN sl ON so.j = sl.j AND so.bucket = sl.bucket
         GROUP BY so.j
     ),
-    est AS (SELECT min(row_est)::BIGINT AS cms_join_est FROM per_row),
+    est AS (SELECT min(row_est)::DECIMAL(38,0) AS cms_join_est FROM per_row),
     exact AS (
         SELECT count(1)::BIGINT AS exact_join_n
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     )
     SELECT cms_join_est, exact_join_n,
-           (cms_join_est - exact_join_n)::BIGINT AS overestimate
+           (cms_join_est - exact_join_n)::DECIMAL(38,0) AS overestimate
     FROM est, exact
 """
 
@@ -447,12 +474,14 @@ def dq_audit(
     idea as a first-class, assertable operator).
 
     Scale shape: every range check rides ONE aggregate over its table
-    scan (conditional sums — no per-check scans); each orphan check is
-    a left-anti join against a BROADCAST key dimension reduced to its
-    join key. Nothing here shuffles a fact table: the audit costs one
-    scan per audited table plus broadcast hash lookups, the same
-    discipline profile_nulls uses. The tiny per-check rows union at
-    the end (driver-sized, not data-sized)."""
+    scan (conditional sums — no per-check scans WITHIN a check family);
+    each orphan check is a left-anti join against a BROADCAST key
+    dimension reduced to its join key. Nothing here shuffles a fact
+    table, but the audit is NOT single-scan overall: the range
+    aggregates and the orphan probes are separate passes, so each fact
+    table is read 2-3× (ReuseExchange dedupes only identical
+    subtrees) — size audit I/O accordingly. The tiny per-check rows
+    union at the end (driver-sized, not data-sized)."""
     li = lineitem.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
