@@ -207,3 +207,19 @@ def test_pca_projection_matches_numpy_power_iteration(spark, sf_dir):
     g, r = got - got.mean(), ref - ref.mean()
     align = abs(g @ r) / (np.linalg.norm(g) * np.linalg.norm(r))
     assert align > 0.999999, f"distributed power iteration diverged from numpy: {align:.6f}"
+
+
+def test_fixture_embeddings_have_nonzero_norms(spark, sf_dir):
+    """Module precondition: cosine surfaces are undefined on zero-norm
+    vectors and the engines disagree on the fallback (Spark NaN vs
+    DuckDB -1.0 vs numpy NaN-drop). Pin the precondition loudly so a
+    fixture regeneration that introduces a zero vector fails here, not
+    as an unexplained oracle divergence."""
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.functions.vectors import norm_expr, to_double_vec
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(to_double_vec("embedding", "v"))
+    n_zero = emb.where(F.expr(norm_expr("v")) <= 0).count()
+    assert n_zero == 0, f"{n_zero} zero-norm embeddings violate the cosine precondition"

@@ -19,6 +19,14 @@ Two tiers, per the standard large-scale recipe:
   recall-vs-brute-force check).
 
 All math is JVM-side double arithmetic (functions.vectors); no UDFs.
+
+PRECONDITION (loudly checked, not silently assumed): every embedding
+has nonzero L2 norm. Cosine of a zero vector is undefined and the
+engines disagree on the fallback (Spark 0/0 → NaN sorts FIRST under
+DESC, DuckDB list_cosine_similarity returns -1.0 → sorts LAST, numpy
+NaN drops to the end) — tests/test_similarity.py pins the fixtures
+zero-norm-free so the divergence cannot silently enter the gate; a
+real ingest would filter or impute zero vectors upstream.
 """
 
 from __future__ import annotations
@@ -42,15 +50,31 @@ def _vecs(embeddings: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
     )
 
 
+def _cos_pre(a: str, na: str, b: str, nb: str):
+    """round-6 cosine from PRECOMPUTED norms — dot/(na·nb) is the same
+    IEEE sequence as cosine_expr's inline sqrt(dot(a,a)) (the norm IS
+    sqrt(dot)), so oracle equality is unchanged while per-pair cost
+    drops by the two norm folds the inline form recomputes for every
+    candidate (~2/3 of scoring flops at scale)."""
+    from ..functions.vectors import dot_expr
+
+    return F.round(F.expr(dot_expr(a, b)) / (F.col(na) * F.col(nb)), 6)
+
+
 def cosine_topk(
     corpus: DataFrame, queries: DataFrame, k: int = TOP_K
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast queries × corpus, window top-k.
+    Norms are computed ONCE per vector on each side, not per pair.
     Output: (qid, vec_id, cos_sim, rank)."""
+    from ..functions.vectors import norm_expr
+
+    cn = corpus.withColumn("ncv", F.expr(norm_expr("cv")))
+    qn = queries.withColumn("nqv", F.expr(norm_expr("qv")))
     scored = (
-        corpus.crossJoin(F.broadcast(queries))
+        cn.crossJoin(F.broadcast(qn))
         .where(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", cosine_expr("qv", "cv").alias("cos_sim"))
+        .select("qid", "vec_id", _cos_pre("qv", "nqv", "cv", "ncv").alias("cos_sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -63,18 +87,11 @@ def cosine_topk(
 def ivf_assign(embeddings: DataFrame, num_centroids: int = NUM_CENTROIDS) -> DataFrame:
     """Assign every vector to its max-cosine centroid (deterministic
     seed centroids: the ``num_centroids`` lowest vec_ids). Output:
-    (vec_id, centroid_id). The centroid side is tiny → broadcast; one
-    window per vector picks the argmax, tie-broken on centroid id."""
-    corpus = _vecs(embeddings, "vec_id", "cv")
-    centroids = _vecs(embeddings.where(F.col("vec_id") < num_centroids), "centroid_id", "qv")
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "centroid_id", cosine_expr("qv", "cv").alias("cos_sim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+    (vec_id, centroid_id). Delegates to :func:`assign_to_centroids` —
+    ONE copy of the broadcast-argmax tie-break contract."""
+    return assign_to_centroids(
+        _vecs(embeddings, "vec_id", "cv"),
+        _vecs(embeddings.where(F.col("vec_id") < num_centroids), "centroid_id", "qv"),
     )
 
 
@@ -97,9 +114,14 @@ def ivf_search(
 
 def assign_to_centroids(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, centroid_id) for arbitrary centroid relations (broadcast
-    argmax, ties on centroid_id)."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "centroid_id", cosine_expr("qv", "cv").alias("cos_sim")
+    argmax, ties on centroid_id). Corpus-side norms computed once per
+    vector, not once per (vector, centroid) pair."""
+    from ..functions.vectors import norm_expr
+
+    cn = corpus.withColumn("ncv", F.expr(norm_expr("cv")))
+    kn = centroids.withColumn("nqv", F.expr(norm_expr("qv")))
+    scored = cn.crossJoin(F.broadcast(kn)).select(
+        "vec_id", "centroid_id", _cos_pre("qv", "nqv", "cv", "ncv").alias("cos_sim")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
     return (
@@ -126,7 +148,15 @@ def kmeans_refine(
     dependent): refined centroids are therefore bit-identical under any
     shuffle AND engine-portable, which is what lets a fixed-round Lloyd
     run have a DuckDB oracle at all.
-    """
+
+    Each round's refined centroids are COLLECTED to the driver (k·dim
+    doubles — bounded algorithm state, MLlib's own placement) and
+    re-created as a literal relation: the previous lazy loop referenced
+    ``centroids`` twice per round, doubling the analyzed plan each
+    round, and every downstream consumer independently re-executed the
+    whole Lloyd chain (the optimizer-gotchas lesson; values are
+    unchanged because the means are decimal-exact and order-free)."""
+    spark = corpus.sparkSession
     for _ in range(iterations):
         assign = assign_to_centroids(corpus, centroids)
         means = (
@@ -149,11 +179,13 @@ def kmeans_refine(
                 "centroid_id", F.expr("transform(s, e -> e.m)").alias("new_qv")
             )
         )
-        centroids = (
-            centroids.join(means, "centroid_id", "left")
-            .select(
-                "centroid_id", F.coalesce("new_qv", "qv").alias("qv")
-            )
+        stepped = centroids.join(means, "centroid_id", "left").select(
+            "centroid_id", F.coalesce("new_qv", "qv").alias("qv")
+        )
+        rows = stepped.collect()
+        centroids = spark.createDataFrame(
+            [(r.centroid_id, [float(x) for x in r.qv]) for r in rows],
+            "centroid_id long, qv array<double>",
         )
     return centroids
 
@@ -183,40 +215,63 @@ def cosine_topk_arrow(
     Trade-off vs ``cosine_topk``: the JVM aggregate wins at low dims /
     few queries (no Python boundary at all); BLAS wins as d·q grows —
     both produce identical rankings. Output: (qid, vec_id, cos_sim, rank).
-    """
+
+    The numpy stage only GENERATES CANDIDATES; the surviving rows'
+    cos_sim is recomputed JVM-side with the same expression the plain
+    path and the oracle use, so no numpy rounding ever reaches the
+    output (np.round is half-even where the engines round half-up —
+    a measured tie-class divergence; review r5). The batch prune keeps
+    everything within one 6-dp grid step of the batch's k-th ROUNDED
+    score with vec_id as tie-break — the global winner under the
+    rounded ordering can never be pruned (the earlier unrounded-prune
+    could drop a tied row that won the global tie-break)."""
     import numpy as np
 
+    spark = corpus.sparkSession
     qids = np.array([r[0] for r in query_rows], dtype=np.int64)
     qm = np.vstack([np.asarray(r[1], dtype=np.float64) for r in query_rows])
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
 
-    def score_batches(batches):
+    def candidate_batches(batches):
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy()
             c = np.vstack(pdf["cv"].to_numpy())
             c = c / np.linalg.norm(c, axis=1, keepdims=True)
             sims = c @ qm.T  # (batch, queries)
-            out_q, out_v, out_s = [], [], []
+            out_q, out_v = [], []
             for j, qid in enumerate(qids):
-                col = sims[:, j]
                 mask = ids != qid
-                # batch-local prune: anything below a batch's k-th hit
-                # can never reach the global top-k.
-                order = np.argsort(-col[mask], kind="stable")[:k]
-                sel_ids = ids[mask][order]
-                out_q.extend([qid] * len(sel_ids))
-                out_v.extend(sel_ids)
-                out_s.extend(np.round(col[mask][order], 6))
-            yield pd.DataFrame(
-                {"qid": out_q, "vec_id": out_v, "cos_sim": out_s}
-            )
+                col = sims[:, j][mask]
+                mids = ids[mask]
+                # half-up 6-dp rounding for SELECTION only; one grid
+                # step of slack absorbs any ulp-level disagreement with
+                # the engines' rounding of the exact value.
+                r = np.floor(col * 1e6 + 0.5) / 1e6
+                if len(r) > k:
+                    kth = np.partition(r, len(r) - k)[len(r) - k]
+                    keep = r >= kth - 1.5e-6
+                else:
+                    keep = np.ones(len(r), dtype=bool)
+                sel = mids[keep]
+                out_q.extend([qid] * len(sel))
+                out_v.extend(sel)
+            yield pd.DataFrame({"qid": out_q, "vec_id": out_v})
 
-    local = corpus.mapInPandas(
-        score_batches, "qid BIGINT, vec_id BIGINT, cos_sim DOUBLE"
+    cand = corpus.select("vec_id", "cv").mapInPandas(
+        candidate_batches, "qid BIGINT, vec_id BIGINT"
+    )
+    queries = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in query_rows],
+        "qid long, qv array<double>",
+    )
+    scored = (
+        cand.join(corpus, "vec_id")
+        .join(F.broadcast(queries), "qid")
+        .select("qid", "vec_id", cosine_expr("qv", "cv").alias("cos_sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        local.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .orderBy("qid", "rank")
     )
@@ -607,25 +662,33 @@ def ivf_search_with_centroids(
     composition point: seed centroids give :func:`ivf_search`, refined
     centroids give the trained index). Same bucketed dataflow: assign
     once, probe ``nprobe`` buckets per query, score only within them."""
+    from ..functions.vectors import norm_expr
+
     assign = assign_to_centroids(_vecs(embeddings, "vec_id", "cv"), centroids)
-    corpus = _vecs(embeddings, "vec_id", "cv").join(assign, "vec_id")
+    corpus = (
+        _vecs(embeddings, "vec_id", "cv")
+        .withColumn("ncv", F.expr(norm_expr("cv")))
+        .join(assign, "vec_id")
+    )
 
     cent_as_corpus = centroids.select(
         "centroid_id", F.col("qv").alias("cv")
-    )
-    qprobe = queries.crossJoin(F.broadcast(cent_as_corpus)).select(
-        "qid", "qv", "centroid_id", cosine_expr("qv", "cv").alias("c_sim")
+    ).withColumn("ncv", F.expr(norm_expr("cv")))
+    qn = queries.withColumn("nqv", F.expr(norm_expr("qv")))
+    qprobe = qn.crossJoin(F.broadcast(cent_as_corpus)).select(
+        "qid", "qv", "nqv", "centroid_id",
+        _cos_pre("qv", "nqv", "cv", "ncv").alias("c_sim"),
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
     probes = (
         qprobe.withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
-        .select("qid", "qv", "centroid_id")
+        .select("qid", "qv", "nqv", "centroid_id")
     )
     scored = (
         corpus.join(F.broadcast(probes), "centroid_id")
         .where(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", cosine_expr("qv", "cv").alias("cos_sim"))
+        .select("qid", "vec_id", _cos_pre("qv", "nqv", "cv", "ncv").alias("cos_sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
