@@ -244,3 +244,58 @@ def test_versioned_crash_between_snapshot_and_pointer(spark, tmp_path):
     v = write_versioned(spark.range(7), t)
     assert v == 2, "writer must skip the orphan snapshot number"
     assert read_versioned(spark, t).count() == 7
+
+
+def test_compact_files_per_partition_splits_files(spark, sf_dir):
+    """files_per_partition > 1 must actually yield multiple files per
+    partition dir — repartition(n, cols) alone hashes each partition
+    value into ONE task (the review-r5 silent bug)."""
+    import glob
+    import os
+    import tempfile
+
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+    from tfl_bikes_data_pipeline_spark.warehouse import (
+        compact_partitions,
+        month_partition,
+        write_partitioned,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="compact_multi_"), "events")
+    events = load_table(spark, sf_dir, "events").withColumn("ym", month_partition())
+    write_partitioned(events, path, ["ym"], mode="overwrite")
+    compact_partitions(spark, path, ["ym"], files_per_partition=4)
+
+    part_dirs = [d for d in glob.glob(f"{path}/ym=*") if os.path.isdir(d)]
+    assert part_dirs
+    counts = {d: len(glob.glob(f"{d}/*.parquet")) for d in part_dirs}
+    assert all(1 <= c <= 4 for c in counts.values()), counts
+    assert any(c > 1 for c in counts.values()), f"no partition split: {counts}"
+    # content unchanged
+    back = spark.read.parquet(path)
+    assert back.count() == events.count()
+
+
+def test_current_version_degrades_on_corrupt_marker(spark, tmp_path):
+    """A 0-byte _CURRENT (legacy crash inside a pointer flip) must
+    degrade to the newest complete snapshot, not ValueError-brick the
+    table; vacuum on an unborn table returns [] instead of raising."""
+    import os
+
+    from tfl_bikes_data_pipeline_spark.warehouse import (
+        current_version,
+        read_versioned,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    table = str(tmp_path / "versioned")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    write_versioned(df, table)
+    write_versioned(df.where("k < 5"), table)
+    # simulate the legacy crash artifact
+    open(os.path.join(table, "_CURRENT"), "w").close()
+    assert current_version(table) == 1
+    assert read_versioned(spark, table).count() == 5
+
+    assert vacuum_versions(str(tmp_path / "never_written")) == []

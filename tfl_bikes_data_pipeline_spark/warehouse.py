@@ -72,29 +72,40 @@ def _swap_staged_partitions(
     FileSystem API — metadata moves on HDFS/local, the same code path a
     cluster deployment uses).
 
-    Crash safety — TWO-PHASE sequence: (A) move EVERY conflicting live
-    partition aside to a dot-prefixed trash name, (B) promote EVERY
-    staged partition into place, (C) delete trash + staging. Renames
-    are CHECKED (Hadoop FS returns false on failure, it does not
-    raise). A phase-A failure rolls the already-moved-aside partitions
-    back and raises with the table EXACTLY as before the call. A
-    phase-B failure cannot be fully rolled back (some promotions are
-    live) — the raised error NAMES the already-promoted partitions and
-    the trash locations holding the displaced old data, so the mixed
-    state is explicit and hand-recoverable instead of silent. The
-    mixed-state window is phase B alone — pure renames, no data writes
-    — versus the whole write in the per-partition interleaved scheme.
-    Trash and staging dirs are dot-prefixed, so the table stays
-    READABLE by Spark's parquet reader at every instant. Contrast
-    in-place dynamic overwrite, whose mid-commit failure can delete
-    partitions it has not yet rewritten."""
+    Crash safety — PAIRWISE per-partition swap: for each staged
+    partition, (a) move the conflicting live dir aside to a
+    dot-prefixed trash name, (b) promote the staged dir, (c) drop that
+    partition's trash — then move to the next. A reader can therefore
+    observe at most ONE partition mid-flip at any instant (the earlier
+    all-aside-then-all-promote scheme hid EVERY touched partition
+    during its window — review r5). Renames are CHECKED (Hadoop FS
+    returns false on failure, it does not raise) and every RECOVERY
+    rename is guarded against throwing (a degraded filesystem may
+    raise instead of returning false). A failure leaves: all earlier
+    partitions fully promoted (complete new data, nothing to recover),
+    the failing partition either restored or with its old data named
+    in the error, and all later partitions untouched. Trash and
+    staging dirs are dot-prefixed, so the table stays READABLE by
+    Spark's parquet reader at every instant. Contrast in-place dynamic
+    overwrite, whose mid-commit failure can delete partitions it has
+    not yet rewritten."""
     import uuid
 
     jvm = spark._jvm
     JPath = jvm.org.apache.hadoop.fs.Path
-    live_root = JPath(path)
-    fs = live_root.getFileSystem(spark._jsc.hadoopConfiguration())
-    staging_root = JPath(staging)
+    fs = JPath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    # fully qualify BOTH roots before computing partition-relative
+    # paths: listStatus returns qualified (absolute) leaf paths, so a
+    # relative table path would desynchronize the prefix slice and
+    # promote into a bogus nested directory.
+    live_root = fs.makeQualified(JPath(path))
+    staging_root = fs.makeQualified(JPath(staging))
+
+    def _try_rename(src, dest) -> bool:
+        try:
+            return bool(fs.rename(src, dest))
+        except Exception:
+            return False
 
     # walk to leaf partition dirs (depth = number of partition columns)
     leaves = [staging_root]
@@ -107,81 +118,35 @@ def _swap_staged_partitions(
         leaves = nxt
 
     staging_uri = staging_root.toUri().getPath()
-    plan = []  # (staged leaf, live dst, trash-or-None)
+    promoted: list[str] = []
     for leaf in leaves:
         rel = leaf.toUri().getPath()[len(staging_uri) :].lstrip("/")
         dst = JPath(live_root, rel)
         fs.mkdirs(dst.getParent())
-        trash = (
-            JPath(dst.getParent(), f".{dst.getName()}.old-{uuid.uuid4().hex[:8]}")
-            if fs.exists(dst)
-            else None
-        )
-        plan.append((leaf, dst, trash))
-
-    # phase A: move all conflicting live partitions aside (rollbackable)
-    moved: list[tuple] = []  # (dst, trash) successfully set aside
-    for _, dst, trash in plan:
-        if trash is None:
-            continue
-        if not fs.rename(dst, trash):
-            restore_failures = [
-                str(t) for d, t in moved if not fs.rename(t, d)
-            ]
-            msg = f"failed to move live partition {dst} aside; table unchanged"
-            if restore_failures:
-                msg = (
-                    f"failed to move live partition {dst} aside AND failed to "
-                    f"restore set-aside partitions {restore_failures} — old "
-                    "data preserved at those trash paths"
-                )
-            raise IOError(msg)
-        moved.append((dst, trash))
-
-    # phase B: promote all staged partitions (pure renames). On a
-    # failure mid-loop, every NOT-yet-promoted partition is restored
-    # from its trash (always safe — those promotions never happened),
-    # so the mixed state is confined to the already-promoted prefix
-    # rather than leaving later partitions missing from the table.
-    promoted: list[str] = []
-    for idx, (leaf, dst, trash) in enumerate(plan):
-        if not fs.rename(leaf, dst):
-            # every recovery rename is individually guarded: on a
-            # degraded filesystem a rename may THROW rather than return
-            # False, and an exception here would mask the diagnostic
-            # error and abandon the remaining restores.
-            def _try_rename(src, dest) -> bool:
-                try:
-                    return bool(fs.rename(src, dest))
-                except Exception:
-                    return False
-
-            restored = trash is not None and _try_rename(trash, dst)
-            restore_failures = [
-                str(t)
-                for _, d, t in plan[idx + 1 :]
-                if t is not None and not _try_rename(t, d)
-            ]
-            msg = (
-                f"failed to promote staged partition {leaf} to {dst} "
-                f"({'old data restored for it' if restored else 'no old data to restore' if trash is None else f'restore from {trash} ALSO failed'}); "
-                f"already promoted this call (new data live, displaced old "
-                f"data in dot-prefixed .*.old-* trash dirs next to each): "
-                f"{promoted or 'none'}; all later partitions restored to "
-                "their pre-call state"
+        trash = None
+        if fs.exists(dst):
+            trash = JPath(
+                dst.getParent(), f".{dst.getName()}.old-{uuid.uuid4().hex[:8]}"
             )
-            if restore_failures:
-                msg += (
-                    f" EXCEPT {restore_failures}, whose restore renames "
-                    "also failed — old data preserved at those trash paths"
+            if not fs.rename(dst, trash):
+                raise IOError(
+                    f"failed to move live partition {dst} aside; partitions "
+                    f"promoted so far (complete new data): {promoted or 'none'}; "
+                    f"{dst} and all later partitions unchanged"
                 )
-            raise IOError(msg)
-        promoted.append(str(dst))
-
-    # phase C: drop trash + staging
-    for _, _, trash in plan:
+        if not fs.rename(leaf, dst):
+            restored = trash is not None and _try_rename(trash, dst)
+            raise IOError(
+                f"failed to promote staged partition {leaf} to {dst} "
+                f"({'old data restored for it' if restored else 'no old data to restore' if trash is None else f'restore from {trash} ALSO failed — old data preserved there'}); "
+                f"partitions promoted so far (complete new data): "
+                f"{promoted or 'none'}; later partitions unchanged; staged "
+                f"data remains under {staging_root}"
+            )
         if trash is not None:
             fs.delete(trash, True)
+        promoted.append(str(dst))
+
     fs.delete(staging_root, True)
 
 
@@ -234,18 +199,50 @@ def compact_partitions(
     rewrite lands in a sibling staging dir first, then each partition
     directory is renamed into place (``_swap_staged_partitions``), so
     only the listed ``partitions`` (default: all) are replaced, a crash
-    at ANY point leaves the table readable, and concurrent readers of
-    other partitions never see a change. ``repartition(n, cols)``
-    hashes rows to exactly ``n`` files per partition directory — at
-    cluster scale pick n from target file size (~128 MB), here the
-    mechanism is what's under test."""
+    at ANY point leaves the table readable, and concurrent READERS of
+    other partitions never see a change. Concurrent WRITERS are NOT
+    safe: a batch appended to a partition between this function's read
+    and its swap is replaced by the pre-append compacted copy — run
+    maintenance under the same writer exclusion every rewrite-based
+    OPTIMIZE requires.
+
+    Multi-file layout: ``repartition(n, cols)`` would hash ALL rows of
+    one partition value into ONE task (one file regardless of n — the
+    earlier silent bug; review r5), so ``files_per_partition > 1``
+    adds a deterministic row-hash salt to the repartition keys: up to
+    that many files per partition directory, rows split content-hash
+    stably. At cluster scale pick the count from target file size
+    (~128 MB)."""
     df = spark.read.parquet(path)
     if partitions is not None:
         df = df.where(F.col(partition_cols[0]).isin(partitions))
-    compacted = df.repartition(
-        files_per_partition, *[F.col(c) for c in partition_cols]
-    )
+    compacted = _repartition_for_layout(df, partition_cols, files_per_partition)
     _stage_and_swap_rewrite(spark, compacted, path, partition_cols)
+
+
+def _repartition_for_layout(
+    df: DataFrame, partition_cols: list[str], files_per_partition: int
+) -> DataFrame:
+    """Distribute rows so each partition directory gets up to
+    ``files_per_partition`` output files: hash-partition on the
+    partition columns plus (when >1) a deterministic per-row salt —
+    ``pmod(xxhash64(all columns), n)`` — so the file split is stable
+    across runs (no rand())."""
+    parts = [F.col(c) for c in partition_cols]
+    if files_per_partition <= 1:
+        return df.repartition(*parts)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_partition)
+    )
+    # explicit numPartitions: AQE's partition coalescing respects a
+    # user-specified count but would merge the small salted shuffle
+    # back into one task (one file) without it.
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        df.withColumn("__salt", salt)
+        .repartition(n_shuffle, *parts, F.col("__salt"))
+        .drop("__salt")
+    )
 
 
 def optimize_table(
@@ -267,17 +264,18 @@ def optimize_table(
     if zorder_by is None:
         compact_partitions(spark, path, partition_cols, files_per_partition)
         return
-    from .functions.zorder import quantile_bounds, rank_expr, zvalue
+    from .functions.zorder import Z_BITS, quantile_bounds, rank_expr, zvalue
 
-    bounds = quantile_bounds(df, list(zorder_by), bits=6)
+    bounds = quantile_bounds(df, list(zorder_by), bits=Z_BITS)
     z = zvalue(
         rank_expr(zorder_by[0], bounds[zorder_by[0]]),
         rank_expr(zorder_by[1], bounds[zorder_by[1]]),
-        bits=6,
+        bits=Z_BITS,
     )
     clustered = (
-        df.withColumn("__z", z)
-        .repartition(files_per_partition, *[F.col(c) for c in partition_cols])
+        _repartition_for_layout(
+            df.withColumn("__z", z), partition_cols, files_per_partition
+        )
         .sortWithinPartitions(*partition_cols, "__z")
         .drop("__z")
     )
@@ -290,6 +288,50 @@ def optimize_table(
 
 _VERSION_PREFIX = "v"
 _CURRENT_MARKER = "_CURRENT"
+
+
+def _flip_marker(table_dir: str, version: int) -> None:
+    """Atomically advance the _CURRENT pointer: write-temp → fsync the
+    file → os.replace → fsync the directory. Without the fsyncs a power
+    loss after the journaled rename could leave a 0-byte marker (rename
+    metadata persisted, data block never flushed); the temp file is
+    removed if the write fails."""
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix=".cur_")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(table_dir, _CURRENT_MARKER))
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    dfd = os.open(table_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _list_versions(table_dir: str) -> list[int]:
+    """Sorted snapshot numbers on disk ([] for an unborn table)."""
+    import os
+    import re
+
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        m = re.fullmatch(rf"{_VERSION_PREFIX}(\d+)", name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
 
 
 def write_versioned(df: DataFrame, table_dir: str) -> int:
@@ -307,16 +349,12 @@ def write_versioned(df: DataFrame, table_dir: str) -> int:
     essence. Old versions stay readable (time travel) until
     :func:`vacuum_versions` reclaims them."""
     import os
-    import tempfile
 
     os.makedirs(table_dir, exist_ok=True)
     version = latest_version(table_dir) + 1
     snap = os.path.join(table_dir, f"{_VERSION_PREFIX}{version}")
     df.write.mode("errorifexists").parquet(snap)
-    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix=".cur_")
-    with os.fdopen(fd, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(table_dir, _CURRENT_MARKER))
+    _flip_marker(table_dir, version)
     return version
 
 
@@ -324,28 +362,31 @@ def latest_version(table_dir: str) -> int:
     """Highest snapshot number present on disk (-1 when none) —
     independent of the pointer, so a crash between snapshot write and
     pointer flip never reuses (and thus corrupts) the orphan number."""
-    import os
-    import re
-
-    if not os.path.isdir(table_dir):
-        return -1
-    best = -1
-    for name in os.listdir(table_dir):
-        m = re.fullmatch(rf"{_VERSION_PREFIX}(\d+)", name)
-        if m:
-            best = max(best, int(m.group(1)))
-    return best
+    versions = _list_versions(table_dir)
+    return versions[-1] if versions else -1
 
 
 def current_version(table_dir: str) -> int:
-    """The committed (pointer-resolved) version; -1 when unborn."""
+    """The committed (pointer-resolved) version; -1 when unborn.
+
+    A 0-byte/garbage marker (possible only from a crash inside a
+    pointer flip on a filesystem that persisted the rename before the
+    data — closed going forward by _flip_marker's fsyncs, but legacy
+    tables may carry one) degrades to the newest on-disk snapshot:
+    snapshots are complete and immutable BEFORE any flip references
+    them, so the latest is a valid commit — strictly better than
+    bricking every read with ValueError."""
     import os
 
     marker = os.path.join(table_dir, _CURRENT_MARKER)
     if not os.path.isfile(marker):
         return -1
     with open(marker) as f:
-        return int(f.read().strip())
+        raw = f.read().strip()
+    try:
+        return int(raw)
+    except ValueError:
+        return latest_version(table_dir)
 
 
 def read_versioned(
@@ -365,30 +406,21 @@ def rollback_version(table_dir: str, version: int) -> None:
     a bad load). Pure pointer flip — the bad snapshot remains on disk
     for forensics until vacuumed."""
     import os
-    import tempfile
 
     snap = os.path.join(table_dir, f"{_VERSION_PREFIX}{version}")
     if not os.path.isdir(snap):
         raise FileNotFoundError(f"version {version} not found in {table_dir}")
-    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix=".cur_")
-    with os.fdopen(fd, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(table_dir, _CURRENT_MARKER))
+    _flip_marker(table_dir, version)
 
 
 def vacuum_versions(table_dir: str, keep: int = 2) -> list[int]:
     """Delete snapshots older than the newest ``keep`` (never the
     current pointer target). Returns the vacuumed version numbers."""
     import os
-    import re
     import shutil
 
     cur = current_version(table_dir)
-    versions = sorted(
-        int(re.fullmatch(rf"{_VERSION_PREFIX}(\d+)", n).group(1))
-        for n in os.listdir(table_dir)
-        if re.fullmatch(rf"{_VERSION_PREFIX}\d+", n)
-    )
+    versions = _list_versions(table_dir)  # [] for an unborn table
     victims = [v for v in versions[:-keep] if v != cur] if keep else [
         v for v in versions if v != cur
     ]
