@@ -46,40 +46,69 @@ def asof_join(
 ) -> DataFrame:
     """LEFT as-of join: every ``left`` row + the ``value_cols`` of the
     most recent ``right`` row with ``right_ts <= left_ts`` on the same
-    ``key`` (nulls when no prior observation exists)."""
-    l_tagged = left.select(
-        F.col(key),
-        F.col(left_ts).alias("__t"),
-        F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
-        *[F.col(c) for c in left.columns if c not in (key, left_ts)],
-    )
-    r_tagged = right.select(
+    ``key`` (nulls when no prior observation exists).
+
+    Row-level semantics (review r5): the matched right row is carried
+    as ONE STRUCT through the window fill, so (a) a NULL inside the
+    matched row stays NULL instead of being replaced by an older
+    observation, and (b) with several value_cols the output never mixes
+    columns from different right rows. Right rows with a NULL key or
+    NULL timestamp are dropped up front — NULL never equi-matches and
+    ``right_ts <= left_ts`` is never true for NULL (window partitioning
+    would otherwise treat them as matchable, diverging from the ASOF
+    oracle). Ties on (key, right_ts) break deterministically by a
+    content digest (arbitrary but stable); exact oracle parity at tied
+    timestamps requires the right side unique per (key, ts), as the
+    declared query's daily grain is."""
+    overlap = (set(left.columns) - {key, left_ts}) & set(value_cols)
+    if overlap:
+        raise ValueError(f"left columns collide with value_cols: {sorted(overlap)}")
+    reserved = {"__t", "__is_left", "__obs", "__tb", "__fobs"}
+    bad = reserved & (set(left.columns) | set(value_cols))
+    if bad:
+        raise ValueError(f"reserved column names in inputs: {sorted(bad)}")
+
+    obs_struct = F.struct(*[F.col(c) for c in value_cols])
+    r_clean = right.where(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
+    r_tagged = r_clean.select(
         F.col(key),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c) for c in value_cols],
+        obs_struct.alias("__obs"),
+        F.md5(F.to_json(obs_struct)).alias("__tb"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left.columns
             if c not in (key, left_ts)
         ],
     )
-    # right rows sort before left rows at the same instant → `<=` match.
+    null_obs = F.lit(None).cast(
+        r_tagged.schema["__obs"].dataType
+    )
+    l_tagged = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        null_obs.alias("__obs"),
+        F.lit("").alias("__tb"),
+        *[F.col(c) for c in left.columns if c not in (key, left_ts)],
+    )
+    # right rows sort before left rows at the same instant → `<=` match;
+    # equal-ts right rows order by content digest → deterministic pick.
     w = (
         Window.partitionBy(key)
-        .orderBy("__t", "__is_left")
+        .orderBy("__t", "__is_left", "__tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = r_tagged.unionByName(l_tagged).select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}") for c in value_cols]
+        "*", F.last("__obs", ignorenulls=True).over(w).alias("__fobs")
     )
     keep = [c for c in left.columns if c not in (key, left_ts)]
     return filled.where(F.col("__is_left") == 1).select(
         F.col(key),
         F.col("__t").alias(left_ts),
         *[F.col(c) for c in keep],
-        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+        *[F.col("__fobs").getField(c).alias(c) for c in value_cols],
     )
 
 
@@ -94,12 +123,27 @@ def range_join(
 ) -> DataFrame:
     """Keyed interval join: left rows to right intervals with
     ``start <= ts < end`` on the same key. Equi-join on the key keeps
-    the shuffle bounded; the range predicate rides along."""
-    return left.join(
-        right,
-        (left[key] == right[key]) & (left[ts] >= right[start]) & (left[ts] < right[end]),
+    the shuffle bounded; the range predicate rides along.
+
+    Inputs are aliased so self-join lineage (left and right derived
+    from the same DataFrame) resolves instead of tripping
+    AMBIGUOUS_SELF_JOIN, and the output key is COALESCED across sides
+    so how='right'/'full' keeps the interval key of unmatched right
+    rows (the earlier drop(right[key]) silently nulled it)."""
+    l, r = left.alias("__rj_l"), right.alias("__rj_r")
+    lk, rk = F.col(f"__rj_l.{key}"), F.col(f"__rj_r.{key}")
+    joined = l.join(
+        r,
+        (lk == rk)
+        & (F.col(f"__rj_l.{ts}") >= F.col(f"__rj_r.{start}"))
+        & (F.col(f"__rj_l.{ts}") < F.col(f"__rj_r.{end}")),
         how,
-    ).drop(right[key])
+    )
+    return joined.select(
+        F.coalesce(lk, rk).alias(key),
+        *[F.col(f"__rj_l.{c}").alias(c) for c in left.columns if c != key],
+        *[F.col(f"__rj_r.{c}").alias(c) for c in right.columns if c != key],
+    )
 
 
 # ---------------------------------------------------------------------------
