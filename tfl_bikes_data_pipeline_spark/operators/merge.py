@@ -135,7 +135,17 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     rows classified inserted / deleted / changed / unchanged. Value
     comparison is null-safe (``<=>``) column-wise, so NULL→value and
     value→NULL transitions count as changes — the audit you run before
-    promoting a rebuilt table over the serving copy."""
+    promoting a rebuilt table over the serving copy. The two snapshots
+    must share a column set: a column added by the rebuild would
+    otherwise be silently excluded from the comparison and its changes
+    reported as 'unchanged' (schema evolution is a loud, explicit event
+    in a pre-promotion audit, not a diff to paper over)."""
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            "snapshot_diff requires identical column sets; "
+            f"only in old: {sorted(set(old.columns) - set(new.columns))}, "
+            f"only in new: {sorted(set(new.columns) - set(old.columns))}"
+        )
     cols = [c for c in old.columns if c not in keys]
     o = old.select(*keys, F.lit(1).alias("__in_old"),
                    *[F.col(c).alias(f"__o_{c}") for c in cols])
@@ -170,7 +180,14 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p").alias("total"),
         )
     base = agg(orders.where(F.col("o_orderdate") < cut))
-    delta = agg(orders.where(F.col("o_orderdate") >= cut))
+    # the split must be TOTAL over the column's domain: a NULL date
+    # satisfies neither < nor >=, and a dropped row would diverge from
+    # the oracle's unfiltered full recompute (fixtures carry no NULL
+    # dates today — the partition is made total so that stays a fact
+    # about the data, not a correctness precondition).
+    delta = agg(
+        orders.where((F.col("o_orderdate") >= cut) | F.col("o_orderdate").isNull())
+    )
     merged = merge_partial_aggs(base, delta, ["o_custkey"], ["n_orders", "total"])
     return merged.select(
         "o_custkey", "n_orders", F.col("total").cast("string").cast("double").alias("total")
@@ -245,6 +262,11 @@ def latest_per_key(df: DataFrame, keys: list[str], order: list[str]) -> DataFram
     batch. One shuffle on the key; with the log stored bucketed on the
     key even that disappears. ``order`` must totally order each key's
     records (ts + a unique tiebreak), or "latest" is shuffle-dependent."""
+    if "__rn" in df.columns:
+        raise ValueError(
+            "latest_per_key reserves the column name '__rn'; rename the "
+            "input column (a silent overwrite would drop user data)"
+        )
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
     return (
         df.withColumn("__rn", F.row_number().over(w))
