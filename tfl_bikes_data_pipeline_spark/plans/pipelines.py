@@ -13,7 +13,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import exact_sum
+from ..functions import epoch_id, exact_sum, synth_key
 from ..tables import load_table
 from ..warehouse import month_partition, write_partitioned
 from .dim_time import build_dim_time
@@ -53,6 +53,12 @@ def raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parsed_ts():
+    """The one parse of the raw feed's timestamp string — both the
+    event_ts column and its epoch surrogate derive from it."""
+    return F.to_timestamp("event_date", TS_FMT)
+
+
 def build_fact(raw: DataFrame) -> DataFrame:
     """Typed fact from the raw feed: positional rename, timestamp parse,
     epoch ids, int casts (transform_load.py:183-231)."""
@@ -61,8 +67,8 @@ def build_fact(raw: DataFrame) -> DataFrame:
         F.col("event_id").cast("long").alias("event_id"),
         F.col("user_id").cast("int").alias("user_id"),
         F.col("event_type"),
-        F.to_timestamp("event_date", TS_FMT).alias("event_ts"),
-        F.unix_timestamp(F.to_timestamp("event_date", TS_FMT)).cast("int").alias("timestamp_id"),
+        _parsed_ts().alias("event_ts"),
+        epoch_id(_parsed_ts()).alias("timestamp_id"),
         F.col("value").cast("double").alias("value"),
     )
 
@@ -102,9 +108,9 @@ def build_aligned_weather(events: DataFrame) -> DataFrame:
     aligned = click.join(view, ["user_id", "day"], "left").join(
         purchase, ["user_id", "day"], "left"
     )
-    day_epoch = F.unix_timestamp(F.col("day").cast("timestamp")).cast("int")
+    day_epoch = epoch_id(F.col("day").cast("timestamp"))
     return aligned.select(
-        F.concat_ws("_", F.col("user_id"), day_epoch).alias("id"),
+        synth_key(F.col("user_id"), day_epoch).alias("id"),
         "user_id",
         # day kept as midnight timestamp (not DATE) so the oracle value
         # comparison is representation-stable across engines.
@@ -131,7 +137,14 @@ def p_weather_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def p_weather_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    dim = build_aligned_weather(events).select("id", "user_id", "day")
+    # project the dim's midnight timestamp to DATE up front: both join
+    # sides then compare DATE == DATE (engine.py does the same), instead
+    # of leaning on implicit DATE→TIMESTAMP coercion plus the
+    # exact-midnight invariant — a silent all-NULL join if the dim's
+    # day representation ever changes (review r5).
+    dim = build_aligned_weather(events).select(
+        "id", "user_id", F.to_date("day").alias("day")
+    )
 
     fact = events.select(
         "event_id",
@@ -178,8 +191,20 @@ def p_weather_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def p_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Note on gate strength: every fixture's events span ONE month, so
+    the 'replaces only that partition' property is vacuous under the
+    differential gate (one partition either way) — the multi-month
+    overwrite discipline is pinned by
+    tests/test_engine.py::test_month_rerun_is_idempotent instead."""
+    import atexit
+    import shutil
+
     events = load_table(spark, sf_dir, "events").withColumn("ym", month_partition("ts"))
     out = tempfile.mkdtemp(prefix="warehouse_fact_")
+    # swept at interpreter exit (not earlier: the returned DataFrame is
+    # lazily bound to these files) — repeated harness rounds must not
+    # accumulate full table copies in /tmp.
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
 
     write_partitioned(events, out, ["ym"], mode="overwrite")
     last_month = events.agg(F.max("ym")).first()[0]
