@@ -146,3 +146,33 @@ def test_results_partition_independent(spark, sf_dir):
             assert a == b, f"{name}: results differ across partitionings"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_run_stage_rejects_malformed_month(spark, tmp_path):
+    """'2021-01' (ISO spelling) previously matched no rows and reported
+    success — it must raise instead (review r5)."""
+    import pytest
+
+    from tfl_bikes_data_pipeline_spark.engine import run_stage
+
+    with pytest.raises(ValueError, match="YYYYMM"):
+        run_stage(spark, str(tmp_path / "wh"), "journeys", month="2021-01")
+    with pytest.raises(ValueError, match="YYYYMM"):
+        run_stage(spark, str(tmp_path / "wh"), "weather", month="202113")
+
+
+def test_journeys_degrades_to_null_enrichment_on_empty_weather_dir(spark, sf_dir, tmp_path):
+    """A dim_weather dir holding only _SUCCESS (a zero-row weather
+    month) must take the NULL-enrichment branch, not crash parquet
+    schema inference (review r5)."""
+    import os
+
+    from tfl_bikes_data_pipeline_spark.engine import run_stage
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(os.path.join(wh, "dim_weather"))
+    open(os.path.join(wh, "dim_weather", "_SUCCESS"), "w").close()
+    out = run_stage(spark, wh, "journeys", month="202401", sf_dir=sf_dir)
+    back = spark.read.parquet(out["fact_events"])
+    assert back.count() > 0
+    assert back.where(back.weather_id.isNotNull()).count() == 0
