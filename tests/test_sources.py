@@ -287,3 +287,27 @@ def test_xlsx_phonetic_runs_excluded(tmp_path):
     pdf = xlsx.parse_xlsx(p)
     assert list(pdf.columns) == ["tokyo"]
     assert pdf.iloc[0, 0] == "tokyo"
+
+
+def test_csv_wire_preserves_newlines_and_edge_whitespace(spark, tmp_path):
+    """Review r5: quoted embedded newlines split into garbage rows
+    without multiLine, and the CSV WRITER's ignore*WhiteSpace defaults
+    silently trimmed whitespace-edged values — the wire must round-trip
+    both exactly."""
+    from tfl_bikes_data_pipeline_spark.sources.raw import (
+        read_csv_with_schema,
+        string_schema,
+    )
+
+    rows = [("1", "line1\nline2"), ("2", "  padded  "), ("3", "plain")]
+    df = spark.createDataFrame(rows, "id string, s string")
+    out = str(tmp_path / "wire_csv")
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(out)
+    )
+    back = {r.id: r.s for r in read_csv_with_schema(spark, out, ["id", "s"]).collect()}
+    assert back == dict(rows), back

@@ -25,7 +25,6 @@ CSV layer (quoting, locale, header trust) fails the hash.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +32,7 @@ from pyspark.sql import types as T
 
 from ..plans.pipelines import TS_FMT, build_fact
 from ..tables import load_table
+from ..tmputil import sweep_tmpdir
 
 
 def string_schema(columns: list[str]) -> T.StructType:
@@ -49,6 +49,11 @@ def read_csv_with_schema(
     return (
         spark.read.schema(string_schema(columns))
         .option("header", str(header).lower())
+        # quoted fields may contain newlines; without multiLine the
+        # reader splits them into garbage rows (reproduced in review
+        # r5). Cost at scale: multiLine CSVs parallelize per FILE, not
+        # per split — the standard trade for quote-correct CSV.
+        .option("multiLine", "true")
         .csv(path)
     )
 
@@ -87,19 +92,48 @@ def write_events_csv(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
         F.date_format("ts", TS_FMT).alias(RAW_EVENT_COLUMNS[3]),
         F.col("value").cast("string").alias(RAW_EVENT_COLUMNS[4]),
     )
-    raw.write.mode("overwrite").option("header", "true").csv(out_dir)
+    # the CSV writer's ignore*WhiteSpace defaults are TRUE — they
+    # silently trim whitespace-edged values on WRITE (data loss before
+    # any read); switched off so the wire format is actually lossless.
+    (
+        raw.write.mode("overwrite")
+        .option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(out_dir)
+    )
     return out_dir
 
 
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6+S12+P2+P5+F1+F2 end-to-end: CSV write → schema'd read →
     positional normalize → typed fact build."""
-    out = os.path.join(tempfile.mkdtemp(prefix="raw_csv_"), "events_csv")
+    out = os.path.join(sweep_tmpdir("raw_csv_"), "events_csv")
     write_events_csv(spark, sf_dir, out)
     raw = read_csv_with_schema(spark, out, RAW_EVENT_COLUMNS)
     canonical = normalize_headers(raw, CANONICAL_EVENT_COLUMNS)
-    fact = build_fact(canonical)
+    # select BY NAME so the rename is load-bearing in the gate:
+    # build_fact's positional toDF would otherwise mask a broken
+    # normalize_headers entirely (S12 coverage was hollow; review r5) —
+    # wrong canonical names now fail resolution loudly.
+    fact = build_fact(canonical.select(*CANONICAL_EVENT_COLUMNS))
     return fact.select("event_id", "user_id", "event_type", "event_ts", "timestamp_id")
+
+
+def _typed_roundtrip_agg(back: DataFrame) -> DataFrame:
+    """The one aggregate both typed-roundtrip queries share — kept in a
+    single place so the decimal-string sum route can never drift
+    between the two queries that share one oracle."""
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("total_value"),
+            F.min("ts").alias("min_ts"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,19 +146,9 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the differential oracle on the *result* is exactly how a
     non-shared format stays inside the correctness gate.)"""
     events = load_table(spark, sf_dir, "events")
-    out = os.path.join(tempfile.mkdtemp(prefix="raw_orc_"), "events_orc")
+    out = os.path.join(sweep_tmpdir("raw_orc_"), "events_orc")
     events.write.mode("overwrite").orc(out)
-    back = spark.read.orc(out)
-    return (
-        back.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("total_value"),
-            F.min("ts").alias("min_ts"),
-            F.max("event_id").alias("max_event_id"),
-        )
-        .orderBy("event_type")
-    )
+    return _typed_roundtrip_agg(spark.read.orc(out))
 
 
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,7 +161,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain through the ISO-8601 string form; the oracle reads the
     original parquet, so any loss in the JSON layer fails the hash."""
     events = load_table(spark, sf_dir, "events")
-    out = os.path.join(tempfile.mkdtemp(prefix="raw_json_"), "events_json")
+    out = os.path.join(sweep_tmpdir("raw_json_"), "events_json")
     # Spark's default JSON timestampFormat is millisecond-grain —
     # micros must be spelled out on BOTH sides or the layer silently
     # rounds every timestamp (caught by this query's parquet oracle).
@@ -148,16 +172,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("timestampFormat", micros_fmt)
         .json(out)
     )
-    return (
-        back.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("total_value"),
-            F.min("ts").alias("min_ts"),
-            F.max("event_id").alias("max_event_id"),
-        )
-        .orderBy("event_type")
-    )
+    return _typed_roundtrip_agg(back)
 
 
 QUERIES = {
@@ -196,8 +211,10 @@ def read_csv_quarantine(
 ) -> DataFrame:
     """CSV scan that *quarantines* malformed rows instead of silently
     nulling them (PERMISSIVE default) or killing the job (FAILFAST):
-    rows that fail the schema land intact in ``_corrupt_record`` and
-    every clean column of that row is NULL. Downstream splits on
+    rows that fail the schema land intact in ``_corrupt_record``
+    (typed columns of such a row may hold partially-parsed, possibly
+    column-shifted tokens — do NOT read them; only the raw line is
+    trustworthy). Downstream splits on
     ``_corrupt_record IS NULL`` — clean rows continue, bad rows go to a
     dead-letter sink with full fidelity for replay. At 100 TB some rows
     ARE malformed; the pipeline's integrity comes from accounting for
@@ -208,6 +225,7 @@ def read_csv_quarantine(
     return (
         spark.read.schema(schema)
         .option("header", str(header).lower())
+        .option("multiLine", "true")  # quoted newlines are VALID rows
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(path)
@@ -218,7 +236,18 @@ def split_quarantine(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, dead_letter) from a quarantine read. The corrupt-record
     column is dropped from the clean side; the dead-letter side keeps
     the raw line verbatim."""
-    raw = raw.cache()  # one scan feeds both sides
+    # the cache is REQUIRED, not an optimization: Spark refuses plans
+    # that reference ONLY the corrupt-record column of a raw CSV/JSON
+    # scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the
+    # dead-letter side is exactly that shape); caching the parsed frame
+    # is the documented workaround. Lifecycle: MEMORY_AND_DISK blocks
+    # spill rather than OOM and evict LRU; a caller working through
+    # many feeds in one session should spark.catalog.clearCache()
+    # between feeds — there is no narrower release handle for a
+    # function returning two children of the cached parse.
+    from pyspark import StorageLevel
+
+    raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
     clean = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     dead = raw.where(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_line")

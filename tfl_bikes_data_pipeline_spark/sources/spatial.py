@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
+from ..tmputil import sweep_tmpdir
 
 GRID_N = 20  # 20×20 grid
 GRID_STEP = 5  # coordinate units between grid lines
@@ -144,7 +145,6 @@ def q_netcdf_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
     corruption in the binary layer (offsets, big-endian decode, shape
     order) changes the extracted series and fails the hash."""
     import os
-    import tempfile
 
     import numpy as np
 
@@ -154,7 +154,7 @@ def q_netcdf_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda t, y, x: t * 100000 + y * 1000 + x,
         (NC_TIMES, GRID_N, GRID_N),
     ).astype("int32")
-    path = os.path.join(tempfile.mkdtemp(prefix="raw_nc_"), "tas.nc")
+    path = os.path.join(sweep_tmpdir("raw_nc_"), "tas.nc")
     write_netcdf3(
         path,
         {"time": NC_TIMES, "y": GRID_N, "x": GRID_N},

@@ -233,11 +233,11 @@ def q_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     loss in the XLSX layer (escaping, cell addressing, string typing)
     fails the hash."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from ..tables import load_table
+    from ..tmputil import sweep_tmpdir
 
     events = load_table(spark, sf_dir, "events")
     sample = (
@@ -250,7 +250,7 @@ def q_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="raw_xlsx_"), "events.xlsx")
+    path = os.path.join(sweep_tmpdir("raw_xlsx_"), "events.xlsx")
     write_minimal_xlsx(
         path,
         ["Event Id", "User Id", "Event Type", "Value"],

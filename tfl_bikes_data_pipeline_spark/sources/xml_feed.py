@@ -19,7 +19,6 @@ coords; the oracle derives the same dimension relationally.
 from __future__ import annotations
 
 import os
-import tempfile
 import xml.etree.ElementTree as ET
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..tables import load_table
+from ..tmputil import sweep_tmpdir
 
 STATION_FIELDS = ("id", "name", "terminalName", "lat", "long")
 
@@ -88,7 +88,7 @@ def write_stations_xml(spark: SparkSession, sf_dir: str, xml_path: str) -> str:
 
 
 def q_xml_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    xml_path = os.path.join(tempfile.mkdtemp(prefix="stations_xml_"), "stations.xml")
+    xml_path = os.path.join(sweep_tmpdir("stations_xml_"), "stations.xml")
     write_stations_xml(spark, sf_dir, xml_path)
     typed = typed_stations(parse_station_xml(spark, xml_path))
     # comparison edge: decimals go out as double — Spark decimals arrive
