@@ -47,16 +47,7 @@ def _fallback_stream_schema(spark: SparkSession) -> T.StructType:
     )
 
 
-def _tmpdir(prefix: str) -> str:
-    """mkdtemp that is swept at interpreter exit — streaming queries
-    stage fixture copies per invocation, and without the sweep a long
-    bench/correctness session accumulates them for the machine's
-    lifetime."""
-    import atexit
-
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
+from ..tmputil import sweep_tmpdir as _tmpdir  # staged fixture copies are swept at exit
 
 
 def _copy_events_fixture(sf_dir: str, landing: str, name: str) -> None:
