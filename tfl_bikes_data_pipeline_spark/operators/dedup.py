@@ -427,41 +427,57 @@ SIMHASH_BANDS = 4  # pigeonhole: hamming ≤ bands-1 ⇒ ≥1 band identical
 SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 1
 
 
-def simhash_pairs(
-    hashes: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+def banded_hamming_pairs(
+    hashes: DataFrame, hash_col: str, bits: int, bands: int, max_hamming: int
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming) — near-dup pairs by simhash distance.
-    Candidate generation is banded exact-match (the hamming analogue of
-    MinHash-LSH): the 16-bit hash splits into 4 nibbles; by pigeonhole,
-    any pair within hamming ≤ 3 shares at least one identical nibble, so
-    the self-join shuffles on (band, nibble) buckets — never all-pairs.
-    Verification is ``bit_count(a XOR b)``, integer-exact."""
-    width = SIMHASH_BITS // SIMHASH_BANDS
-    bands = hashes.select(
+    """(doc_a, doc_b, hamming) — the ONE banded-hamming candidate
+    discipline both hash modalities share (text simhash and image
+    ahash): the ``bits``-bit hash splits into ``bands`` equal bands; by
+    pigeonhole any pair within hamming ≤ bands-1 collides on ≥1 band,
+    so the self-join shuffles on (band, key) buckets — never all-pairs
+    — and verification is integer ``bit_count(a XOR b)``.
+
+    Band keys use mask, not %: a shift-by-0 of a SIGNED 64-bit hash
+    returns the signed value, and % follows the sign in Spark while the
+    oracles' ``(h >> k) & mask`` is always the unsigned low bits —
+    bitwiseAND matches them for every band and every hash width."""
+    width = bits // bands
+    banded = hashes.select(
         "doc_id",
-        "simhash",
+        hash_col,
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), b * width)
-                    % (2**width)
-                    for b in range(SIMHASH_BANDS)
+                    F.shiftrightunsigned(F.col(hash_col), b * width)
+                    .bitwiseAND(2**width - 1)
+                    for b in range(bands)
                 ]
             )
         ).alias("band_id", "band_key"),
     )
-    x, y = bands.alias("x"), bands.alias("y")
-    cand = (
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
         x.join(y, ["band_id", "band_key"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.expr("bit_count(x.simhash ^ y.simhash)").alias("hamming"),
+            F.expr(f"bit_count(x.{hash_col} ^ y.{hash_col})").alias("hamming"),
         )
         .distinct()
+        .where(F.col("hamming") <= max_hamming)
     )
-    return cand.where(F.col("hamming") <= max_hamming)
+
+
+def simhash_pairs(
+    hashes: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — near-dup pairs by simhash distance:
+    :func:`banded_hamming_pairs` over the 16-bit hash in 4 nibble
+    bands (pigeonhole covers hamming ≤ 3)."""
+    return banded_hamming_pairs(
+        hashes, "simhash", SIMHASH_BITS, SIMHASH_BANDS, max_hamming
+    )
 
 
 def embedding_cosine_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:

@@ -55,15 +55,29 @@ def decode_image(payload: bytes) -> "object":
     importable and raise otherwise. Header-level metadata does NOT
     need this: parse_media_header below reads container headers with
     pure byte arithmetic."""
+    import struct
+    import zlib
+
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from .imaging import decode_png
 
-        return decode_png(payload)
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return decode_png(payload)
+        except (NotImplementedError, ValueError, zlib.error, struct.error):
+            # out-of-scope variants (palette/16-bit/interlaced) or
+            # truncated streams — same fallback contract as the JPEG
+            # branch below: PIL when present, the original error else.
+            if not HAS_PIL:
+                raise
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
         from .imaging import decode_gif
 
-        return decode_gif(payload)
-    if payload[:2] == b"\xff\xd8":
+        try:
+            return decode_gif(payload)
+        except (NotImplementedError, ValueError, struct.error):
+            if not HAS_PIL:
+                raise
+    elif payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
         try:
@@ -91,9 +105,18 @@ def decode_audio(payload: bytes) -> "object":
     (operators.imaging) — (samples, rate); other formats need
     soundfile."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import wave as _wave
+
         from .imaging import decode_wav
 
-        return decode_wav(payload)
+        try:
+            return decode_wav(payload)
+        except (NotImplementedError, ValueError, _wave.Error, EOFError):
+            # 24-bit/float PCM or compressed WAV — soundfile decodes
+            # these natively when present; otherwise surface the
+            # stdlib codec's scoped error.
+            if not HAS_SOUNDFILE:
+                raise
     if HAS_SOUNDFILE:
         import io
 
@@ -106,8 +129,32 @@ def decode_audio(payload: bytes) -> "object":
 
 
 def sample_video_frames(payload: bytes, every_n: int) -> "list[object]":
+    """Every ``every_n``-th decoded frame. Routes through cv2 when the
+    runtime has it (the import probe is load-bearing, not decorative);
+    raises the scoped marker otherwise."""
     if HAS_CV2:  # pragma: no cover - exercised only in full runtimes
-        import cv2  # noqa: F401
+        import os
+        import tempfile
+
+        import cv2
+
+        fd, path = tempfile.mkstemp(suffix=".bin")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(payload)
+            cap = cv2.VideoCapture(path)
+            frames, idx = [], 0
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                if idx % every_n == 0:
+                    frames.append(frame)
+                idx += 1
+            cap.release()
+            return frames
+        finally:
+            os.unlink(path)
     raise NotImplementedError("video codec not available in this environment")
 
 
@@ -117,16 +164,31 @@ def parse_media_header(payload: bytes) -> dict | None:
     and WAV fmt-chunk dimensions straight from the published container
     specs. Returns the same typed dict shape as fake_decode_meta, or
     None when no magic signature matches (opaque payload → caller falls
-    back to the deterministic fake). This is the decode path
+    back to the deterministic fake). Parsed dimension/rate fields are
+    validated against the int32 schema: a hostile or corrupt header can
+    carry 4-byte values past 2^31 which would silently WRAP through the
+    Arrow cast into META_SCHEMA's int columns (reproduced in review r5)
+    — such headers are untrustworthy, so the parse returns None and the
+    caller falls back. This is the decode path
     extract_meta(real=True) routes through — it works in THIS container
     and is what a header-only metadata pass at 100 TB actually does
     (full pixel decode stays behind the PIL/cv2 gates above)."""
+    INT32_MAX = 2**31 - 1
+
+    def _checked(meta: dict) -> dict | None:
+        # any parsed field outside int32 means the header lies — fall
+        # back rather than wrap through the Arrow cast.
+        for k in ("width", "height", "n_frames"):
+            if not (0 <= meta[k] <= INT32_MAX):
+                return None
+        return meta
+
     n = len(payload)
     if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         width = int.from_bytes(payload[16:20], "big")
         height = int.from_bytes(payload[20:24], "big")
-        return {"byte_len": n, "width": width, "height": height,
-                "n_frames": 1, "format": "png"}
+        return _checked({"byte_len": n, "width": width, "height": height,
+                "n_frames": 1, "format": "png"})
     if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
         width = int.from_bytes(payload[6:8], "little")
         height = int.from_bytes(payload[8:10], "little")
@@ -134,8 +196,8 @@ def parse_media_header(payload: bytes) -> dict | None:
         # descriptors are only meaningful at block positions — raw
         # byte scans miscount on color-table/LZW data); a header-only
         # pass honestly reports 1.
-        return {"byte_len": n, "width": width, "height": height,
-                "n_frames": 1, "format": "gif"}
+        return _checked({"byte_len": n, "width": width, "height": height,
+                "n_frames": 1, "format": "gif"})
     if n >= 4 and payload[:2] == b"\xff\xd8":
         # JPEG: walk markers to the first SOFn for dimensions. 0xFF
         # fill bytes are legal padding between segments — skip runs of
@@ -160,8 +222,8 @@ def parse_media_header(payload: bytes) -> dict | None:
             if seg_len < 2:
                 break  # corrupt length — stop rather than loop forever
             i += 2 + seg_len
-        return {"byte_len": n, "width": 0, "height": 0,
-                "n_frames": 1, "format": "jpeg"}
+        return _checked({"byte_len": n, "width": 0, "height": 0,
+                "n_frames": 1, "format": "jpeg"})
     if n >= 36 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # walk RIFF chunks to the 'fmt ' chunk — BWF/pro-audio files
         # routinely put JUNK/bext/LIST chunks first, so fixed offsets
@@ -174,8 +236,8 @@ def parse_media_header(payload: bytes) -> dict | None:
             if chunk_id == b"fmt " and i + 16 <= n:
                 channels = int.from_bytes(payload[i + 10:i + 12], "little")
                 sample_rate = int.from_bytes(payload[i + 12:i + 16], "little")
-                return {"byte_len": n, "width": sample_rate, "height": channels,
-                        "n_frames": 1, "format": "wav"}
+                return _checked({"byte_len": n, "width": sample_rate, "height": channels,
+                        "n_frames": 1, "format": "wav"})
             # chunks are word-aligned: odd lengths carry a pad byte
             i += 8 + chunk_len + (chunk_len % 2)
         return None
@@ -326,16 +388,20 @@ def ahash(with_payload: DataFrame) -> DataFrame:
     byte i == character i); the threshold mean is an exact integer sum
     over a double division — identical in IEEE on both engines."""
 
+    import numpy as np  # hoisted: _pixel_cells runs once per payload
+
     def _pixel_cells(payload: bytes) -> list[int]:
         """8×8 average-pooled grayscale cells from a REAL pixel decode
-        (PNG/GIF via the stdlib codecs) — the classic aHash recipe.
-        Opaque payloads fall back to their first 64 bytes (the
-        deterministic stand-in the text-fixture oracle mirrors)."""
-        import numpy as np
-
-        if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:6] in (
-            b"GIF87a",
-            b"GIF89a",
+        (PNG/GIF/baseline-JPEG via the stdlib codecs — JPEG matters
+        most: real JPEGs share near-identical leading bytes (SOI + JFIF
+        + quant tables), so byte-cell hashing would collide unrelated
+        images into a flood of false pairs; review r5) — the classic
+        aHash recipe. Opaque payloads fall back to their first 64 bytes
+        (the deterministic stand-in the text-fixture oracle mirrors)."""
+        if (
+            payload[:8] == b"\x89PNG\r\n\x1a\n"
+            or payload[:6] in (b"GIF87a", b"GIF89a")
+            or payload[:2] == b"\xff\xd8"
         ):
             try:
                 px = decode_image(bytes(payload)).astype("int64")
@@ -381,43 +447,14 @@ def ahash(with_payload: DataFrame) -> DataFrame:
 
 
 def ahash_pairs(hashes: DataFrame, max_hamming: int = AHASH_MAX_HAMMING) -> DataFrame:
-    """(doc_a, doc_b, hamming) — perceptual near-dup pairs by banded
-    hamming over the 64-bit hashes: 8 bands of 8 bits; by pigeonhole any
-    pair within hamming ≤ 7 collides on ≥1 band, so candidate
-    generation shuffles on (band, key) buckets — never all-pairs — and
-    verification is integer ``bit_count(a XOR b)``. Identical shape to
-    the text SimHash path (operators.dedup.simhash_pairs) — one dedup
-    discipline across modalities."""
-    width = 64 // AHASH_BANDS
-    bands = hashes.select(
-        "doc_id",
-        "ahash",
-        F.posexplode(
-            F.array(
-                *[
-                    # mask, don't %: band 0's shift-by-0 returns the
-                    # SIGNED hash, and % follows the sign in Spark while
-                    # the oracle's (>> k) & 255 is always the unsigned
-                    # low byte — bitwiseAND matches it for every band.
-                    F.shiftrightunsigned(F.col("ahash"), b * width)
-                    .bitwiseAND(2**width - 1)
-                    for b in range(AHASH_BANDS)
-                ]
-            )
-        ).alias("band_id", "band_key"),
-    )
-    x, y = bands.alias("x"), bands.alias("y")
-    return (
-        x.join(y, ["band_id", "band_key"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.expr("bit_count(x.ahash ^ y.ahash)").alias("hamming"),
-        )
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
-    )
+    """(doc_a, doc_b, hamming) — perceptual near-dup pairs: the shared
+    banded-hamming discipline (:func:`..dedup.banded_hamming_pairs`)
+    over the 64-bit hash in 8 byte-wide bands (pigeonhole covers
+    hamming ≤ 7) — one dedup discipline across modalities, one place
+    carrying the signed-shift masking rule."""
+    from .dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(hashes, "ahash", 64, AHASH_BANDS, max_hamming)
 
 
 def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
