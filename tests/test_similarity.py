@@ -223,3 +223,17 @@ def test_fixture_embeddings_have_nonzero_norms(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(to_double_vec("embedding", "v"))
     n_zero = emb.where(F.expr(norm_expr("v")) <= 0).count()
     assert n_zero == 0, f"{n_zero} zero-norm embeddings violate the cosine precondition"
+
+
+def test_fixture_embeddings_have_uniform_dimension(spark, sf_dir):
+    """dot_expr's zip_with pads length-mismatched vectors with NULLs,
+    poisoning the fold into NULL — which threshold filters then DROP
+    silently (a truncated duplicate would report as unique). Pin the
+    uniform-dimension precondition loudly."""
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
+    assert len(dims) == 1, f"mixed embedding dimensions: {[r.d for r in dims]}"

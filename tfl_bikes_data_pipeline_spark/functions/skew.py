@@ -50,7 +50,24 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``key`` with the hot-key rows of
     ``big`` spread over ``n_salts`` shuffle partitions. ``small`` is
-    exploded ×n_salts (cheap — it's the small side by assumption)."""
+    exploded ×n_salts (cheap — it's the small side by assumption).
+
+    Only big-side-preserving joins are meaningful under the ×n_salts
+    replication: a right/full/outer join would emit one null-padded
+    phantom row per UNMATCHED replica of the small side (up to
+    n_salts per key) — silently wrong, so those modes are rejected
+    (review r5)."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only, got how={how!r} "
+            "(the small side's salt replication makes right/full joins emit "
+            "phantom null-padded rows)"
+        )
+    for side, df in (("big", big), ("small", small)):
+        if "__salt" in df.columns:
+            raise ValueError(f"{side} side already has a '__salt' column")
     salted_big = big.withColumn("__salt", salt_col(salt_from, n_salts))
     salted_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -64,6 +81,9 @@ def salted_group_count(
     """Two-stage skew-safe group-count: (key, salt) partial counts, then
     per-key final sum. Output: (key, cnt) — identical to
     ``df.groupBy(key).count()``."""
+    clash = {"__salt", "__pc"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input already has reserved columns {sorted(clash)}")
     partial = (
         df.withColumn("__salt", salt_col(salt_from, n_salts))
         .groupBy(key, "__salt")

@@ -17,6 +17,13 @@ def to_double_vec(col: str = "embedding", alias: str = "v") -> Column:
 
 
 def dot_expr(a: str, b: str) -> str:
+    """Left-fold dot product (the IEEE sequence the DuckDB oracles
+    mirror). Length-mismatched vectors yield NULL (zip_with pads the
+    short side with nulls, which poison the fold) — downstream
+    threshold filters then DROP the pair silently, so uniform
+    dimensionality is a loudly-pinned fixture precondition
+    (tests/test_similarity.py), not something this expression can
+    distinguish from dissimilarity."""
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
         f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
@@ -28,8 +35,17 @@ def norm_expr(a: str) -> str:
 
 
 def cosine_expr(a: str, b: str, decimals: int = 6) -> Column:
+    """round-6 cosine. The norm product goes through nullif: a
+    zero-norm vector would otherwise produce 0/0 = NaN, which Spark
+    sorts ABOVE every double — one zero embedding would become the #1
+    neighbor of every query in a DESC top-k. NULL instead sorts last
+    under the default ordering, and the zero-norm precondition is
+    separately pinned by tests/test_similarity.py."""
     return F.round(
-        F.expr(f"({dot_expr(a, b)}) / (({norm_expr(a)}) * ({norm_expr(b)}))"), decimals
+        F.expr(
+            f"({dot_expr(a, b)}) / nullif(({norm_expr(a)}) * ({norm_expr(b)}), 0.0)"
+        ),
+        decimals,
     )
 
 

@@ -78,6 +78,21 @@ def zvalue(a: Column, b: Column, bits: int = Z_BITS) -> Column:
     return out
 
 
+def z_column(df: DataFrame, col_a: str, col_b: str, bits: int = Z_BITS):
+    """The bounds → rank → interleave recipe as ONE helper: both
+    columns' quantile boundaries from a single sketch scan, each value
+    mapped to equal-mass rank space, ranks bit-interleaved into the
+    Morton value. Shared by write_zordered and
+    warehouse.optimize_table so the ranking/interleave logic cannot
+    drift between the standalone writer and the maintenance pass."""
+    bounds = quantile_bounds(df, [col_a, col_b], bits)
+    return zvalue(
+        rank_expr(col_a, bounds[col_a]),
+        rank_expr(col_b, bounds[col_b]),
+        bits,
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -92,14 +107,10 @@ def write_zordered(
     output file (and row group) then covers a tight hyper-rectangle in
     (a, b) space, so predicates on EITHER column skip most files via
     min/max stats. Both columns' boundaries come from ONE sketch scan."""
-    bounds = quantile_bounds(df, [col_a, col_b], bits)
-    z = zvalue(
-        rank_expr(col_a, bounds[col_a]),
-        rank_expr(col_b, bounds[col_b]),
-        bits,
-    )
+    if "__z" in df.columns:
+        raise ValueError("input already has a '__z' column (reserved)")
     (
-        df.withColumn("__z", z)
+        df.withColumn("__z", z_column(df, col_a, col_b, bits))
         .repartitionByRange(n_files, F.col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")

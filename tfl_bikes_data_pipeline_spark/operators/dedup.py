@@ -676,7 +676,7 @@ def embedding_cosine_pairs_blocked(
     all-pairs form ([[embedding_cosine_pairs]], kept as the test-scale
     baseline) is pinned in tests/test_dedup.py.
     """
-    from ..functions.vectors import dot_expr, norm_expr
+    from ..functions.vectors import dot_expr, with_norm
 
     release_cached_relations()
     if num_centroids is None:
@@ -689,7 +689,7 @@ def embedding_cosine_pairs_blocked(
     e = embeddings.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
-    ).withColumn("nv", F.expr(norm_expr("cv")))
+    ).transform(lambda d: with_norm(d, "cv", "nv"))
     centroids = e.where(F.col("vec_id") < num_centroids).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("cv").alias("qv"),
@@ -784,7 +784,7 @@ def embedding_cosine_pairs_probed(
     wide shuffle keyed on ``centroid_id``; centroid scoring is one
     broadcast nested loop + one per-vector window (rank ≤ nprobe, the
     home bucket is rank 1 of the same pass — no second scoring)."""
-    from ..functions.vectors import dot_expr, norm_expr
+    from ..functions.vectors import dot_expr, with_norm
 
     release_cached_relations()
     if num_centroids is None:
@@ -795,7 +795,7 @@ def embedding_cosine_pairs_probed(
     e = embeddings.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
-    ).withColumn("nv", F.expr(norm_expr("cv")))
+    ).transform(lambda d: with_norm(d, "cv", "nv"))
     centroids = e.where(F.col("vec_id") < num_centroids).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("cv").alias("qv"),

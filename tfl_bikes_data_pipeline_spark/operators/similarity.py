@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_expr, to_double_vec
+from ..functions.vectors import cosine_expr, to_double_vec, with_norm
 from ..tables import load_table
 
 NUM_QUERIES = 5
@@ -67,10 +67,9 @@ def cosine_topk(
     """Exact top-k by cosine: broadcast queries × corpus, window top-k.
     Norms are computed ONCE per vector on each side, not per pair.
     Output: (qid, vec_id, cos_sim, rank)."""
-    from ..functions.vectors import norm_expr
 
-    cn = corpus.withColumn("ncv", F.expr(norm_expr("cv")))
-    qn = queries.withColumn("nqv", F.expr(norm_expr("qv")))
+    cn = with_norm(corpus, "cv", "ncv")
+    qn = with_norm(queries, "qv", "nqv")
     scored = (
         cn.crossJoin(F.broadcast(qn))
         .where(F.col("qid") != F.col("vec_id"))
@@ -116,10 +115,9 @@ def assign_to_centroids(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, centroid_id) for arbitrary centroid relations (broadcast
     argmax, ties on centroid_id). Corpus-side norms computed once per
     vector, not once per (vector, centroid) pair."""
-    from ..functions.vectors import norm_expr
 
-    cn = corpus.withColumn("ncv", F.expr(norm_expr("cv")))
-    kn = centroids.withColumn("nqv", F.expr(norm_expr("qv")))
+    cn = with_norm(corpus, "cv", "ncv")
+    kn = with_norm(centroids, "qv", "nqv")
     scored = cn.crossJoin(F.broadcast(kn)).select(
         "vec_id", "centroid_id", _cos_pre("qv", "nqv", "cv", "ncv").alias("cos_sim")
     )
@@ -662,19 +660,18 @@ def ivf_search_with_centroids(
     composition point: seed centroids give :func:`ivf_search`, refined
     centroids give the trained index). Same bucketed dataflow: assign
     once, probe ``nprobe`` buckets per query, score only within them."""
-    from ..functions.vectors import norm_expr
 
     assign = assign_to_centroids(_vecs(embeddings, "vec_id", "cv"), centroids)
     corpus = (
         _vecs(embeddings, "vec_id", "cv")
-        .withColumn("ncv", F.expr(norm_expr("cv")))
+        .transform(lambda d: with_norm(d, "cv", "ncv"))
         .join(assign, "vec_id")
     )
 
     cent_as_corpus = centroids.select(
         "centroid_id", F.col("qv").alias("cv")
-    ).withColumn("ncv", F.expr(norm_expr("cv")))
-    qn = queries.withColumn("nqv", F.expr(norm_expr("qv")))
+    ).transform(lambda d: with_norm(d, "cv", "ncv"))
+    qn = with_norm(queries, "qv", "nqv")
     qprobe = qn.crossJoin(F.broadcast(cent_as_corpus)).select(
         "qid", "qv", "nqv", "centroid_id",
         _cos_pre("qv", "nqv", "cv", "ncv").alias("c_sim"),

@@ -264,17 +264,13 @@ def optimize_table(
     if zorder_by is None:
         compact_partitions(spark, path, partition_cols, files_per_partition)
         return
-    from .functions.zorder import Z_BITS, quantile_bounds, rank_expr, zvalue
+    from .functions.zorder import z_column
 
-    bounds = quantile_bounds(df, list(zorder_by), bits=Z_BITS)
-    z = zvalue(
-        rank_expr(zorder_by[0], bounds[zorder_by[0]]),
-        rank_expr(zorder_by[1], bounds[zorder_by[1]]),
-        bits=Z_BITS,
-    )
     clustered = (
         _repartition_for_layout(
-            df.withColumn("__z", z), partition_cols, files_per_partition
+            df.withColumn("__z", z_column(df, *zorder_by)),
+            partition_cols,
+            files_per_partition,
         )
         .sortWithinPartitions(*partition_cols, "__z")
         .drop("__z")
