@@ -263,3 +263,45 @@ def test_checkpoint_resume_skips_consumed_files(spark, sf_dir):
     assert spark.read.parquet(out).count() == n2
     # and no duplicate event ids anywhere
     assert spark.read.parquet(out).select("event_id").distinct().count() == n2
+
+
+def test_session_window_boundary_merges_exact_gap(spark):
+    """Empirically pinned boundary rule (review r5): Spark's
+    session_window MERGES two events exactly gap apart and splits at
+    gap+1µs — and the corrected gap-island oracle must agree (the old
+    '>=' oracle split at exactly-gap; µs-random fixtures masked it)."""
+    import duckdb
+    import pandas as pd
+
+    from tests.oracle_utils import assert_matches_oracle
+    from tfl_bikes_data_pipeline_spark import registry
+    from tfl_bikes_data_pipeline_spark.streaming.stateful import session_windows
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 10, 1.0),   # exactly 30 min later → merge
+        (2, "2024-01-01 10:30:00", 10, 2.0),
+        (3, "2024-01-01 11:00:00.000001", 10, 3.0),  # gap+1µs → split
+        (4, "2024-01-01 10:00:00", 20, 4.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "value")
+
+    got = session_windows(events)
+    per_user = {(r.user_id, str(r.session_start)): r.n_events for r in got.collect()}
+    assert per_user[(10, "2024-01-01 10:00:00")] == 2, per_user
+    assert per_user[(10, "2024-01-01 11:00:00.000001")] == 1
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], format="mixed"),
+            "user_id": [r[2] for r in rows],
+            "value": [r[3] for r in rows],
+        }
+    )
+    con.register("events", pdf)
+    assert_matches_oracle(
+        got, con, registry.ORACLES["q_session_window"], "session_boundary"
+    )

@@ -7,9 +7,13 @@ Two operators the reference's batch-cron design has no answer for:
   gap) per user via the built-in ``F.session_window``. The same plan
   runs batch or streaming; batch here so the DuckDB oracle (classic
   gap-island rewrite: LAG → new-session flag → running-sum session id)
-  can hash-check the window-merge semantics exactly. Spark closes a
-  session when the next event is >= gap after the previous one; the
-  oracle uses the same strict boundary.
+  can hash-check the window-merge semantics exactly. Boundary rule
+  (empirically probed on this build, review r5): Spark MERGES events
+  exactly ``gap`` apart — a session closes only when the next event is
+  STRICTLY MORE than ``gap`` later — so the oracle flags new sessions
+  with ``> INTERVAL``, never ``>=`` (the fixtures' µs-random
+  timestamps would mask a boundary mismatch; a minute-grain feed would
+  not).
 
 - ``q_stream_stateful_counts`` — an ``applyInPandasWithState`` custom
   stateful operator: per-user cumulative event counts maintained in the
@@ -39,6 +43,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions import exact_sum
 from ..tables import load_table
+from ..tmputil import sweep_tmpdir
 from .jobs import run_available_now
 
 SESSION_GAP = "30 minutes"
@@ -82,7 +87,7 @@ EVENTS_MICRO_SCHEMA = (
 def stage_landing_dir_split(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
     """Stage events as ``n_files`` parquet files so maxFilesPerTrigger=1
     yields ``n_files`` micro-batches (state must survive between them)."""
-    landing = tempfile.mkdtemp(prefix="events_landing_split_")
+    landing = sweep_tmpdir("events_landing_split_")
     staged = tempfile.mkdtemp(prefix="events_staged_")
     load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
         "overwrite"
@@ -90,8 +95,11 @@ def stage_landing_dir_split(spark: SparkSession, sf_dir: str, n_files: int = 3) 
     i = 0
     for f in sorted(os.listdir(staged)):
         if f.endswith(".parquet"):
-            shutil.copy(f"{staged}/{f}", f"{landing}/part_{i}.parquet")
+            # move, don't copy: the staged dir is dead the moment its
+            # part files are renamed into the landing zone.
+            shutil.move(f"{staged}/{f}", f"{landing}/part_{i}.parquet")
             i += 1
+    shutil.rmtree(staged, ignore_errors=True)
     return landing
 
 
@@ -143,16 +151,21 @@ QUERIES = {
 ORACLES: dict[str, str] = {
     "q_session_window": """
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, event_id, value,
+                   -- STRICTLY greater: Spark merges events exactly
+                   -- gap apart (probed; review r5). event_id tiebreak
+                   -- makes both window passes share one total order —
+                   -- duplicate (user, ts) rows must not land in
+                   -- different sessions depending on sort luck.
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_session
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), numbered AS (
             SELECT user_id, ts, value,
                    sum(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING
                    ) AS session_id
             FROM flagged
