@@ -317,3 +317,24 @@ def test_jpeg_roundtrip_fuzz(h, w, rgb, sub, seed):
     assert out.shape == img.shape
     err = np.abs(out.astype(int) - img.astype(int))
     assert err.mean() < 15, f"mean error {err.mean():.1f} beyond JPEG bound"
+
+
+def test_scd2_collapse_treats_null_as_a_state(spark):
+    """Review r5: plain != propagated NULL, silently merging a NULL
+    attr row into the preceding run and starting a spurious run after
+    it. NULL must be a real state value with its own runs, and runs of
+    NULL must collapse deterministically."""
+    from tfl_bikes_data_pipeline_spark.operators.scd import scd2_collapse
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "a"),
+        (2, "2024-01-01 10:10:00", 1, None),
+        (3, "2024-01-01 10:20:00", 1, "a"),
+        (4, "2024-01-01 10:30:00", 1, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type")
+    out = scd2_collapse(df, "user_id", "event_type", ["ts", "event_id"]).collect()
+    states = [(r.event_type, r.n_events) for r in sorted(out, key=lambda r: r.valid_from)]
+    assert states == [("a", 1), (None, 1), ("a", 2)], states

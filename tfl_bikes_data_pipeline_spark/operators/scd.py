@@ -50,14 +50,23 @@ def scd2_collapse(
     """
     w = Window.partitionBy(key).orderBy(*order)
     ts = F.col(order[0])
+    # NULL-safe change detection (review r5): plain != propagates NULL,
+    # so a NULL attr row silently merged into the preceding run AND the
+    # row after it started a spurious run (lag(attr) IS NULL is
+    # ambiguous between "first row" and "previous state was NULL").
+    # lag over a constant disambiguates the first row; eqNullSafe makes
+    # NULL a real state value with its own runs.
     changed = (
-        F.when(F.lag(attr).over(w).isNull(), F.lit(1))
-        .when(F.col(attr) != F.lag(attr).over(w), F.lit(1))
+        F.when(F.lag(F.lit(1)).over(w).isNull(), F.lit(1))
+        .when(~F.col(attr).eqNullSafe(F.lag(attr).over(w)), F.lit(1))
         .otherwise(F.lit(0))
     )
     runs = df.withColumn("__run", F.sum(changed).over(w))
     collapsed = runs.groupBy(key, "__run").agg(
-        F.first(attr).alias(attr),
+        # min, not first: every run now holds ONE distinct attr value,
+        # and min of equal values is deterministic under any shuffle
+        # (first() is order-dependent) — and it matches the oracle.
+        F.min(attr).alias(attr),
         F.min(ts).alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
     )
@@ -82,31 +91,38 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_collapse(events, "user_id", "event_type", ["ts", "event_id"])
 
 
+_HISTORY_CTE = """
+    flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(1) OVER w IS NULL THEN 1
+                    WHEN event_type IS DISTINCT FROM lag(event_type) OVER w THEN 1
+                    ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT *, sum(chg) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run
+        FROM flagged
+    ),
+    collapsed AS (
+        SELECT user_id, run,
+               min(event_type) AS event_type,
+               date_trunc('microsecond', min(ts)) AS valid_from,
+               count(1)::BIGINT AS n_events
+        FROM runs GROUP BY user_id, run
+    )
+"""
+
 ORACLES: dict[str, str] = {
-    # same 4-step build in DuckDB SQL; (ts, event_id) gives both
-    # engines the identical total order, so run boundaries agree.
-    "q_scd2_history": """
-        WITH flagged AS (
-            SELECT user_id, event_type, ts, event_id,
-                   CASE WHEN lag(event_type) OVER w IS NULL
-                             OR event_type <> lag(event_type) OVER w
-                        THEN 1 ELSE 0 END AS chg
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ),
-        runs AS (
-            SELECT *, sum(chg) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS run
-            FROM flagged
-        ),
-        collapsed AS (
-            SELECT user_id, run,
-                   min(event_type) AS event_type,
-                   date_trunc('microsecond', min(ts)) AS valid_from,
-                   count(1)::BIGINT AS n_events
-            FROM runs GROUP BY user_id, run
-        )
+    # same 4-step build in DuckDB SQL, from the ONE shared history CTE
+    # (the point-lookup oracle composes the same string — two
+    # hand-maintained copies had already drifted; review r5).
+    # (ts, event_id) gives both engines the identical total order;
+    # IS DISTINCT FROM mirrors the Spark side's eqNullSafe.
+    "q_scd2_history": f"""
+        WITH {_HISTORY_CTE}
         SELECT user_id, event_type, valid_from,
                lead(valid_from) OVER (
                    PARTITION BY user_id ORDER BY run) AS valid_to,
@@ -185,34 +201,18 @@ def q_scd2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "key",
-            (F.unix_timestamp("d0") + F.col("hh") * 3600).alias("probe_epoch"),
+            # timestampadd, not a unix_timestamp epoch round-trip: the
+            # epoch form was only correct under the UTC session pin
+            # (local-time interpretation on one side, naive arithmetic
+            # on the oracle's) — interval addition is TZ-robust.
+            F.expr("timestampadd(HOUR, hh, d0)").alias("probe_ts"),
         )
-        .select("key", F.timestamp_seconds(F.col("probe_epoch")).alias("probe_ts"))
     )
     return scd2_point_lookup(history, probes).orderBy("key", "probe_ts", "attr")
 
 
 ORACLES["q_scd2_point_lookup"] = f"""
-    WITH flagged AS (
-        SELECT user_id, event_type, ts, event_id,
-               CASE WHEN lag(event_type) OVER w IS NULL
-                         OR event_type <> lag(event_type) OVER w
-                    THEN 1 ELSE 0 END AS chg
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    runs AS (
-        SELECT *, sum(chg) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS run
-        FROM flagged
-    ),
-    collapsed AS (
-        SELECT user_id, event_type, run,
-               date_trunc('microsecond', min(ts)) AS valid_from,
-               count(1)::BIGINT AS n_events
-        FROM runs GROUP BY user_id, event_type, run
-    ),
+    WITH {_HISTORY_CTE},
     history AS (
         SELECT user_id AS key, event_type AS attr, valid_from,
                lead(valid_from) OVER (
