@@ -176,3 +176,26 @@ def test_journeys_degrades_to_null_enrichment_on_empty_weather_dir(spark, sf_dir
     back = spark.read.parquet(out["fact_events"])
     assert back.count() > 0
     assert back.where(back.weather_id.isNotNull()).count() == 0
+
+
+def test_journeys_stage_leaves_no_cached_rdds(spark, sf_dir, tmp_path):
+    """The journeys stage persists the parsed fact for its three
+    consumers; the finally-block must unpersist the SAME handle that
+    was cached. Rebinding `fact` to a derived plan made the unpersist a
+    silent no-op, leaking one full cached fact per monthly invocation
+    (advice r5). A monthly backfill loop must end with zero cached RDDs."""
+    from tfl_bikes_data_pipeline_spark.engine import run_stage
+
+    wh = str(tmp_path / "wh")
+    # delta-based: the shared session may hold caches from other tests
+    before = {
+        r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    for m in ("202401", "202402"):
+        run_stage(spark, wh, "journeys", month=m, sf_dir=sf_dir)
+    leaked = [
+        r
+        for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if r.id() not in before
+    ]
+    assert leaked == [], f"cached RDDs leaked by journeys stage: {leaked}"

@@ -193,6 +193,50 @@ def test_optimize_table_compacts_and_clusters(spark, sf_dir, tmp_path):
         assert min(spans) < (hi_all - lo_all), "no clustering footprint"
 
 
+def test_optimize_table_multifile_zorder_files_skip(spark, sf_dir, tmp_path):
+    """files_per_partition>1 z-order layout: per-FILE z-ranges must be
+    tight and disjoint so a selective point probe can skip whole files
+    via footer min/max. The former content-hash salt spread every
+    partition's rows uniformly across its files — every file spanned
+    the full domain and file-level skipping was impossible; range
+    splitting on (partition_cols, __z) restores it."""
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+    from tfl_bikes_data_pipeline_spark.warehouse import (
+        month_partition,
+        optimize_table,
+        write_partitioned,
+    )
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value", "ts")
+        .withColumn("ym", month_partition("ts"))
+        .withColumn("vint", F.col("value").cast("long"))
+    )
+    out = str(tmp_path / "wh")
+    write_partitioned(events, out, ["ym"])
+
+    optimize_table(
+        spark, out, ["ym"], zorder_by=("user_id", "vint"), files_per_partition=4
+    )
+
+    after = spark.read.parquet(out)
+    assert after.count() == events.count()
+    # pick one partition dir that actually got >1 file and probe it
+    multi = [
+        m
+        for m in glob.glob(f"{out}/ym=*")
+        if len(glob.glob(f"{m}/*.parquet")) > 1
+    ]
+    assert multi, "no partition received multiple files"
+    files = glob.glob(f"{multi[0]}/*.parquet")
+    probe = after.agg(F.min("user_id")).first()[0]
+    assert _skip_fraction(files, "user_id", probe) > 0, (
+        "every file spans the full user_id domain — z-order layout "
+        "gives no file-level skipping"
+    )
+
+
 # ---------------------------------------------------------------------------
 # versioned snapshots
 # ---------------------------------------------------------------------------

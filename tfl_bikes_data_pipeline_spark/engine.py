@@ -121,7 +121,12 @@ def run_stage(
     # the persist each would re-scan and re-parse the feed in full.
     from pyspark import StorageLevel
 
-    fact = fact.persist(StorageLevel.MEMORY_AND_DISK)
+    # keep a dedicated handle on the cached plan: `fact` is rebound to
+    # derived DataFrames below (join / withColumn), and unpersisting a
+    # derived plan is a silent no-op — the cache would leak once per
+    # monthly invocation for the session's lifetime.
+    fact_cached = fact.persist(StorageLevel.MEMORY_AND_DISK)
+    fact = fact_cached
     try:
         dim_rental = split_dim(fact).withColumn("ym", F.lit(month))
         p = f"{warehouse_dir}/dim_rental"
@@ -164,7 +169,7 @@ def run_stage(
         written["fact_events"] = p
         return written
     finally:
-        fact.unpersist()
+        fact_cached.unpersist()
 
 
 def _has_parquet_data(spark: SparkSession, path: str) -> bool:

@@ -241,13 +241,19 @@ def cosine_topk_arrow(
                 mask = ids != qid
                 col = sims[:, j][mask]
                 mids = ids[mask]
-                # half-up 6-dp rounding for SELECTION only; one grid
-                # step of slack absorbs any ulp-level disagreement with
-                # the engines' rounding of the exact value.
+                # half-up 6-dp rounding for SELECTION only; TWO grid
+                # steps of slack (+ epsilon) absorb double-rounding at
+                # grid boundaries: a pruned row's numpy-rounded score
+                # and its JVM-recomputed rounded score can each move by
+                # one 1e-6 step in opposite directions, so only a
+                # >=2.5e-6 margin guarantees a pruned row's
+                # engine-rounded score lands strictly below any kept
+                # row's (the never-pruned claim must hold even when the
+                # pruned row would win the vec_id tie-break).
                 r = np.floor(col * 1e6 + 0.5) / 1e6
                 if len(r) > k:
                     kth = np.partition(r, len(r) - k)[len(r) - k]
-                    keep = r >= kth - 1.5e-6
+                    keep = r >= kth - 2.5e-6
                 else:
                     keep = np.ones(len(r), dtype=bool)
                 sel = mids[keep]

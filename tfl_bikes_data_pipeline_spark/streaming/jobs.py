@@ -198,7 +198,15 @@ def run_available_now(
     The memory sink pins the drained result in driver heap under its
     query name; dropping the PREVIOUS drain's table here caps the
     session's leak at one result set instead of one per invocation
-    (the current name must survive — the returned frame reads it)."""
+    (the current name must survive — the returned frame reads it).
+
+    SINGLE-LIVE-RESULT CONTRACT: the returned DataFrame reads the
+    memory-sink temp view lazily, and that view is dropped by the NEXT
+    call to run_available_now. A caller that needs to act on an earlier
+    drain after starting a later one (e.g. comparing two drains) must
+    materialize first — ``rows = df.collect()`` or
+    ``df = df.localCheckpoint()`` — before invoking this again;
+    otherwise the earlier frame resolves against a dropped view."""
     global _LAST_DRAIN_TABLE
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     if _LAST_DRAIN_TABLE is not None:

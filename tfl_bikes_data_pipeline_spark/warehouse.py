@@ -266,11 +266,24 @@ def optimize_table(
         return
     from .functions.zorder import z_column
 
+    # Range-split on (partition_cols, __z) — NOT the content-hash salt
+    # _repartition_for_layout uses for plain compaction: a hash salt
+    # spreads each partition's rows uniformly across its output files,
+    # so every file spans the full z-range and file-level min/max
+    # skipping (the point of z-ordering) is defeated.  Range
+    # partitioning keeps per-file z-ranges tight and disjoint, exactly
+    # like write_zordered.  Target file count = partition-dir count ×
+    # files_per_partition; the dir count comes from a pruned
+    # partition-column-only scan (directory-listing cheap).
+    if partition_cols:
+        n_dirs = df.select(*partition_cols).distinct().count()
+    else:
+        n_dirs = 1
+    n_files = max(1, n_dirs * files_per_partition)
     clustered = (
-        _repartition_for_layout(
-            df.withColumn("__z", z_column(df, *zorder_by)),
-            partition_cols,
-            files_per_partition,
+        df.withColumn("__z", z_column(df, *zorder_by))
+        .repartitionByRange(
+            n_files, *[F.col(c) for c in partition_cols], F.col("__z")
         )
         .sortWithinPartitions(*partition_cols, "__z")
         .drop("__z")
