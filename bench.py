@@ -7,11 +7,23 @@ Timing is end-to-end per query: plan construction + execution to a
 noop-format write action, i.e. full materialization without collecting
 rows to the driver.
 
-The driver captures only the LAST ~2000 characters of stdout, so the
-emitted line must stay under that budget: `value`/`n` cover ALL bench
-queries, while the inline `queries` map is restricted to the
-driver-pinned subset (the cross-round comparable set). The complete
-per-query map is written to BENCH_DETAIL.md alongside this script.
+COLD/STEADY PROTOCOL (round 6): every query runs TWICE back-to-back.
+Run 1 ("cold") includes the one-time per-plan costs — whole-stage
+codegen compilation, Arrow/Python worker spin-up, shuffle-file
+allocation — and is the protocol all previous rounds' artifacts used,
+so `value`/`queries` stay cross-round comparable. Run 2 ("steady") is
+the marginal cost of the same plan on a warm session — the number that
+actually scales with data volume, and the one to read when two rounds'
+artifacts disagree (cold timings are contention- and codegen-loaded;
+see PLANS.md round-5 postmortem: a 28% artifact-level swing with a
++1.7% steady reality). The full {cold, steady} split per query goes to
+BENCH_DETAIL.md; the stdout line carries `value` (cold total, the
+historical metric), `steady_total`, and the driver-pinned per-query
+cold map within the 2000-char tail-capture budget.
+
+Session-health telemetry (JVM heap, load average, a fixed calibration
+query timed before/after the sweep) is recorded in BENCH_DETAIL.md so
+artifact-level inflation is diagnosable from the artifact itself.
 """
 
 from __future__ import annotations
@@ -30,6 +42,25 @@ from tfl_bikes_data_pipeline_spark.session import get_spark
 MAX_LINE = 1900
 
 
+def _heap_used_mb(spark) -> float:
+    """Driver-JVM used heap in MiB (post-hint GC makes successive
+    readings comparable; the hint is advisory but effective on G1)."""
+    rt = spark._jvm.java.lang.Runtime.getRuntime()
+    rt.gc()
+    return round((rt.totalMemory() - rt.freeMemory()) / 1048576, 1)
+
+
+def _calibrate(spark) -> float:
+    """Fixed micro-query timed identically at sweep start and end: a
+    warm-session constant-cost job whose timing drifts ONLY with
+    session degradation (GC pressure, plan-cache bloat) or external
+    contention — the before/after delta separates 'the session got
+    slower' from 'the queries got slower'."""
+    t0 = time.perf_counter()
+    spark.range(0, 1_000_000, 1, 8).selectExpr("sum(id) s").collect()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -43,16 +74,27 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
 
-    timings: dict[str, float] = {}
+    calib_before = _calibrate(spark)
+    heap_before = _heap_used_mb(spark)
+    load_before = os.getloadavg()[0]
+
+    cold: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in registry.BENCH_QUERIES:
         fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        for run in (cold, steady):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            run[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
-    pinned = {n: t for n, t in timings.items() if n in registry.DRIVER_PINNED}
+    calib_after = _calibrate(spark)
+    heap_after = _heap_used_mb(spark)
+    load_after = os.getloadavg()[0]
+
+    total = round(sum(cold.values()), 3)
+    steady_total = round(sum(steady.values()), 3)
+    pinned = {n: t for n, t in cold.items() if n in registry.DRIVER_PINNED}
 
     # best-effort: the stdout artifact is the contract — a read-only
     # checkout must still get its JSON line after the full run.
@@ -60,13 +102,41 @@ def main() -> None:
     try:
         with open(detail_path, "w") as fh:
             fh.write(
-                "# Bench detail (full per-query map)\n\n"
-                f"sf={sf} cpus={os.environ.get('SPARK_GRAFT_CPUS', '32')} "
-                f"total={total}s over {len(timings)} queries "
-                "(stdout line carries the driver-pinned subset only — "
-                "2000-char tail-capture budget).\n\n```json\n"
+                "# Bench detail (full per-query cold/steady map)\n\n"
+                f"sf={sf} cpus={os.environ.get('SPARK_GRAFT_CPUS', '32')} over "
+                f"{len(cold)} queries — cold_total={total}s (run 1, includes "
+                "per-plan codegen; the cross-round-comparable historical "
+                f"metric), steady_total={steady_total}s (run 2, marginal cost "
+                "of the warm plan; the number that scales with data). The "
+                "stdout line carries the driver-pinned cold subset only "
+                "(2000-char tail-capture budget).\n\n"
+                "Session health — a fixed 1M-row calibration query timed "
+                "before/after the sweep plus driver-heap and host load: if "
+                "`calib_after` ≫ `calib_before`, artifact-level inflation is "
+                "session/host degradation, not query plans.\n\n```json\n"
             )
-            fh.write(json.dumps({"sf": sf, "total_sec": total, "queries": timings}, indent=1))
+            fh.write(
+                json.dumps(
+                    {
+                        "sf": sf,
+                        "cold_total_sec": total,
+                        "steady_total_sec": steady_total,
+                        "session_health": {
+                            "calib_before_sec": calib_before,
+                            "calib_after_sec": calib_after,
+                            "heap_before_mb": heap_before,
+                            "heap_after_mb": heap_after,
+                            "load1_before": round(load_before, 2),
+                            "load1_after": round(load_after, 2),
+                        },
+                        "queries": {
+                            n: {"cold": cold[n], "steady": steady[n]}
+                            for n in cold
+                        },
+                    },
+                    indent=1,
+                )
+            )
             fh.write("\n```\n")
     except OSError as e:
         print(f"warning: could not write {detail_path}: {e}", file=sys.stderr)
@@ -75,7 +145,9 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "n": len(timings),
+        "n": len(cold),
+        "steady_total": steady_total,
+        "calib": [calib_before, calib_after],
         "detail": "BENCH_DETAIL.md",
         "queries": pinned,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

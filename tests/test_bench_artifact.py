@@ -48,4 +48,24 @@ def test_bench_runs_to_completion_and_emits_contract_json():
         body = fh.read()
     full = json.loads(body.split("```json\n")[1].split("\n```")[0])
     assert set(full["queries"]) == set(registry.BENCH_QUERIES)
-    assert abs(out["value"] - sum(full["queries"].values())) < 0.01
+    # cold/steady split (round 6): every query carries both runs, the
+    # stdout `value` is the cold total and `steady_total` the warm one,
+    # and session-health telemetry makes inflation diagnosable from the
+    # artifact alone.
+    for q, t in full["queries"].items():
+        assert set(t) == {"cold", "steady"}, f"{q} missing cold/steady split"
+        assert t["cold"] >= 0 and t["steady"] >= 0
+    assert abs(out["value"] - sum(t["cold"] for t in full["queries"].values())) < 0.01
+    assert (
+        abs(out["steady_total"] - sum(t["steady"] for t in full["queries"].values()))
+        < 0.01
+    )
+    health = full["session_health"]
+    assert health["calib_before_sec"] > 0 and health["calib_after_sec"] > 0
+    assert len(out["calib"]) == 2
+    # driver-pinned queries must ALL be benched (verdict r5 #2): the
+    # pinned set is exactly the correctness artifact's key set, and
+    # every one of those names must appear in the bench set.
+    assert registry.DRIVER_PINNED <= set(registry.BENCH_QUERIES), (
+        sorted(registry.DRIVER_PINNED - set(registry.BENCH_QUERIES))
+    )

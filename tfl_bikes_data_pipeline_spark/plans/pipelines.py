@@ -286,4 +286,12 @@ QUERIES = {
     "p_incremental_append": p_incremental_append,
 }
 
-BENCH = ["p_dim_time", "p_fact_build", "p_weather_align", "p_weather_ids"]
+BENCH = [
+    "p_dim_time",
+    "p_fact_build",
+    "p_weather_align",
+    "p_weather_ids",
+    # write-path query (temp-warehouse append) — driver-pinned, so its
+    # wall-time must be visible in the bench artifact (verdict r5 #2)
+    "p_incremental_append",
+]

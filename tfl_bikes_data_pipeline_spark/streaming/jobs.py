@@ -490,7 +490,14 @@ QUERIES["q_stream_static_join"] = q_stream_static_join
 #: memory-sink drain — so trigger-latency regressions land in
 #: BENCH_r{N}.json. q_session_window (streaming.stateful) is benched
 #: from its own module.
-BENCH = ["q_stream_tumbling", "q_stream_sliding", "q_stream_join"]
+BENCH = [
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_join",
+    # exactly-once two-phase drain — benched so the checkpoint/resume
+    # path has a tracked number (verdict r5 #3)
+    "q_stream_checkpoint_resume",
+]
 
 
 def _recover_interrupted_swap(out_path: str) -> None:
