@@ -43,6 +43,36 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def assert_within_bounds(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?"):
+    """Bounded-error compare for sketch-valued queries: the oracle SQL
+    returns exact-match key columns plus a ``<col>_lo``/``<col>_hi``
+    interval per approximate column; every Spark estimate must land in
+    its interval, with key sets equal (registry.BOUND_ORACLES)."""
+    got = spark_df.toPandas()
+    want = con.execute(sql).df()
+    bound_cols = sorted(c[:-3] for c in want.columns if c.endswith("_lo"))
+    key_cols = [c for c in want.columns if not (c.endswith("_lo") or c.endswith("_hi"))]
+    assert bound_cols, f"{name}: bound oracle SQL has no *_lo columns"
+    assert sorted(got.columns) == sorted(key_cols + bound_cols), (
+        f"{name}: columns differ: {sorted(got.columns)} vs "
+        f"{sorted(key_cols + bound_cols)}"
+    )
+    merged = got.merge(want, on=key_cols, how="outer", indicator=True)
+    off_key = merged[merged["_merge"] != "both"]
+    assert off_key.empty, f"{name}: key sets differ:\n{off_key[key_cols + ['_merge']]}"
+    assert len(merged) == len(got) == len(want), f"{name}: duplicate keys in compare"
+    for c in bound_cols:
+        v = merged[c].astype(float).to_numpy()
+        lo = merged[f"{c}_lo"].astype(float).to_numpy()
+        hi = merged[f"{c}_hi"].astype(float).to_numpy()
+        ok = (v >= lo) & (v <= hi)
+        assert ok.all(), (
+            f"{name}: col {c} out of bounds at keys "
+            f"{merged.loc[~ok, key_cols].to_dict('records')[:5]}: "
+            f"{v[~ok][:5]} not in [{lo[~ok][:5]}, {hi[~ok][:5]}]"
+        )
+
+
 def assert_matches_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?"):
     got = normalize(spark_df.toPandas())
     want = normalize(con.execute(sql).df())

@@ -5,9 +5,10 @@ import pytest
 
 from tfl_bikes_data_pipeline_spark import registry
 
-from .oracle_utils import assert_matches_oracle, duckdb_con
+from .oracle_utils import assert_matches_oracle, assert_within_bounds, duckdb_con
 
 ORACLE_QUERIES = sorted(n for n in registry.QUERIES if n in registry.ORACLES)
+BOUND_QUERIES = sorted(n for n in registry.QUERIES if n in registry.BOUND_ORACLES)
 
 
 @pytest.fixture(scope="module")
@@ -51,10 +52,29 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
     assert_matches_oracle(df, con, registry.ORACLES[name], name)
 
 
+@pytest.mark.parametrize("name", BOUND_QUERIES)
+def test_sketch_query_within_error_bounds(spark, sf_dir, con, name):
+    # sketch-valued queries (HLL, GK quantiles) can never hash-match an
+    # exact engine; their gate check is a DuckDB-computed [lo, hi]
+    # interval per cell, derived from the exact aggregates.
+    df = registry.QUERIES[name](spark, sf_dir)
+    _assert_plan_clean(df, name)
+    assert_within_bounds(df, con, registry.BOUND_ORACLES[name], name)
+
+
 def test_all_queries_return_rows(spark, sf_dir):
-    # rows-only smoke for queries without an oracle
+    # rows-only smoke for queries with neither a hash nor a bound oracle
     for name, fn in registry.QUERIES.items():
-        if name in registry.ORACLES:
+        if name in registry.ORACLES or name in registry.BOUND_ORACLES:
             continue
         df = fn(spark, sf_dir)
         assert df.columns, name
+
+
+def test_every_query_is_value_checked():
+    # 145/145: every registered query carries a value-level check in
+    # this gate — a hash oracle or a bounded-error oracle, never both.
+    unchecked = set(registry.QUERIES) - set(registry.ORACLES) - set(registry.BOUND_ORACLES)
+    assert not unchecked, f"queries with no value-level oracle: {sorted(unchecked)}"
+    overlap = set(registry.ORACLES) & set(registry.BOUND_ORACLES)
+    assert not overlap, f"queries in both oracle maps: {sorted(overlap)}"

@@ -65,13 +65,31 @@ def test_driver_pinned_fallback_names_are_declared():
 
 
 def test_local_only_queries_are_covered_by_local_gate():
-    # every non-pinned declared query needs either a value oracle (the
-    # local differential gate runs it) or a documented rows-only waiver.
-    ROWS_ONLY = {"q_approx_distinct", "q_approx_quantiles"}  # sketch-valued;
-    # error-bounded against exact twins in test_profile_stats.py
+    # every non-pinned declared query needs a value-level check in the
+    # local differential gate: a hash oracle, or (sketch-valued queries
+    # only) a bounded-error oracle in registry.BOUND_ORACLES.
     local_only = set(registry.QUERIES) - registry.DRIVER_PINNED
-    unguarded = local_only - set(registry.ORACLES) - ROWS_ONLY
+    unguarded = local_only - set(registry.ORACLES) - set(registry.BOUND_ORACLES)
     assert not unguarded, f"queries with no oracle and no waiver: {sorted(unguarded)}"
+
+
+def test_coverage_pinned_listing_in_sync():
+    """COVERAGE.md's pinned listing is generated from the same registry
+    derivation (tools/gen_pinned_doc.py); a driver re-pin without a doc
+    regen is a red test, not silent drift (VERDICT r5 item 7)."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_pinned_doc", REPO / "tools" / "gen_pinned_doc.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("gen_pinned_doc", mod)
+    spec.loader.exec_module(mod)
+    text = (REPO / "COVERAGE.md").read_text()
+    assert mod.pinned_block() in text, (
+        "COVERAGE.md pinned listing is stale — run python tools/gen_pinned_doc.py"
+    )
 
 
 def test_every_declared_query_is_documented_in_coverage():

@@ -234,6 +234,40 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+#: Value-level checks for the two sketch queries (which can never
+#: hash-match an exact engine): DuckDB computes per-key [lo, hi]
+#: intervals from the EXACT aggregates, and the differential gate
+#: asserts every Spark estimate lands inside its interval (see
+#: registry.BOUND_ORACLES for the column convention).
+BOUND_ORACLES: dict[str, str] = {
+    # HLL++ with rsd=0.02 → 3σ ≈ 6% relative error; the bound allows
+    # 10% (or ±5 absolute for tiny cardinalities, where the integer
+    # estimate is lumpy) around the exact COUNT(DISTINCT).
+    "q_approx_distinct": """
+        WITH exact AS (
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(floor(n - greatest(0.10 * n, 5)) AS BIGINT) AS approx_users_lo,
+               CAST(ceil(n + greatest(0.10 * n, 5)) AS BIGINT) AS approx_users_hi
+        FROM exact ORDER BY event_type
+    """,
+    # Greenwald-Khanna with accuracy=10000 → rank error 1e-4; the
+    # returned element's rank is within ±0.01·n of target for any
+    # fixture n, so each estimate must land between the exact
+    # interpolated quantiles at p ∓ 0.01.
+    "q_approx_quantiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.24) AS p25_lo, quantile_cont(value, 0.26) AS p25_hi,
+               quantile_cont(value, 0.49) AS p50_lo, quantile_cont(value, 0.51) AS p50_hi,
+               quantile_cont(value, 0.74) AS p75_lo, quantile_cont(value, 0.76) AS p75_hi,
+               quantile_cont(value, 0.94) AS p95_lo, quantile_cont(value, 0.96) AS p95_hi
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """,
+}
+
 
 # ---------------------------------------------------------------------------
 # count-min sketch, expressed relationally

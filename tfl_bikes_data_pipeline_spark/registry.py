@@ -19,6 +19,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: Error-bound oracles for sketch-valued queries whose outputs are
+#: approximate BY DESIGN (HLL, Greenwald-Khanna) and so can never
+#: hash-match an exact engine. The SQL returns, per key row, a
+#: ``<col>_lo`` / ``<col>_hi`` pair for every approximate output column
+#: (non-suffixed columns are exact-match join keys); the differential
+#: gate asserts key-set equality and lo <= value <= hi per cell. A
+#: query appears in exactly one of ORACLES / BOUND_ORACLES.
+BOUND_ORACLES: dict[str, str] = {}
+
 #: Subset used by bench.py as the headline set (kept roughly stable
 #: across rounds so BENCH_r{N}.json is comparable).
 BENCH_QUERIES: list[str] = []
@@ -38,9 +47,15 @@ def _self_sufficient(fn: QueryFn) -> QueryFn:
     return wrapped
 
 
-def _register(queries: dict[str, QueryFn], oracles: dict[str, str], bench: list[str]) -> None:
+def _register(
+    queries: dict[str, QueryFn],
+    oracles: dict[str, str],
+    bench: list[str],
+    bound_oracles: dict[str, str] | None = None,
+) -> None:
     QUERIES.update({name: _self_sufficient(fn) for name, fn in queries.items()})
     ORACLES.update(oracles)
+    BOUND_ORACLES.update(bound_oracles or {})
     BENCH_QUERIES.extend(bench)
 
 
@@ -71,7 +86,12 @@ def _load_all() -> None:
     )
 
     for mod in (dedup, similarity, text, multimodal, profile, asof, timeseries, merge, scd, fuzzy, training, graph):
-        _register(mod.QUERIES, mod.ORACLES, getattr(mod, "BENCH", list(mod.QUERIES)))
+        _register(
+            mod.QUERIES,
+            mod.ORACLES,
+            getattr(mod, "BENCH", list(mod.QUERIES)),
+            getattr(mod, "BOUND_ORACLES", None),
+        )
 
     from .sources import raw, spatial, xlsx, xml_feed
 
@@ -119,8 +139,9 @@ _DRIVER_PINNED_R4: frozenset[str] = frozenset({
 })
 
 
-def _driver_pinned_from_artifacts() -> frozenset[str]:
-    """Pinned set = key set of the newest CORRECTNESS_r{N}.json, if any."""
+def _driver_pinned_from_artifacts() -> tuple[frozenset[str], str | None]:
+    """(pinned set, artifact filename) from the newest
+    CORRECTNESS_r{N}.json, or (r4 fallback, None) without artifacts."""
     import json
     import re
     from pathlib import Path
@@ -141,8 +162,8 @@ def _driver_pinned_from_artifacts() -> frozenset[str]:
         except (OSError, ValueError):
             continue
         if names:
-            return names
-    return _DRIVER_PINNED_R4
+            return names, art.name
+    return _DRIVER_PINNED_R4, None
 
 
-DRIVER_PINNED: frozenset[str] = _driver_pinned_from_artifacts()
+DRIVER_PINNED, DRIVER_PINNED_SOURCE = _driver_pinned_from_artifacts()
