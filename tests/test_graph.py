@@ -47,3 +47,19 @@ def test_triangle_count_matches_bruteforce_on_random_graph(spark):
     row = triangle_count(pairs).first()
     assert row.n_triangles == expected
     assert row.n_edges == len(edges)
+
+
+def test_id_ordering_same_triangles_more_hub_wedges(spark):
+    """The id-ordered A/B variant (tools/triangle_crossover.py) must
+    count the SAME triangles; on the low-id hub graph it examines all
+    C(20,2)=190 hub wedges (the two closing ones included) where the
+    degree ordering examines exactly 2 — the unboundedness the declared
+    plan's degree ordering buys out."""
+    from tfl_bikes_data_pipeline_spark.operators.graph import triangle_count
+
+    edges = [(0, i) for i in range(1, 21)] + [(1, 2), (3, 4)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    by_id = triangle_count(pairs, ordering="id").first()
+    assert by_id.n_triangles == 2
+    assert by_id.n_edges == 22
+    assert by_id.n_wedges == 190

@@ -36,7 +36,7 @@ def degree_stats(pairs: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(pairs: DataFrame) -> DataFrame:
+def triangle_count(pairs: DataFrame, ordering: str = "degree") -> DataFrame:
     """1-row (n_triangles, n_edges, n_wedges): triangles via DEGREE-
     ORDERED wedge join + closing-edge check (node-iterator++ /
     Schank–Wagner): every edge orients from its lower-(degree, id)
@@ -55,8 +55,20 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     a match flag, so triangles and wedges count in the same aggregate;
     the deduped edge and oriented-edge relations are persisted across
     their readers for the duration of the plan (released at the next
-    [[dedup]]-lifecycle invocation)."""
+    [[dedup]]-lifecycle invocation).
+
+    ``ordering="id"`` orients by vertex id instead (skipping the degree
+    aggregate + attach joins) — ~1.2 s less constant overhead, but
+    wedge work is Σ out-deg² with NO O(√m) bound under adversarial id
+    placement. It exists for the measured A/B in
+    ``tools/triangle_crossover.py`` (PLANS.md records the crossover);
+    the declared query always uses the degree ordering because the
+    100 TB failure mode (a template family concentrated on low ids) is
+    exactly the one id-ordering cannot bound."""
     from .dedup import _retain
+
+    if ordering not in ("degree", "id"):
+        raise ValueError(f"ordering must be 'degree' or 'id', got {ordering!r}")
 
     # no release here: the incoming pair plan may itself read relations
     # the dedup lifecycle retained (q_dedup_minhash_lsh's shingle sets)
@@ -69,23 +81,34 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
             F.greatest("doc_a", "doc_b").alias("hi"),
         ).distinct()
     )
-    sym = e.select(F.col("lo").alias("node")).unionAll(
-        e.select(F.col("hi").alias("node"))
-    )
-    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    ed = e.join(
-        deg.select(F.col("node").alias("lo"), F.col("d").alias("dl")), "lo"
-    ).join(deg.select(F.col("node").alias("hi"), F.col("d").alias("dh")), "hi")
-    # key(v) = (deg(v), v); lo < hi always, so lo comes first iff
-    # dl <= dh — the total order every stage below shares.
-    lo_first = F.col("dl") <= F.col("dh")
-    o = _retain(
-        ed.select(
-            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
-            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
-            F.when(lo_first, F.col("dh")).otherwise(F.col("dl")).alias("dd"),
+    if ordering == "id":
+        # lo < hi already: the id order needs no degree attach; the
+        # wedge tie-break below degenerates to (b < c) via dd ties.
+        o = _retain(
+            e.select(
+                F.col("lo").alias("src"),
+                F.col("hi").alias("dst"),
+                F.lit(0).alias("dd"),
+            )
         )
-    )
+    else:
+        sym = e.select(F.col("lo").alias("node")).unionAll(
+            e.select(F.col("hi").alias("node"))
+        )
+        deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+        ed = e.join(
+            deg.select(F.col("node").alias("lo"), F.col("d").alias("dl")), "lo"
+        ).join(deg.select(F.col("node").alias("hi"), F.col("d").alias("dh")), "hi")
+        # key(v) = (deg(v), v); lo < hi always, so lo comes first iff
+        # dl <= dh — the total order every stage below shares.
+        lo_first = F.col("dl") <= F.col("dh")
+        o = _retain(
+            ed.select(
+                F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+                F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+                F.when(lo_first, F.col("dh")).otherwise(F.col("dl")).alias("dd"),
+            )
+        )
     x = o.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dd").alias("db_"))
     y = o.select(F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dd").alias("dc_"))
     wedges = x.join(y, "a").where(

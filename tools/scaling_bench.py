@@ -107,6 +107,27 @@ def build_fixture(spark: SparkSession, out_dir: str, m: int) -> None:
         os.path.join(out_dir, "events.parquet")
     )
 
+    # part: copy i suffixes every p_name token with ~i (same trick as
+    # documents) — intra-copy name-collision/Levenshtein structure is
+    # identical to the original, cross-copy names land in disjoint
+    # blocks (the blocking key is the first token), so entity-cluster
+    # count grows linearly in m rather than every name becoming an
+    # m-way duplicate.
+    part = load_table(spark, BASE, "part")
+    n_part = part.agg(F.max("p_partkey")).first()[0] + 1
+    part_copies = []
+    for i in range(m):
+        c = part.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * n_part))
+        if i > 0:
+            c = c.withColumn("p_name", F.regexp_replace("p_name", r"(\S+)", f"$1~{i}"))
+        part_copies.append(c)
+    all_part = part_copies[0]
+    for c in part_copies[1:]:
+        all_part = all_part.unionByName(c)
+    all_part.coalesce(max(4, m)).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "part.parquet")
+    )
+
     # remaining tables (dims etc.) ride along unscaled — queries under
     # scaling measurement only grow on the replicated corpus tables,
     # and a missing table would fail unrelated relations they join.
