@@ -72,7 +72,7 @@ def test_all_queries_return_rows(spark, sf_dir):
 
 
 def test_every_query_is_value_checked():
-    # 145/145: every registered query carries a value-level check in
+    # every registered query carries a value-level check in
     # this gate — a hash oracle or a bounded-error oracle, never both.
     unchecked = set(registry.QUERIES) - set(registry.ORACLES) - set(registry.BOUND_ORACLES)
     assert not unchecked, f"queries with no value-level oracle: {sorted(unchecked)}"

@@ -64,8 +64,9 @@ def _load_all() -> None:
 
     _register(analyst.QUERIES, analyst.ORACLES, list(analyst.QUERIES))
 
-    from .plans import pipelines, sql_surface, sql_twins
+    from .plans import pipelines, sql_surface, sql_twins, tpch_suite
 
+    _register(tpch_suite.QUERIES, tpch_suite.ORACLES, list(tpch_suite.QUERIES))
     _register(pipelines.QUERIES, pipelines.ORACLES, pipelines.BENCH)
     _register(sql_surface.QUERIES, sql_surface.ORACLES, list(sql_surface.QUERIES))
     _register(sql_twins.QUERIES, sql_twins.ORACLES, list(sql_twins.QUERIES))
