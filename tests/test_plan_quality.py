@@ -439,3 +439,36 @@ def test_shingle_explode_has_no_inferred_generate_filter(spark, sf_dir):
                 "inferred Generate filter re-evaluating the shingle "
                 f"transform is back in the plan:\n{line.strip()[:200]}"
             )
+
+
+def test_tpch_waiting_suppliers_exists_as_semi_anti(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS must stay LEFT SEMI / LEFT ANTI joins on
+    the orderkey — a rewrite through DISTINCT-join or IN-subquery would
+    widen the fact side; all three li readers must join on l_orderkey."""
+    from tfl_bikes_data_pipeline_spark.plans.tpch_suite import q_waiting_suppliers
+
+    plan = plan_of(q_waiting_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan, "EXISTS must plan as a left-semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS must plan as a left-anti join"
+
+
+def test_tpch_top_supplier_max_is_broadcast_scalar(spark, sf_dir):
+    """Q15's global-max threshold must attach as a broadcast of the
+    one-row aggregate (equality join or nested-loop), never a shuffled
+    join or a CartesianProduct of the supplier-revenue relation."""
+    from tfl_bikes_data_pipeline_spark.plans.tpch_suite import q_top_supplier
+
+    plan = plan_of(q_top_supplier(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_forecast_revenue_pushes_all_predicates(spark, sf_dir):
+    """Q6 is the pushdown probe: every filter (dates, discount band,
+    quantity) must reach the parquet scan as a pushed filter."""
+    from tfl_bikes_data_pipeline_spark.plans.tpch_suite import q_forecast_revenue
+
+    plan = plan_of(q_forecast_revenue(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed to scan: {pushed}"

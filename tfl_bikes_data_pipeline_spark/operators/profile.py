@@ -162,6 +162,72 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: winsorization clip fraction as an integer divisor: k = n div 20 = 5%
+#: per tail. Integer division — no float×count boundary arithmetic to
+#: diverge between engines.
+WINSOR_DIV = 20
+
+
+def winsorize_profile(df: DataFrame, key: str, value_col: str) -> DataFrame:
+    """Per-key winsorized-mean profile: clip ``value_col`` to the
+    [k+1 .. n-k]-th order statistics (k = n div 20, i.e. 5% per tail)
+    and report n, the clip bounds, and exact raw vs winsorized means —
+    the outlier-robust location estimate a curation pipeline uses to
+    gate numeric feature columns.
+
+    Bounds are RANK-BASED (exact data values via
+    ``element_at(array_sort(collect_list(...)))``, 1-based in both
+    engines), never interpolated percentiles: interpolation arithmetic
+    differs between engines at ~1 ulp, and a clip COMPARISON against a
+    1-ulp-diverged boundary can flip rows (the [[decimal-cast-tie-traps]]
+    failure mode); an order statistic is the same stored double
+    everywhere. Two passes over the input: a per-key collect for the
+    bounds (grouped-sort memory profile, same scale posture as exact
+    ``q_quantiles`` — for unbounded key cardinality use the
+    approx-sketch path [[q_approx_quantiles]] instead) and one
+    partial-aggregated clamp pass with the key-cardinality bounds
+    relation broadcast."""
+    vals = df.where(F.col(value_col).isNotNull())
+    bounds = (
+        vals.groupBy(key)
+        .agg(
+            F.array_sort(F.collect_list(value_col)).alias("vs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            key,
+            "n",
+            F.element_at("vs", (F.expr(f"n div {WINSOR_DIV}") + 1).cast("int")).alias(
+                "lo_val"
+            ),
+            F.element_at(
+                "vs", (F.col("n") - F.expr(f"n div {WINSOR_DIV}")).cast("int")
+            ).alias("hi_val"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("lo_val")), F.col("hi_val"))
+    return (
+        vals.join(F.broadcast(bounds), key)
+        .groupBy(key, "n", "lo_val", "hi_val")
+        .agg(
+            (
+                F.sum(F.col(value_col).cast("decimal(18,6)")).cast("string").cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_raw"),
+            (
+                F.sum(clipped.cast("decimal(18,6)")).cast("string").cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_winsorized"),
+        )
+        .orderBy(key)
+    )
+
+
+def q_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return winsorize_profile(events, "event_type", "value")
+
+
 def q_profile_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     aligned = build_aligned_weather(load_table(spark, sf_dir, "events"))
     return profile_nulls(aligned, ["click_value", "view_value", "purchase_value"])
@@ -183,6 +249,7 @@ QUERIES = {
     "q_stats_moments": q_stats_moments,
     "q_approx_distinct": q_approx_distinct,
     "q_approx_quantiles": q_approx_quantiles,
+    "q_winsorized_means": q_winsorized_means,
 }
 
 ORACLES: dict[str, str] = {
@@ -233,6 +300,31 @@ ORACLES: dict[str, str] = {
         FROM s ORDER BY event_type
     """,
 }
+
+ORACLES["q_winsorized_means"] = f"""
+    WITH vals AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    b AS (
+        SELECT event_type,
+               list(value ORDER BY value) AS vs,
+               count(1)::BIGINT AS n
+        FROM vals GROUP BY event_type
+    ),
+    bounds AS (
+        SELECT event_type, n,
+               vs[CAST(n // {WINSOR_DIV} AS INT) + 1] AS lo_val,
+               vs[CAST(n - n // {WINSOR_DIV} AS INT)] AS hi_val
+        FROM b
+    )
+    SELECT v.event_type, n, lo_val, hi_val,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               / count(1) AS mean_raw,
+           CAST(CAST(sum(CAST(least(greatest(value, lo_val), hi_val)
+               AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               / count(1) AS mean_winsorized
+    FROM vals v JOIN bounds USING (event_type)
+    GROUP BY 1, 2, 3, 4 ORDER BY v.event_type
+"""
+
 
 #: Value-level checks for the two sketch queries (which can never
 #: hash-match an exact engine): DuckDB computes per-key [lo, hi]

@@ -449,6 +449,56 @@ ORACLES["q_stream_dedup"] = """
 QUERIES["q_stream_dedup"] = q_stream_dedup
 
 
+def stream_watermarked_dedup(events: DataFrame, delay: str = "36500 days") -> DataFrame:
+    """The BOUNDED-state production dedup: ``dropDuplicatesWithinWatermark``
+    evicts key state once the event-time watermark passes it, capping
+    state at (dup-arrival window × key rate) instead of the key
+    universe — the 100 TB/day shape, where [[stream_exact_dedup]]'s
+    unbounded ``dropDuplicates`` state grows without limit. The cost is
+    a documented dup-leak window: a duplicate arriving later than
+    ``delay`` after the original is no longer in state and passes.
+
+    The default delay exceeds the fixture's whole event-time span, so
+    the declared query keeps EXACTLY the single-delivery semantics the
+    oracle checks (nothing is ever late, no state is evicted before the
+    drain ends) while exercising the watermark-evicted operator and its
+    state-store plumbing end-to-end — the eviction behavior itself is
+    a function of Spark's watermark bookkeeping, deterministic only
+    per-micro-batch-split, so the gate pins the semantics at the
+    no-eviction point and the delay knob is the production control."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redelivered-file profile through the watermark-bounded dedup —
+    must match the single-delivery profile bit-for-bit (same oracle
+    shape as [[q_stream_dedup]]; different checked column names so the
+    two queries can never be silently swapped)."""
+    events = read_events_stream(spark, stage_landing_dir_with_redelivery(sf_dir))
+    out = run_available_now(
+        stream_watermarked_dedup(events), spark, output_mode="append"
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLES["q_stream_dedup_watermark"] = """
+    SELECT event_type, count(1)::BIGINT AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["q_stream_dedup_watermark"] = q_stream_dedup_watermark
+
+
 def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static join: each micro-batch joins against a *batch*
     dimension — no state, no watermark needed (the static side is
