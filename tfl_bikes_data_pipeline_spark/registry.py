@@ -28,8 +28,12 @@ ORACLES: dict[str, str] = {}
 #: query appears in exactly one of ORACLES / BOUND_ORACLES.
 BOUND_ORACLES: dict[str, str] = {}
 
-#: Subset used by bench.py as the headline set (kept roughly stable
-#: across rounds so BENCH_r{N}.json is comparable).
+#: The bench set. Module BENCH lists control the ORDER of their
+#: curated head entries; after registration the set is topped up to
+#: EVERY registered query (see the end of this module) — the driver
+#: re-picks its pinned correctness subset each round, and a
+#: pinned-but-unbenched query is a standing audit finding (a query's
+#: wall-time must never be invisible in BENCH_DETAIL.md).
 BENCH_QUERIES: list[str] = []
 
 
@@ -113,6 +117,11 @@ def _load_all() -> None:
 
 
 _load_all()
+
+# no silent caps: every registered query gets a bench number (curated
+# module BENCH entries keep their order at the head; the remainder
+# appends in registration order).
+BENCH_QUERIES[:] = list(dict.fromkeys([*BENCH_QUERIES, *QUERIES]))
 
 
 #: Fallback driver-pinned set (as observed in CORRECTNESS_r04.json).
