@@ -629,3 +629,121 @@ ORACLES["q_audio_stats"] = f"""
 QUERIES["q_image_stats"] = q_image_stats
 QUERIES["q_audio_stats"] = q_audio_stats
 BENCH.append("q_image_stats")
+
+
+#: nearest-neighbor downsample factor for the resize seam
+RESIZE_FACTOR = 2
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize through the REAL codec, twice: decode the
+    deterministic PNG, nearest-neighbor downsample ×2 (``V[::2, ::2]``
+    — the standard integer-factor NN kernel: out[y, x] = in[2y, 2x]),
+    then RE-ENCODE and RE-DECODE the resized image before reducing to
+    exact integer statistics — so the value hash covers the full
+    decode→transform→encode→decode dataflow a thumbnailing /
+    vision-preprocessing stage runs, not just one decode. The oracle
+    re-derives the surviving pixels arithmetically (the even-(y, x)
+    lattice of the generator formula)."""
+    import numpy as np
+
+    from .imaging import decode_png, encode_png
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % IMG_DOC_MOD == 0
+    ).select("doc_id")
+    f = RESIZE_FACTOR
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "pixel_sum": [], "mean_px": []}
+            for doc_id in pdf["doc_id"]:
+                y, x = np.mgrid[0:IMG_H, 0:IMG_W]
+                px = ((int(doc_id) * 31 + y * IMG_W + x) % 256).astype("uint8")
+                small = decode_png(encode_png(px))[::f, ::f]
+                decoded = decode_png(encode_png(small))
+                rows["doc_id"].append(doc_id)
+                rows["height"].append(decoded.shape[0])
+                rows["width"].append(decoded.shape[1])
+                s = int(decoded.astype("int64").sum())
+                rows["pixel_sum"].append(s)
+                # half-UP to 6dp — same rounding contract as q_image_stats
+                mean = Decimal(s) / Decimal(decoded.shape[0] * decoded.shape[1])
+                rows["mean_px"].append(
+                    float(mean.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        op, "doc_id long, width int, height int, pixel_sum long, mean_px double"
+    ).orderBy("doc_id")
+
+
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decimation through the REAL WAV codec, twice: decode,
+    take every RESIZE_FACTOR-th sample (integer-factor decimation —
+    the anti-aliasing-free nearest kernel, deterministic by
+    construction), re-encode at the halved sample rate, re-decode, and
+    reduce — the audio twin of [[q_image_resize]]'s
+    decode→transform→encode→decode seam."""
+    import numpy as np
+
+    from .imaging import decode_wav, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % IMG_DOC_MOD == 0
+    ).select("doc_id")
+    f = RESIZE_FACTOR
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "n_samples": [], "rate": [], "sample_sum": [], "max_abs": []}
+            for doc_id in pdf["doc_id"]:
+                i = np.arange(AUDIO_N)
+                s0 = ((int(doc_id) * 7 + i * 13) % 4096 - 2048).astype("int16")
+                first, rate0 = decode_wav(encode_wav(s0, AUDIO_RATE))
+                arr, rate = decode_wav(encode_wav(first[::f, 0].astype("int16"), rate0 // f))
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(arr.shape[0])
+                rows["rate"].append(rate)
+                rows["sample_sum"].append(int(arr[:, 0].astype("int64").sum()))
+                rows["max_abs"].append(int(np.abs(arr[:, 0].astype("int64")).max()))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        op, "doc_id long, n_samples int, rate int, sample_sum long, max_abs int"
+    ).orderBy("doc_id")
+
+
+ORACLES["q_image_resize"] = f"""
+    WITH px AS (
+        SELECT d.doc_id,
+               (d.doc_id * 31 + (y.y * {RESIZE_FACTOR}) * {IMG_W}
+                + x.x * {RESIZE_FACTOR}) % 256 AS p
+        FROM (SELECT doc_id FROM documents WHERE doc_id % {IMG_DOC_MOD} = 0) d
+        CROSS JOIN range({IMG_H // RESIZE_FACTOR}) y(y)
+        CROSS JOIN range({IMG_W // RESIZE_FACTOR}) x(x)
+    )
+    SELECT doc_id, {IMG_W // RESIZE_FACTOR}::INT AS width,
+           {IMG_H // RESIZE_FACTOR}::INT AS height,
+           sum(p)::BIGINT AS pixel_sum,
+           round(sum(p) / {(IMG_H // RESIZE_FACTOR) * (IMG_W // RESIZE_FACTOR)}.0, 6)
+               AS mean_px
+    FROM px GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES["q_audio_resample"] = f"""
+    WITH s AS (
+        SELECT d.doc_id,
+               (d.doc_id * 7 + (i.i * {RESIZE_FACTOR}) * 13) % 4096 - 2048 AS v
+        FROM (SELECT doc_id FROM documents WHERE doc_id % {IMG_DOC_MOD} = 0) d
+        CROSS JOIN range({AUDIO_N // RESIZE_FACTOR}) i(i)
+    )
+    SELECT doc_id, {AUDIO_N // RESIZE_FACTOR}::INT AS n_samples,
+           {AUDIO_RATE // RESIZE_FACTOR}::INT AS rate,
+           sum(v)::BIGINT AS sample_sum, max(abs(v))::INT AS max_abs
+    FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["q_image_resize"] = q_image_resize
+QUERIES["q_audio_resample"] = q_audio_resample
