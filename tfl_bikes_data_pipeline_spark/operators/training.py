@@ -704,3 +704,124 @@ ORACLES["q_source_caps"] = f"""
 """
 QUERIES["q_source_caps"] = q_source_caps
 BENCH.append("q_source_caps")
+
+
+#: budget divisor: the selection keeps the best docs until
+#: total_tokens div 4 tokens are spent (25% of the corpus).
+BUDGET_DIV = 4
+#: range partitions for the distributed prefix sum
+BUDGET_PARTS = 16
+
+
+def select_within_token_budget(spark, documents: DataFrame) -> DataFrame:
+    """(doc_id, quality_band, n_words, cum_tokens) — greedy
+    quality-first corpus selection under a token budget: take documents
+    in (quality band, length, id) order until total_tokens div 4
+    whitespace tokens are spent. The budget cut a pretraining run makes
+    when compute, not data, is the binding constraint.
+
+    The cumulative sum is the DISTRIBUTED PREFIX SUM, not a global
+    single-partition window (which would serialize 100 TB through one
+    reducer): ``repartitionByRange`` on the selection order gives
+    order-aligned balanced partitions; each partition computes its own
+    running and total sums in one window pass; the per-partition
+    offsets — at most BUDGET_PARTS rows, bounded algorithm state — are
+    cumulated on the driver and broadcast back; every row's global
+    prefix is offset + local running sum. Results are INDEPENDENT of
+    where the range boundaries land (the prefix over a total order
+    does not depend on its partitioning), so the range sampler's
+    boundary choice cannot perturb the output; the windowed relation is
+    persisted (dedup [[_retain]] lifecycle) so the offsets action and
+    the returned plan read ONE materialization of the shuffle.
+
+    Ordering is all-integer — band rank, word count, doc id — so no
+    float comparison can diverge between engines."""
+    from .dedup import _retain
+    from .text import quality_features
+
+    feats = quality_features(documents).select(
+        "doc_id",
+        "n_words",
+        "quality_band",
+        F.when(F.col("quality_band") == "high", 0)
+        .when(F.col("quality_band") == "mid", 1)
+        .otherwise(2)
+        .alias("band_rank"),
+    )
+    order = [F.asc("band_rank"), F.desc("n_words"), F.asc("doc_id")]
+    ranked = feats.repartitionByRange(BUDGET_PARTS, *order).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_run = (
+        Window.partitionBy("pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    slim = _retain(
+        ranked.select(
+            "doc_id",
+            "quality_band",
+            "n_words",
+            "band_rank",
+            "pid",
+            F.sum("n_words").over(w_run).alias("run"),
+            F.sum("n_words").over(Window.partitionBy("pid")).alias("pid_total"),
+        )
+    )
+    pid_totals = sorted(
+        (r["pid"], r["pid_total"]) for r in slim.select("pid", "pid_total").distinct().collect()
+    )
+    offsets, acc = [], 0
+    for pid, total in pid_totals:
+        offsets.append((pid, acc))
+        acc += total
+    budget = acc // BUDGET_DIV
+    off_df = spark.createDataFrame(offsets, "pid INT, off LONG")
+    return (
+        slim.join(F.broadcast(off_df), "pid")
+        .where(F.col("off") + F.col("run") <= budget)
+        .select(
+            "doc_id",
+            "quality_band",
+            "n_words",
+            (F.col("off") + F.col("run")).alias("cum_tokens"),
+        )
+        .orderBy("cum_tokens")
+    )
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load_table(spark, sf_dir, "documents")
+    return select_within_token_budget(spark, documents)
+
+
+ORACLES["q_budget_select"] = f"""
+    WITH feats AS (
+        SELECT doc_id,
+               len(string_split(lower(trim(text)), ' '))::INT AS n_words,
+               CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                        x -> list_contains(['the', 'a', 'of', 'and', 'in', 'to', 'is'], x))) AS DOUBLE)
+                   / len(string_split(lower(trim(text)), ' ')) AS stopword_ratio
+        FROM documents
+    ),
+    banded AS (
+        SELECT doc_id, n_words,
+               CASE WHEN n_words >= 40 AND stopword_ratio >= 0.05 THEN 'high'
+                    WHEN n_words >= 15 THEN 'mid' ELSE 'low' END AS quality_band,
+               CASE WHEN n_words >= 40 AND stopword_ratio >= 0.05 THEN 0
+                    WHEN n_words >= 15 THEN 1 ELSE 2 END AS band_rank
+        FROM feats
+    ),
+    run AS (
+        SELECT doc_id, quality_band, n_words,
+               sum(n_words) OVER (
+                   ORDER BY band_rank, n_words DESC, doc_id
+               )::BIGINT AS cum_tokens
+        FROM banded
+    )
+    SELECT doc_id, quality_band, n_words, cum_tokens
+    FROM run
+    WHERE cum_tokens <= (SELECT sum(n_words) // {BUDGET_DIV} FROM feats)
+    ORDER BY cum_tokens
+"""
+QUERIES["q_budget_select"] = q_budget_select
