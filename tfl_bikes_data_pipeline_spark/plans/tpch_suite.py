@@ -3,9 +3,9 @@ synthetic star schema — the decision-support query surface a reference
 user expects next to the Q1/Q3/Q5 analogs already declared in
 ``plans/queries.py`` (q_pricing_summary / q_shipping_priority /
 q_local_supplier_volume). Reference parity anchor: the reference's
-analyst queries are grouped-aggregate joins over a star
-(``/root/reference/spark/analysis.py`` passim); these generalize that
-surface to the full classic decision-support shape set.
+analyst surface is grouped-aggregate joins over a star
+(``/root/reference/spark/aggregations.sql``, ``make_view.sql``); these
+generalize that surface to the full classic decision-support shape set.
 
 Schema adaptations (the synthetic tables lack partsupp, commit/receipt
 dates, ship modes and phone numbers):
