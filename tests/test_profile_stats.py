@@ -115,3 +115,38 @@ def test_weighted_sample_rate_tracks_weight(spark):
     k_long = kept.where(F.col("n_chars") > med).count()
     k_short = kept.where(F.col("n_chars") <= med).count()
     assert k_long / n_long > k_short / max(n_short, 1)
+
+
+def test_quantile_bound_oracle_accepts_small_group_elements(spark):
+    """Regression (round-6 review): the bound oracle must use DISCRETE
+    order statistics — interpolated quantile_cont(p∓0.01) on a
+    4-element group yields [1.72, 1.78] at p25 and rejects the correct
+    sketch element 1.0."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from tfl_bikes_data_pipeline_spark import registry
+    from .oracle_utils import assert_within_bounds
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        "('a', 1.0), ('a', 2.0), ('a', 3.0), ('a', 4.0)) t(event_type, value)"
+    )
+    small = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)],
+        "event_type string, value double",
+    )
+    est = small.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.75, 0.95], 10000).alias("q")
+    ).select(
+        "event_type",
+        F.col("q")[0].alias("p25"),
+        F.col("q")[1].alias("p50"),
+        F.col("q")[2].alias("p75"),
+        F.col("q")[3].alias("p95"),
+    )
+    assert_within_bounds(
+        est, con, registry.BOUND_ORACLES["q_approx_quantiles"], "small-group"
+    )
+    con.close()

@@ -20,19 +20,34 @@ EXACT_DECIMAL = "decimal(18,6)"
 MONEY_DECIMAL = "decimal(18,2)"
 
 
+def exact_sum_col(col: str | Column, scale: str = EXACT_DECIMAL) -> Column:
+    """THE hash-equality-bearing recipe, unaliased:
+    SUM(CAST(x AS DECIMAL)) → string → double. Every exact money/metric
+    sum in the repo must route through here (or the aliased wrappers
+    below) so the recipe has exactly one definition — the DuckDB twin
+    is ``CAST(CAST(sum(CAST(x AS DECIMAL(..))) AS VARCHAR) AS DOUBLE)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(scale)).cast("string").cast("double")
+
+
 def exact_sum(col: str | Column, alias: str, scale: str = EXACT_DECIMAL) -> Column:
     """SUM(CAST(x AS DECIMAL)) cast back to double. Deterministic under
     any row order; the double conversion of the exact decimal total is a
     single well-defined rounding."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(scale)).cast("string").cast("double").alias(alias)
+    return exact_sum_col(col, scale).alias(alias)
 
 
 def exact_avg(col: str | Column, alias: str, scale: str = EXACT_DECIMAL) -> Column:
     """Order-independent mean: exact decimal SUM divided by COUNT as
     double (avoids engine-specific decimal-avg result types)."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(c.cast(scale)).cast("string").cast("double") / F.count(c)).alias(alias)
+    return (exact_sum_col(c, scale) / F.count(c)).alias(alias)
+
+
+def exact_row_avg(col: str | Column, alias: str, scale: str = EXACT_DECIMAL) -> Column:
+    """Mean over the ROW count (count(1), the TPC-H convention) rather
+    than the non-null count — use when the oracle divides by count(1)."""
+    return (exact_sum_col(col, scale) / F.count(F.lit(1))).alias(alias)
 
 
 def day_number(ts_col: str | Column) -> Column:

@@ -1647,7 +1647,8 @@ BENCH = [
     "q_dedup_embedding",
     # batch-vs-corpus banded join — the steady-state ingest-gate cost
     "q_dedup_incremental_lsh",
-    # exact batch-vs-corpus gate — driver-pinned, so benched (verdict r5 #2)
+    # exact batch-vs-corpus gate (bench coverage itself is guaranteed
+    # by the registry top-up; this entry only places it in sweep order)
     "q_dedup_incremental",
     # C4-style sub-document dedup — two bounded shuffles
     "q_dedup_segments",

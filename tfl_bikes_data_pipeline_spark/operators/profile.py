@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import exact_row_avg
 from ..plans.pipelines import ORACLES as PIPELINE_ORACLES
 from ..plans.pipelines import build_aligned_weather
 from ..tables import load_table
@@ -210,14 +211,8 @@ def winsorize_profile(df: DataFrame, key: str, value_col: str) -> DataFrame:
         vals.join(F.broadcast(bounds), key)
         .groupBy(key, "n", "lo_val", "hi_val")
         .agg(
-            (
-                F.sum(F.col(value_col).cast("decimal(18,6)")).cast("string").cast("double")
-                / F.count(F.lit(1))
-            ).alias("mean_raw"),
-            (
-                F.sum(clipped.cast("decimal(18,6)")).cast("string").cast("double")
-                / F.count(F.lit(1))
-            ).alias("mean_winsorized"),
+            exact_row_avg(value_col, "mean_raw"),
+            exact_row_avg(clipped, "mean_winsorized"),
         )
         .orderBy(key)
     )
@@ -345,18 +340,31 @@ BOUND_ORACLES: dict[str, str] = {
                CAST(ceil(n + greatest(0.10 * n, 5)) AS BIGINT) AS approx_users_hi
         FROM exact ORDER BY event_type
     """,
-    # Greenwald-Khanna with accuracy=10000 → rank error 1e-4; the
-    # returned element's rank is within ±0.01·n of target for any
-    # fixture n, so each estimate must land between the exact
-    # interpolated quantiles at p ∓ 0.01.
+    # Greenwald-Khanna with accuracy=10000 returns an ACTUAL ELEMENT
+    # whose rank is within ±(1e-4·n + convention slack) of target, so
+    # the bounds must be DISCRETE ORDER STATISTICS, never interpolated
+    # quantiles: on a small/sparse group, quantile_cont(p∓0.01) can
+    # interpolate to an interval strictly between two data values and
+    # reject a correct sketch (e.g. values [1,2,3,4] at p25: the
+    # element 1.0 vs an interpolated [1.72, 1.78]). Bound = the
+    # elements at ranks ⌊(p−0.011)·n⌋ and ⌈(p+0.011)·n⌉+1 (clamped),
+    # covering rank error plus either engine's index convention.
     "q_approx_quantiles": """
+        WITH s AS (
+            SELECT event_type, list(value ORDER BY value) AS vs,
+                   count(value)::BIGINT AS n
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
+        )
         SELECT event_type,
-               quantile_cont(value, 0.24) AS p25_lo, quantile_cont(value, 0.26) AS p25_hi,
-               quantile_cont(value, 0.49) AS p50_lo, quantile_cont(value, 0.51) AS p50_hi,
-               quantile_cont(value, 0.74) AS p75_lo, quantile_cont(value, 0.76) AS p75_hi,
-               quantile_cont(value, 0.94) AS p95_lo, quantile_cont(value, 0.96) AS p95_hi
-        FROM events WHERE value IS NOT NULL
-        GROUP BY event_type ORDER BY event_type
+               vs[greatest(1, CAST(floor(0.239 * n) AS INT))] AS p25_lo,
+               vs[least(n::INT, CAST(ceil(0.261 * n) AS INT) + 1)] AS p25_hi,
+               vs[greatest(1, CAST(floor(0.489 * n) AS INT))] AS p50_lo,
+               vs[least(n::INT, CAST(ceil(0.511 * n) AS INT) + 1)] AS p50_hi,
+               vs[greatest(1, CAST(floor(0.739 * n) AS INT))] AS p75_lo,
+               vs[least(n::INT, CAST(ceil(0.761 * n) AS INT) + 1)] AS p75_hi,
+               vs[greatest(1, CAST(floor(0.939 * n) AS INT))] AS p95_lo,
+               vs[least(n::INT, CAST(ceil(0.961 * n) AS INT) + 1)] AS p95_hi
+        FROM s ORDER BY event_type
     """,
 }
 

@@ -791,6 +791,13 @@ def select_within_token_budget(spark, documents: DataFrame) -> DataFrame:
 
 
 def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import release_cached_relations
+
+    # top-level query over fresh scans: free the previous generation's
+    # retained relations BEFORE _retain pins this invocation's windowed
+    # relation — otherwise back-to-back runs (the bench protocol)
+    # accumulate one documents-scale materialization each.
+    release_cached_relations()
     documents = load_table(spark, sf_dir, "documents")
     return select_within_token_budget(spark, documents)
 

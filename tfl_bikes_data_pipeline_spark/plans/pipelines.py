@@ -291,7 +291,7 @@ BENCH = [
     "p_fact_build",
     "p_weather_align",
     "p_weather_ids",
-    # write-path query (temp-warehouse append) — driver-pinned, so its
-    # wall-time must be visible in the bench artifact (verdict r5 #2)
+    # write-path query (temp-warehouse append); bench coverage is
+    # guaranteed by the registry top-up — this entry orders the sweep
     "p_incremental_append",
 ]

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import exact_sum
+from ..functions import exact_row_avg, exact_sum, exact_sum_col
 from ..tables import load_table
 
 QUERIES: dict = {}
@@ -45,8 +45,11 @@ def _rev_col() -> F.Column:
 
 
 def _exact(col: F.Column) -> F.Column:
-    """decimal sum → double via string (the lockstep recipe)."""
-    return F.sum(col).cast("string").cast("double")
+    """decimal sum → double via string — the single central recipe
+    (functions.exact_sum_col); inputs here are pre-cast DECIMAL(28,8),
+    so the recipe's cast is a no-op and the shape stays the oracle's
+    ``sum(CAST(.. AS DECIMAL(28,8)))``."""
+    return exact_sum_col(col, "decimal(28,8)")
 
 
 # ---------------------------------------------------------------------------
@@ -524,10 +527,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     per_part = lineitem.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
-        (
-            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("string").cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_qty")
+        exact_row_avg("l_quantity", "avg_qty")
     )
     return (
         lineitem.join(
@@ -537,12 +537,9 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_part, F.col("l_partkey") == F.col("avg_partkey"))
         .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
-            (
-                F.sum(F.col("l_extendedprice").cast("decimal(28,8)"))
-                .cast("string")
-                .cast("double")
-                / F.lit(7.0)
-            ).alias("avg_yearly"),
+            (exact_sum_col("l_extendedprice", "decimal(28,8)") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -675,11 +672,19 @@ _Q21_NATION = "NATION_7"
 
 
 def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _retain, release_cached_relations
+
+    # li is the heaviest subplan (the fact join) and feeds THREE
+    # readers (l1, other, other_late); without _retain it would execute
+    # three times per run (ReusedExchange shares child shuffles, never
+    # the join itself). Top-level query over fresh scans → release the
+    # previous cache generation first (the covariance/graph pattern).
+    release_cached_relations()
     nation = load_table(spark, sf_dir, "nation")
     supplier = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    li = (
+    li = _retain(
         lineitem.join(
             orders.where(F.col("o_orderstatus") == "F"),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -761,16 +766,8 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    avg_bal = (
-        customer.where(F.col("c_acctbal") > 0.0)
-        .agg(
-            (
-                F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
-                .cast("string")
-                .cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_bal")
-        )
+    avg_bal = customer.where(F.col("c_acctbal") > 0.0).agg(
+        exact_row_avg("c_acctbal", "avg_bal")
     )
     rich = customer.join(F.broadcast(avg_bal)).where(
         F.col("c_acctbal") > F.col("avg_bal")

@@ -544,8 +544,8 @@ BENCH = [
     "q_stream_tumbling",
     "q_stream_sliding",
     "q_stream_join",
-    # exactly-once two-phase drain — benched so the checkpoint/resume
-    # path has a tracked number (verdict r5 #3)
+    # exactly-once two-phase drain (bench coverage is guaranteed by the
+    # registry top-up; this entry orders the sweep)
     "q_stream_checkpoint_resume",
 ]
 
