@@ -150,3 +150,23 @@ def test_quantile_bound_oracle_accepts_small_group_elements(spark):
         est, con, registry.BOUND_ORACLES["q_approx_quantiles"], "small-group"
     )
     con.close()
+
+
+def test_psi_flags_shifted_distribution(spark):
+    """Semantic pin for distribution_psi: a same-distribution pair must
+    read stable (<0.1) while a shifted candidate reads drifted
+    (>0.25) — the alarm thresholds the docstring promises."""
+    import pyspark.sql.functions as F
+
+    from tfl_bikes_data_pipeline_spark.operators.profile import distribution_psi
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    null_psi = distribution_psi(
+        docs.where(h1 < "8"), docs.where(h1 >= "8"), "n_chars"
+    ).first()["psi_total"]
+    assert null_psi < 0.1, null_psi
+    shifted = docs.withColumn("n_chars", F.col("n_chars") + F.lit(300))
+    drift_psi = distribution_psi(docs, shifted, "n_chars").first()["psi_total"]
+    assert drift_psi > 0.25, drift_psi

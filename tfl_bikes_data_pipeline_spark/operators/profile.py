@@ -223,6 +223,100 @@ def q_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize_profile(events, "event_type", "value")
 
 
+#: PSI bucketing: n_buckets equal-width cells over the value range,
+#: +1 add-one smoothing so empty cells never divide by zero.
+PSI_BUCKETS = 8
+PSI_BUCKET_WIDTH = 100
+
+
+def distribution_psi(
+    reference: DataFrame,
+    candidate: DataFrame,
+    value_col: str,
+    bucket_width: int = PSI_BUCKET_WIDTH,
+    n_buckets: int = PSI_BUCKETS,
+) -> DataFrame:
+    """(bucket, n_ref, n_cand, p_ref, p_cand, contrib, psi_total) — the
+    Population Stability Index between a reference and a candidate
+    sample of ``value_col``: Σ (p_ref − p_cand)·ln(p_ref/p_cand) over
+    equal-width buckets, the standard drift alarm a curation pipeline
+    runs on every incoming batch against the accepted corpus
+    (rule-of-thumb: <0.1 stable, >0.25 drifted).
+
+    Scale shape: ONE union + one map-side-combined aggregate with at
+    most ``n_buckets`` groups — a 100 TB input reduces to ≤n_buckets
+    rows per partition before the shuffle (the CMS communication
+    bound); everything after operates on the constant-size bucket
+    relation, where a global window is bounded by construction.
+
+    Determinism: counts are integers (add-one smoothed), so the p's
+    are identical ratios in both engines; ln contributions are rounded
+    to 6 dp before the exact decimal total (the [[q_text_keyness]] ln
+    precedent)."""
+    from pyspark.sql import Window
+
+    def bucketed(df: DataFrame, tag: str) -> DataFrame:
+        # explicit floor: Spark's double→long cast truncates while
+        # DuckDB's CAST rounds — floor + the oracle's // are identical
+        b = F.least(
+            F.floor(F.col(value_col) / bucket_width).cast("long"),
+            F.lit(n_buckets - 1),
+        )
+        return df.select(F.lit(tag).alias("half"), b.alias("bucket"))
+
+    counts = (
+        bucketed(reference, "ref")
+        .unionByName(bucketed(candidate, "cand"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("half") == "ref", 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("half") == "cand", 1).otherwise(0)).alias("n_cand"),
+        )
+    )
+    spark = reference.sparkSession
+    spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    dense = spine.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+    )
+    w = Window.partitionBy()  # bucket relation: n_buckets rows by construction
+    p_ref = (F.col("n_ref") + 1).cast("double") / (
+        F.sum("n_ref").over(w) + n_buckets
+    ).cast("double")
+    p_cand = (F.col("n_cand") + 1).cast("double") / (
+        F.sum("n_cand").over(w) + n_buckets
+    ).cast("double")
+    with_p = dense.select(
+        "bucket",
+        "n_ref",
+        "n_cand",
+        p_ref.alias("p_ref"),
+        p_cand.alias("p_cand"),
+        F.round((p_ref - p_cand) * F.log(p_ref / p_cand), 6).alias("contrib"),
+    )
+    return with_p.select(
+        "*",
+        F.sum(F.col("contrib").cast("decimal(18,6)"))
+        .over(w)
+        .cast("string")
+        .cast("double")
+        .alias("psi_total"),
+    ).orderBy("bucket")
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of document length between the two md5 halves of the corpus
+    (the same content-hash split discipline as train/val assignment) —
+    a same-distribution pair, so the expected PSI is near zero; the
+    operator is what matters, the fixture is its null case."""
+    docs = load_table(spark, sf_dir, "documents")
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return distribution_psi(
+        docs.where(h1 < "8"), docs.where(h1 >= "8"), "n_chars"
+    )
+
+
 def q_profile_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     aligned = build_aligned_weather(load_table(spark, sf_dir, "events"))
     return profile_nulls(aligned, ["click_value", "view_value", "purchase_value"])
@@ -245,6 +339,7 @@ QUERIES = {
     "q_approx_distinct": q_approx_distinct,
     "q_approx_quantiles": q_approx_quantiles,
     "q_winsorized_means": q_winsorized_means,
+    "q_drift_psi": q_drift_psi,
 }
 
 ORACLES: dict[str, str] = {
@@ -295,6 +390,41 @@ ORACLES: dict[str, str] = {
         FROM s ORDER BY event_type
     """,
 }
+
+ORACLES["q_drift_psi"] = f"""
+    WITH tagged AS (
+        SELECT CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1) < '8'
+                    THEN 'ref' ELSE 'cand' END AS half,
+               least(n_chars // {PSI_BUCKET_WIDTH}, {PSI_BUCKETS - 1}) AS bucket
+        FROM documents
+    ),
+    counts AS (
+        SELECT bucket,
+               sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+               sum(CASE WHEN half = 'cand' THEN 1 ELSE 0 END)::BIGINT AS n_cand
+        FROM tagged GROUP BY bucket
+    ),
+    dense AS (
+        SELECT s.bucket, coalesce(n_ref, 0)::BIGINT AS n_ref,
+               coalesce(n_cand, 0)::BIGINT AS n_cand
+        FROM (SELECT unnest(generate_series(0, {PSI_BUCKETS - 1}))::BIGINT AS bucket) s
+        LEFT JOIN counts USING (bucket)
+    ),
+    withp AS (
+        SELECT bucket, n_ref, n_cand,
+               (n_ref + 1)::DOUBLE / (sum(n_ref) OVER () + {PSI_BUCKETS})::DOUBLE AS p_ref,
+               (n_cand + 1)::DOUBLE / (sum(n_cand) OVER () + {PSI_BUCKETS})::DOUBLE AS p_cand
+        FROM dense
+    ),
+    contribs AS (
+        SELECT *, round((p_ref - p_cand) * ln(p_ref / p_cand), 6) AS contrib
+        FROM withp
+    )
+    SELECT bucket, n_ref, n_cand, p_ref, p_cand, contrib,
+           CAST(CAST(sum(CAST(contrib AS DECIMAL(18,6))) OVER () AS VARCHAR) AS DOUBLE)
+               AS psi_total
+    FROM contribs ORDER BY bucket
+"""
 
 ORACLES["q_winsorized_means"] = f"""
     WITH vals AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
