@@ -128,6 +128,56 @@ def build_fixture(spark: SparkSession, out_dir: str, m: int) -> None:
         os.path.join(out_dir, "part.parquet")
     )
 
+    # full-star replication for the decision-support joins: each copy
+    # offsets every key (orderkey/custkey/suppkey/partkey) by copy ×
+    # (max+1), so joins resolve strictly within-copy and join
+    # cardinalities grow linearly in m — the property that makes a
+    # fact-join scaling number mean "more data", not "denser joins".
+    copies = {}
+    for tbl, keys in (
+        ("customer", ["c_custkey"]),
+        ("supplier", ["s_suppkey"]),
+        ("orders", ["o_orderkey", "o_custkey"]),
+        ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
+    ):
+        base_df = load_table(spark, BASE, tbl)
+        copies[tbl] = (base_df, {})
+    # key offsets must be CONSISTENT across tables (o_custkey offsets by
+    # customer's max, l_partkey by part's max, ...)
+    key_base = {
+        "c_custkey": copies["customer"][0].agg(F.max("c_custkey")).first()[0] + 1,
+        "s_suppkey": copies["supplier"][0].agg(F.max("s_suppkey")).first()[0] + 1,
+        "o_orderkey": copies["orders"][0].agg(F.max("o_orderkey")).first()[0] + 1,
+        "p_partkey": n_part,
+    }
+    key_base.update(
+        {
+            "o_custkey": key_base["c_custkey"],
+            "l_orderkey": key_base["o_orderkey"],
+            "l_partkey": key_base["p_partkey"],
+            "l_suppkey": key_base["s_suppkey"],
+        }
+    )
+    for tbl, keys in (
+        ("customer", ["c_custkey"]),
+        ("supplier", ["s_suppkey"]),
+        ("orders", ["o_orderkey", "o_custkey"]),
+        ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
+    ):
+        base_df = copies[tbl][0]
+        parts = []
+        for i in range(m):
+            c = base_df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * key_base[k]))
+            parts.append(c)
+        out = parts[0]
+        for c in parts[1:]:
+            out = out.unionByName(c)
+        out.coalesce(max(4, m)).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{tbl}.parquet")
+        )
+
     # remaining tables (dims etc.) ride along unscaled — queries under
     # scaling measurement only grow on the replicated corpus tables,
     # and a missing table would fail unrelated relations they join.
