@@ -341,6 +341,8 @@ QUERIES = {
     "q_winsorized_means": q_winsorized_means,
     "q_drift_psi": q_drift_psi,
 }
+# q_bloom_filter_probe is defined below (with the CMS/sketch section)
+# and registered there, CMS-style.
 
 ORACLES: dict[str, str] = {
     # The aligned-dimension CTE is the p_weather_align oracle verbatim —
@@ -599,6 +601,105 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bloom filter geometry: 4096 bits packed 32-per-BIGINT-word (bit
+#: index stays < 32 — no sign-bit hazards in either engine), k = 3
+#: hash functions derived from md5("j:key") like the CMS buckets.
+#: 4096 bits over ~one quarter's ordering customers keeps the fill
+#: rate low enough that "absent" is the common verdict while still
+#: exhibiting a nonzero false-positive price at fixture scale.
+BLOOM_BITS = 4096
+BLOOM_WORD = 32
+BLOOM_K = 3
+
+
+def _bloom_pos(j: int, key_col: Column) -> Column:
+    h = F.md5(F.concat(F.lit(f"{j}:"), key_col.cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % BLOOM_BITS
+
+
+def build_bloom(df: DataFrame, key: str) -> DataFrame:
+    """(word, bits) — a Bloom filter over ``df[key]`` AS A RELATION:
+    every row votes its k bit positions, and the filter is the bitwise
+    OR per 32-bit word. Same scale property as the CMS sketch: the
+    groupBy key space is ≤ BLOOM_BITS/BLOOM_WORD = 32 words, so
+    map-side partial aggregation reduces any input to ≤32 rows per
+    partition before the shuffle, and filters merge by construction
+    (OR is associative/idempotent — no pre-distinct needed). This is
+    the engine-level counterpart of Catalyst's runtime bloom pruning
+    (test_plan_quality.py pins that one): a build-side you can
+    persist, ship, and probe explicitly."""
+    rows = df.select(
+        F.explode(
+            F.array(*[_bloom_pos(j, F.col(key)) for j in range(BLOOM_K)])
+        ).alias("pos")
+    )
+    return (
+        rows.select(
+            F.floor(F.col("pos") / BLOOM_WORD).cast("int").alias("word"),
+            # expr: the shiftleft/shiftright builtins take a literal
+            # int shift, not a Column
+            F.expr(f"shiftleft(1L, CAST(pos % {BLOOM_WORD} AS INT))").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def q_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership audit: build the filter over ONE QUARTER's ordering
+    customers (the selective build side a bloom-pruned join ships),
+    probe EVERY customer, cross-check against the exact answer — one
+    row (n_customers, n_maybe, n_absent, n_false_positive). The absent
+    count is the probe-side work the filter skips; the false-positive
+    count is the price (zero false negatives by construction: every
+    in-window customer must probe 'maybe' or the exact cross-check
+    columns cannot reconcile)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    bloom = build_bloom(orders, "o_custkey")
+    has_orders = customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    ).select("c_custkey", F.lit(1).alias("has_orders"))
+    probes = customer.select(
+        "c_custkey",
+        F.explode(
+            F.array(*[_bloom_pos(j, F.col("c_custkey")) for j in range(BLOOM_K)])
+        ).alias("pos"),
+    ).select(
+        "c_custkey",
+        F.floor(F.col("pos") / BLOOM_WORD).cast("int").alias("word"),
+        (F.col("pos") % BLOOM_WORD).cast("int").alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .select(
+            "c_custkey",
+            F.expr("(shiftright(coalesce(bits, 0L), bit)) % 2").alias("hit"),
+        )
+        .groupBy("c_custkey")
+        .agg((F.sum("hit") == BLOOM_K).cast("int").alias("maybe"))
+    )
+    return (
+        hits.join(F.broadcast(has_orders), "c_custkey", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("maybe").cast("long").alias("n_maybe"),
+            F.sum(1 - F.col("maybe")).cast("long").alias("n_absent"),
+            F.sum(
+                F.when(
+                    (F.col("maybe") == 1) & F.col("has_orders").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_positive"),
+        )
+    )
+
+
 def _hex4_duck(expr: str) -> str:
     return (
         "("
@@ -608,6 +709,47 @@ def _hex4_duck(expr: str) -> str:
         )
         + ")"
     )
+
+
+QUERIES["q_bloom_filter_probe"] = q_bloom_filter_probe
+
+_BLOOM_POS_O = _hex4_duck("j.j::VARCHAR || ':' || o_custkey::VARCHAR") + f" % {BLOOM_BITS}"
+_BLOOM_POS_C = _hex4_duck("j.j::VARCHAR || ':' || c_custkey::VARCHAR") + f" % {BLOOM_BITS}"
+
+ORACLES["q_bloom_filter_probe"] = f"""
+    WITH win AS (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+    ),
+    bpos AS (
+        SELECT {_BLOOM_POS_O} AS pos
+        FROM win CROSS JOIN range({BLOOM_K}) j(j)
+    ),
+    bloom AS (
+        SELECT pos // {BLOOM_WORD} AS word,
+               bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD} AS INT)) AS bits
+        FROM bpos GROUP BY 1
+    ),
+    probes AS (
+        SELECT c_custkey, {_BLOOM_POS_C} // {BLOOM_WORD} AS word,
+               {_BLOOM_POS_C} % {BLOOM_WORD} AS bit
+        FROM customer CROSS JOIN range({BLOOM_K}) j(j)
+    ),
+    hits AS (
+        SELECT c_custkey,
+               CASE WHEN sum((coalesce(bits, 0) >> CAST(bit AS INT)) % 2)
+                    = {BLOOM_K} THEN 1 ELSE 0 END AS maybe
+        FROM probes LEFT JOIN bloom USING (word)
+        GROUP BY c_custkey
+    )
+    SELECT count(1)::BIGINT AS n_customers,
+           sum(maybe)::BIGINT AS n_maybe,
+           sum(1 - maybe)::BIGINT AS n_absent,
+           sum(CASE WHEN maybe = 1 AND NOT EXISTS (
+                   SELECT 1 FROM win WHERE o_custkey = h.c_custkey
+               ) THEN 1 ELSE 0 END)::BIGINT AS n_false_positive
+    FROM hits h
+"""
 
 
 _CMS_BUCKET_DUCK = _hex4_duck("j::VARCHAR || ':' || user_id::VARCHAR") + f" % {CMS_W}"
