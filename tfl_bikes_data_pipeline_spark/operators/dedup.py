@@ -890,6 +890,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    from pyspark.sql.types import NumericType
+
+    numeric_labels = isinstance(labels.schema["label"].dataType, NumericType)
     prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
@@ -931,22 +934,37 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             new_labels = stepped.checkpoint()
         else:
             new_labels = stepped.localCheckpoint()
-        # convergence check without a join: labels only ever DECREASE
-        # (both update rules take least(current, ...)), so Σlabel is
-        # strictly monotone until the fixpoint and equal sums ⟺ no node
-        # changed. One aggregate over the just-checkpointed relation
-        # replaces the old join-and-count job (~0.3 s/round at toy
-        # scale, one fewer shuffle per round at any scale). DECIMAL(38,0)
-        # sum: exact at any node count × id magnitude — a 64-bit sum
-        # could overflow silently at 100 TB ids and fake convergence.
-        label_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
+        # convergence check without a join — NUMERIC node ids only:
+        # labels only ever DECREASE (both update rules take
+        # least(current, ...)), so Σlabel is strictly monotone until
+        # the fixpoint and equal sums ⟺ no node changed. One aggregate
+        # over the just-checkpointed relation replaces the
+        # join-and-count job (one fewer shuffle per round at any
+        # scale). DECIMAL(38,0) sum: exact at any node count × id
+        # magnitude — a 64-bit sum could overflow silently at 100 TB
+        # ids and fake convergence. STRING node ids (entity resolution
+        # runs CC over text keys) have no monotone numeric image —
+        # casting them yields NULL sums that fake instant convergence
+        # (caught by the q_entity_resolution oracle) — so they keep
+        # the explicit changed-row join.
+        if numeric_labels:
+            label_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
+            done = label_sum == prev_sum
+            prev_sum = label_sum
+        else:
+            done = (
+                labels.withColumnRenamed("label", "old_label")
+                .join(new_labels, "node")
+                .where(F.col("old_label") != F.col("label"))
+                .count()
+                == 0
+            )
         labels.unpersist()  # real release round 1; no-op on checkpointed rounds
         labels = new_labels
-        if label_sum == prev_sum:
+        if done:
             break
-        prev_sum = label_sum
     # the returned lazy plan reads the final checkpointed labels;
     # registration keeps the API uniform (unpersist is a no-op there —
     # blocks free at driver GC, see the loop comment).
