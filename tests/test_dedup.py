@@ -335,3 +335,89 @@ def test_connected_components_converges_on_deep_chain(spark):
     labels = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert set(labels.values()) == {0}, "chain fragmented across clusters"
     assert len(labels) == 41
+
+
+def test_containment_finds_planted_excerpt(spark):
+    """A short doc whose text is a verbatim excerpt of a long doc must
+    surface as (excerpt, container) with containment 1.0 — the pair
+    symmetric jaccard misses (their jaccard is far below threshold)."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        containment_pairs_pruned,
+    )
+
+    long_doc = " ".join(f"tok{i} tok{i+1} filler{i}" for i in range(40))
+    excerpt = " ".join(long_doc.split(" ")[30:45])  # 15-word verbatim slice
+    rows = [(1, long_doc), (2, excerpt), (3, "unrelated words entirely " * 5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sets = shingle_sets(docs, with_digests=False)
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs_pruned(sets, CONTAINMENT_THRESHOLD).collect()
+    }
+    assert (2, 1) in got and got[(2, 1)] == pytest.approx(1.0)
+    # directionality: the long doc is NOT contained in the excerpt
+    assert (1, 2) not in got
+    # and jaccard indeed misses this pair (the motivating gap)
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in verify_candidates(
+            sets,
+            spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"]),
+            JACCARD_THRESHOLD,
+        ).collect()
+    }
+    assert (1, 2) not in jac
+
+
+def test_containment_prune_is_lossless(spark, sf_dir):
+    """The integer upper-bound prune must match the unpruned verify
+    (same candidate blocking, full-array containment on every
+    candidate) exactly — value and pair set."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        containment_pairs_pruned,
+        ngram_candidate_pairs,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = shingle_sets(docs, with_digests=False)
+    postings = sets.where(F.col("n_shingles") > 0).select(
+        "doc_id", F.explode("sset").alias("shingle")
+    )
+    cand_u = ngram_candidate_pairs(postings)
+    cand = cand_u.unionByName(
+        cand_u.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    pick = sets.select("doc_id", "sset", F.col("n_shingles").alias("n"))
+    unpruned = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in cand.join(
+            pick.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sset").alias("sa"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            pick.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.col("na").cast("double")
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .collect()
+    }
+    pruned = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs_pruned(sets, CONTAINMENT_THRESHOLD).collect()
+    }
+    assert pruned == unpruned

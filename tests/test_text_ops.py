@@ -153,3 +153,66 @@ def test_tfidf_ranks_characteristic_terms_over_stopwords(spark):
     )
     top = [r.term for r in tfidf_top_terms(docs, k=1).where("doc_id = 0").collect()]
     assert top == ["zebra"], f"stopword outranked the characteristic term: {top}"
+
+
+def test_mg_candidates_superset_of_exact_heavy_hitters(spark, sf_dir):
+    """The Misra-Gries candidate set must contain EVERY phrase whose
+    exact frequency meets the threshold — the guarantee that makes the
+    exact-verify result independent of sketch tuning."""
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.operators.text import (
+        HH_RATIO,
+        _mg_candidates,
+        _with_words,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        "CASE WHEN size(w) >= 3 THEN "
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    phrases = _with_words(docs).select(F.explode(F.expr(grams)).alias("word"))
+    n_total = phrases.count()
+    exact_hh = {
+        r.word
+        for r in phrases.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") * HH_RATIO >= F.lit(n_total))
+        .collect()
+    }
+    cand = {r.word for r in _mg_candidates(docs, 3, 8192).collect()}
+    assert exact_hh <= cand, sorted(exact_hh - cand)[:5]
+
+
+def test_heavy_hitters_counts_are_exact(spark, sf_dir):
+    """Reported frequencies come from the exact verify pass, never the
+    sketch estimate — compare against the naive groupBy-everything."""
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.operators.text import (
+        HH_RATIO,
+        _with_words,
+        heavy_hitter_phrases,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {(r.word, r.freq) for r in heavy_hitter_phrases(docs).collect()}
+    grams = (
+        "CASE WHEN size(w) >= 3 THEN "
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    phrases = _with_words(docs).select(F.explode(F.expr(grams)).alias("word"))
+    n_total = phrases.count()
+    want = {
+        (r.word, r.freq)
+        for r in phrases.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") * HH_RATIO >= F.lit(n_total))
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -396,6 +396,120 @@ def verify_candidates(
     )
 
 
+#: Asymmetric-containment threshold: doc A counts as "contained in" B
+#: when |S_A ∩ S_B| / |S_A| ≥ this. Lower than the jaccard threshold on
+#: purpose — an excerpt is a HIGH-containment, LOW-jaccard pair (a 10%
+#: quote of a long doc has jaccard ≈ 0.1 but containment ≈ 1.0), which
+#: is exactly the duplication mode symmetric jaccard misses.
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def containment_pairs_pruned(
+    sets: DataFrame,
+    min_containment: float = CONTAINMENT_THRESHOLD,
+    max_df: int = NGRAM_MAX_DF,
+) -> DataFrame:
+    """(doc_a, doc_b, containment) — ordered pairs where doc_a's
+    shingle set is ≥ ``min_containment`` covered by doc_b's: the
+    EXCERPT/QUOTE dedup relation. Symmetric jaccard cannot see a short
+    doc embedded in a long one (the union denominator drowns it); the
+    containment denominator is |S_A| alone, so a verbatim excerpt
+    scores ~1.0 regardless of the container's length. The standard
+    filter for "doc is a substring-duplicate of a longer doc" in
+    training-data curation.
+
+    Same scale shape as :func:`ngram_jaccard_pairs_pruned` (shared
+    df-capped inverted index, bounded C(max_df, 2) pair fan-out per
+    shingle), with the prune bound adapted to the asymmetric
+    denominator: true_common ≤ c + min(h_a, h_b) still holds (c =
+    capped common count, h_x = doc x's df-capped-out shingle count),
+    so containment(a→b) ≤ (c + m) / n_a and pairs below threshold are
+    dropped on pure integer arithmetic before any array verify. Both
+    orientations of each unordered candidate are bounded and verified
+    (containment is directional — a ⊂ b does not imply b ⊂ a)."""
+    postings = sets.where(F.col("n_shingles") > 0).select(
+        "doc_id", F.explode("sset").alias("shingle")
+    )
+    dfrel = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    joined = postings.join(dfrel, "shingle")
+    capped = joined.where((F.col("df") >= 2) & (F.col("df") <= max_df)).select(
+        "doc_id", "shingle"
+    )
+    heavy = (
+        joined.where(F.col("df") > max_df)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # unordered candidate counts once, then both orientations — halves
+    # the pair-stream aggregate vs counting ordered pairs directly.
+    pairc_u = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairc = pairc_u.unionByName(
+        pairc_u.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"), "c"
+        )
+    )
+    stats = (
+        sets.where(F.col("n_shingles") > 0)
+        .select("doc_id", F.col("n_shingles").alias("n"))
+        .join(heavy, "doc_id", "left")
+        .select("doc_id", "n", F.coalesce("h", F.lit(0)).alias("h"))
+    )
+    bounded = (
+        pairc.join(
+            stats.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n").alias("na"),
+                F.col("h").alias("ha"),
+            ),
+            "doc_a",
+        )
+        .join(
+            stats.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("h").alias("hb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("m", F.least("ha", "hb"))
+        .where(
+            (F.col("c") + F.col("m")).cast("double") / F.col("na").cast("double")
+            >= min_containment - 1e-9
+        )
+        .select("doc_a", "doc_b")
+    )
+    pick = sets.select("doc_id", "sset", F.col("n_shingles").alias("n"))
+    return (
+        bounded.join(
+            pick.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sset").alias("sa"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            pick.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.col("na").cast("double")
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= min_containment)
+    )
+
+
 def _hex_bit_exprs_spark(b: int) -> str:
     """Bit b of the md5 hash of `word`: hex digit b//4, bit b%4."""
     hexv = f"(instr('0123456789abcdef', substr(md5(word), {b // 4 + 1}, 1)) - 1)"
@@ -1081,6 +1195,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric excerpt dedup: ordered (contained, container) pairs
+    with shingle-set containment ≥ CONTAINMENT_THRESHOLD over the same
+    df-capped inverted index as the jaccard query. Catches the
+    quote/excerpt duplication mode symmetric jaccard is blind to."""
+    documents = _ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents"), spark
+    )
+    release_cached_relations()
+    sets = _retain(shingle_sets(documents, with_digests=False))
+    return containment_pairs_pruned(sets, CONTAINMENT_THRESHOLD).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents")
     return simhash(documents).orderBy("doc_id")
@@ -1399,6 +1528,39 @@ ORACLES: dict[str, str] = {
         WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
     """,
+    # textual twin of containment_pairs_pruned: identical candidate
+    # blocking (df-capped shared shingle), exact asymmetric verify —
+    # containment = |S_a ∩ S_b| / |S_a|, both orientations.
+    "q_dedup_containment": f"""
+        WITH {_SHINGLES_CTE},
+        capped AS (
+            SELECT doc_id, shingle FROM shingles
+            QUALIFY count(1) OVER (PARTITION BY shingle)
+                    BETWEEN 2 AND {NGRAM_MAX_DF}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM capped a JOIN capped b ON a.shingle = b.shingle
+            WHERE a.doc_id <> b.doc_id
+        ),
+        sizes AS (
+            SELECT doc_id, count(1) AS n_shingles FROM shingles GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS n_common
+            FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+            WHERE a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
+               CAST(n_common AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE) AS containment
+        FROM inter i
+        JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE)
+              >= {CONTAINMENT_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
     "q_dedup_simhash": f"""
         WITH wc AS (
             SELECT doc_id, word, count(1) AS n
@@ -1654,6 +1816,7 @@ QUERIES = {
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_containment": q_dedup_containment,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
     "q_dedup_clusters": q_dedup_clusters,
@@ -1667,6 +1830,8 @@ BENCH = [
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
+    # asymmetric excerpt dedup — shares the capped index's cost shape
+    "q_dedup_containment",
     "q_dedup_simhash",
     # IVF-blocked plan — bench-safe (bounded candidates, no n² crossJoin)
     "q_dedup_embedding",

@@ -1431,3 +1431,127 @@ ORACLES["q_vocab_growth"] = f"""
 """
 
 QUERIES["q_vocab_growth"] = q_vocab_growth
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters — Misra-Gries candidate prune + exact verify
+# ---------------------------------------------------------------------------
+
+#: Heavy-hitter threshold ratio R: a phrase qualifies when
+#: freq · R ≥ total phrase count (i.e. freq ≥ N/R). Integer-compared —
+#: no float threshold drift between engines.
+HH_RATIO = 5000
+
+#: Per-partition Misra-Gries counter capacity C. The merged candidate
+#: set provably contains every phrase with freq > N/(C+1); with
+#: C+1 > R every true heavy hitter survives the prune, so the exact
+#: verify pass makes the final result EXACT — the sketch only bounds
+#: which keys reach the shuffle, never the reported counts.
+MG_CAPACITY = 8192
+
+
+def _mg_candidates(documents: DataFrame, n: int, capacity: int) -> DataFrame:
+    """(word) candidate phrases from a per-partition Misra-Gries pass
+    over the word ``n``-gram stream, Arrow-batched via ``mapInPandas``
+    (the sanctioned Python seam — per-partition imperative counter
+    state has no DataFrame expression). Each partition emits ≤
+    ``capacity`` rows regardless of input size; batches merge by the
+    standard mergeable-summary rule (add counters, subtract the
+    (C+1)-th largest, keep positives — Agarwal et al., "Mergeability
+    of Summaries", PODS'12), preserving the n_p/(C+1) underestimate
+    bound. At 100 TB this is a narrow full scan producing a
+    partitions × C candidate stream — the full phrase vocabulary
+    (the thing that explodes at scale) never shuffles."""
+
+    def op(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            batch: dict[str, int] = {}
+            for text in pdf["text"]:
+                w = str(text).lower().strip().split(" ")
+                for i in range(len(w) - n + 1):
+                    g = " ".join(w[i : i + n])
+                    batch[g] = batch.get(g, 0) + 1
+            for g, c in batch.items():
+                counters[g] = counters.get(g, 0) + c
+            if len(counters) > capacity:
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    g: c - cut for g, c in counters.items() if c > cut
+                }
+        if counters:
+            yield pd.DataFrame({"word": list(counters.keys())})
+
+    return documents.select("text").mapInPandas(op, schema="word string")
+
+
+def heavy_hitter_phrases(
+    documents: DataFrame,
+    n: int = 3,
+    ratio: int = HH_RATIO,
+    capacity: int = MG_CAPACITY,
+) -> DataFrame:
+    """(word, freq) — word ``n``-grams with freq · ratio ≥ total
+    n-gram count, EXACT counts. The boilerplate-phrase miner: template
+    headers/footers and license blurbs surface as corpus-frequency
+    heavy hitters long before any pairwise dedup sees them.
+
+    Two-pass exact-over-sketch shape: (1) the Misra-Gries candidate
+    scan (narrow, bounded output); (2) one exact count pass with the
+    phrase stream broadcast-semi-joined to the candidate set BEFORE
+    the aggregate, so the only wide shuffle carries candidate phrases
+    only — at 100 TB the full n-gram vocabulary is ~corpus-sized and
+    shuffling it (the naive groupBy-everything plan) is the bottleneck
+    this operator exists to avoid. The scalar total comes narrow from
+    per-doc counts (no explode). Correctness does not depend on sketch
+    tuning: candidates are a guaranteed superset of qualifiers
+    (capacity + 1 > ratio), and every reported count is exact."""
+    grams = (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', slice(w, i + 1, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    phrases = _with_words(documents).select(
+        F.explode(F.expr(grams)).alias("word")
+    )
+    total = _with_words(documents).agg(
+        F.sum(F.greatest(F.size("w") - F.lit(n - 1), F.lit(0))).alias("n_total")
+    )
+    cand = _mg_candidates(documents, n, capacity).distinct()
+    counts = (
+        phrases.join(F.broadcast(cand), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        counts.join(F.broadcast(total))
+        .where(F.col("freq") * ratio >= F.col("n_total"))
+        .select("word", "freq")
+        .orderBy(F.desc("freq"), "word")
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitter_phrases(load_table(spark, sf_dir, "documents"))
+
+
+ORACLES["q_heavy_hitters"] = f"""
+    WITH words AS (
+        SELECT string_split(lower(trim(text)), ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT concat_ws(' ', w[i], w[i+1], w[i+2]) AS word
+        FROM (SELECT w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+              FROM words)
+    ),
+    tot AS (SELECT count(1) AS n_total FROM grams),
+    counts AS (SELECT word, count(1)::BIGINT AS freq FROM grams GROUP BY word)
+    SELECT word, freq FROM counts, tot
+    WHERE freq * {HH_RATIO} >= n_total
+    ORDER BY freq DESC, word
+"""
+
+QUERIES["q_heavy_hitters"] = q_heavy_hitters
+BENCH.append("q_heavy_hitters")
