@@ -1232,6 +1232,42 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("doc_id")
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/drop decision surface with CANONICAL selection:
+    LSH near-dup pairs → connected components → every document joins
+    its cluster (singletons are their own cluster), and the canonical
+    representative is the LONGEST member (n_chars desc, doc_id asc
+    tie-break) — the "keep the richest copy" policy curation pipelines
+    apply, vs :func:`q_dedup_clusters`'s min-id convention which keeps
+    whichever copy happened to arrive first.
+
+    Scale shape: the CC label relation is near-dup-pairs-sized (tiny
+    vs corpus); the corpus joins it once (broadcast-able at real dup
+    rates) and the canonical argmax is one window over cluster_id —
+    a single corpus-linear exchange."""
+    documents = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_pairs_unordered(spark, sf_dir)
+    cc = connected_components(pairs)
+    full = (
+        documents.select("doc_id", "n_chars")
+        .join(cc, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        full.withColumn("canonical_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed embedding near-dup — the production plan: bounded
     candidate generation (broadcast centroid scoring, one bucket-keyed
@@ -1811,6 +1847,27 @@ ORACLES["q_dedup_embedding_clusters"] = f"""
     FROM reach GROUP BY node ORDER BY vec_id
 """
 
+# canonical selection: every document LEFT-joined to its CC cluster
+# (singletons are their own cluster), canonical = longest member
+# (n_chars desc, doc_id asc). The recursive-CTE cluster body is the
+# clusters oracle minus its presentation ORDER BY.
+ORACLES["q_dedup_canonical"] = f"""
+    WITH cc AS ({ORACLES["q_dedup_clusters"].rsplit("ORDER BY", 1)[0]}),
+    full_docs AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+               d.n_chars
+        FROM documents d LEFT JOIN cc c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           first_value(doc_id) OVER (
+               PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+           ) AS canonical_id,
+           (doc_id = first_value(doc_id) OVER (
+               PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+           ))::INT AS keep
+    FROM full_docs ORDER BY doc_id
+"""
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_incremental": q_dedup_incremental,
@@ -1820,6 +1877,7 @@ QUERIES = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_canonical": q_dedup_canonical,
     "q_dedup_embedding": q_dedup_embedding,
     "q_dedup_incremental_lsh": q_dedup_incremental_lsh,
     "q_dedup_embedding_clusters": q_dedup_embedding_clusters,

@@ -1,0 +1,395 @@
+"""Retrieval / model-inference operators over the ``documents`` table.
+
+The serving-adjacent half of a training-data pipeline:
+
+- BM25 top-k retrieval : Okapi BM25 scoring of a fixed query term set
+                         against the corpus — the standard sparse
+                         retrieval baseline (Robertson & Zaragoza 2009).
+- linear quality model : hashed-feature linear classifier INFERENCE as
+                         a pure map (zero shuffle) — the fastText-style
+                         quality-filter shape used by CCNet/Gopher-era
+                         curation, with deterministic stand-in weights.
+- source overlap       : pairwise shingle-vocabulary Jaccard between
+                         sources — "which feeds duplicate each other"
+                         corpus forensics, output bounded by |sources|².
+
+Scale notes (100 TB): BM25 filters the exploded term stream to the
+|Q| query terms BEFORE any shuffle, so the wide aggregate carries
+O(|Q| · n_docs_matching) rows, not the corpus vocabulary; the
+classifier is a single narrow projection (whole-stage codegen,
+no exchange at all except the presentation sort); source overlap
+shuffles the distinct (source, shingle) vocabulary once, keyed by
+shingle, with per-shingle fan-out bounded by |sources|².
+
+No counterpart in the reference repo (jackgisby/tfl-bikes-data-pipeline
+stops at warehouse analytics); these extend the engine toward
+LLM-corpus curation per SURVEY.md §6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .text import _words, _with_words
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval
+# ---------------------------------------------------------------------------
+
+#: Fixed demonstration query — terms with distinct corpus frequencies so
+#: the idf weighting is visible in the ranking.
+BM25_QUERY_TERMS: tuple[str, ...] = ("spark", "window", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """(doc_id, score) — top-``k`` documents by Okapi BM25 against the
+    fixed ``query_terms``, deterministic tie-break (score desc, doc_id
+    asc).
+
+    Scoring uses the RATIONAL idf variant idf(t) = (N - df + 0.5) /
+    (df + 0.5) (no transcendental ``ln`` — both engines produce
+    bit-identical doubles from the same +,*,/ chain over exact
+    integers, which a libm ``log`` cannot guarantee). Per-term
+    contributions are summed in FIXED textual order (s_t1 + s_t2 + ...)
+    rather than through an aggregate, because float addition order in a
+    ``sum()`` is engine-scheduling-dependent. The final score is
+    rounded to 6 dp and the ORDER is taken on the rounded value, so
+    both engines rank identically.
+
+    Plan shape: explode words → ``isin(query_terms)`` filter (pushed
+    below the exchange — the corpus vocabulary never shuffles) →
+    (doc_id, term) counts → conditional-aggregation pivot to one row
+    per matching doc → broadcast of two scalar relations (corpus N +
+    avgdl, per-term df) → TakeOrderedAndProject. One narrow scan + two
+    tiny aggregates; linear in corpus size, output bounded by ``k``.
+    """
+    words = documents.select(
+        "doc_id", F.explode(F.expr(_words())).alias("term")
+    ).where(F.col("term").isin(*query_terms))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # pivot the bounded term set into fixed columns (one row per doc
+    # that matched at least one query term)
+    tfp = tf.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            ).alias(f"tf_{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    # per-term document frequencies → one scalar row (broadcast)
+    dfs = tf.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.lit(1)).otherwise(F.lit(0))).alias(
+                f"df_{i}"
+            )
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    # corpus scalars: N and total word count → avgdl = sum_len / N
+    lens = documents.select(
+        "doc_id", F.expr(f"size({_words()})").alias("dl")
+    )
+    corpus = lens.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    scored = (
+        tfp.join(lens, "doc_id")
+        .join(F.broadcast(dfs))
+        .join(F.broadcast(corpus))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    contribs = []
+    for i in range(len(query_terms)):
+        tf_c = F.col(f"tf_{i}").cast("double")
+        idf = (
+            F.col("n_docs").cast("double") - F.col(f"df_{i}").cast("double") + F.lit(0.5)
+        ) / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        denom = tf_c + F.lit(BM25_K1) * (
+            F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+        contribs.append(idf * (tf_c * F.lit(BM25_K1 + 1.0)) / denom)
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    return (
+        scored.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+def _bm25_oracle() -> str:
+    ts = BM25_QUERY_TERMS
+    in_list = ", ".join(f"'{t}'" for t in ts)
+    tf_cols = ",\n               ".join(
+        f"coalesce(max(CASE WHEN term = '{t}' THEN tf END), 0) AS tf_{i}"
+        for i, t in enumerate(ts)
+    )
+    df_cols = ",\n               ".join(
+        f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(ts)
+    )
+    contribs = " + ".join(
+        f"(((n_docs::DOUBLE - df_{i}::DOUBLE + 0.5::DOUBLE) / (df_{i}::DOUBLE + 0.5::DOUBLE))"
+        f" * (tf_{i}::DOUBLE * {BM25_K1 + 1.0}::DOUBLE)"
+        f" / (tf_{i}::DOUBLE + {BM25_K1}::DOUBLE * (1.0::DOUBLE - {BM25_B}::DOUBLE"
+        f" + {BM25_B}::DOUBLE * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))"
+        for i in range(len(ts))
+    )
+    return f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(1) AS tf FROM words
+            WHERE term IN ({in_list}) GROUP BY doc_id, term
+        ),
+        tfp AS (
+            SELECT doc_id,
+               {tf_cols}
+            FROM tf GROUP BY doc_id
+        ),
+        dfs AS (
+            SELECT {df_cols}
+            FROM (SELECT DISTINCT doc_id, term FROM tf)
+        ),
+        lens AS (
+            SELECT doc_id, len(string_split(lower(trim(text)), ' ')) AS dl
+            FROM documents
+        ),
+        corpus AS (
+            SELECT count(1) AS n_docs, sum(dl) AS sum_dl FROM lens
+        )
+        SELECT t.doc_id, round({contribs}, 6) AS score
+        FROM tfp t JOIN lens l ON t.doc_id = l.doc_id
+        CROSS JOIN dfs CROSS JOIN corpus
+        ORDER BY score DESC, t.doc_id
+        LIMIT {BM25_TOP_K}
+    """
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear quality model (inference as a pure map)
+# ---------------------------------------------------------------------------
+
+#: hashing-trick feature dimension
+QMODEL_DIM = 64
+#: decision thresholds on the raw (pre-sigmoid) score
+QMODEL_KEEP = 0.05
+QMODEL_DROP = -0.05
+
+
+def _bucket_sql(term: str, engine: str) -> str:
+    """md5-derived feature bucket 0..QMODEL_DIM-1 — the two leading hex
+    digits, portable across engines via instr on the hex alphabet (the
+    same trick :mod:`.dedup` uses for simhash bits)."""
+    pos = "instr" if engine == "spark" else "strpos"
+    d1 = f"({pos}('0123456789abcdef', substr(md5({term}), 1, 1)) - 1)"
+    d2 = f"({pos}('0123456789abcdef', substr(md5({term}), 2, 1)) - 1)"
+    return f"((({d1}) * 16 + ({d2})) % {QMODEL_DIM})"
+
+
+def _weight_sql(bucket: str) -> str:
+    """Deterministic stand-in weight ×10 (INTEGER in [-10, 10]): a real
+    deployment broadcasts trained weights; the arithmetic stand-in
+    keeps the oracle exactly mirrorable while exercising the identical
+    plan (per-word bucket lookup + weighted sum)."""
+    return f"((({bucket}) * 37) % 21 - 10)"
+
+
+def quality_model_scores(documents: DataFrame) -> DataFrame:
+    """(doc_id, raw_score, decision) — hashed-unigram linear model
+    inference. Each word hashes to one of ``QMODEL_DIM`` buckets; the
+    weighted sum accumulates as an exact BIGINT (integer weights ×10)
+    so the reduction is order-independent, then ONE double division by
+    10·n_words produces the mean activation. The only exchange in the
+    plan is the presentation sort: at 100 TB this runs as a single
+    narrow codegen'd projection over the scan — the model-inference
+    shape every quality-filter pass (CCNet / Gopher reproductions)
+    needs at corpus scale.
+
+    ``aggregate(...)`` (fold) rather than ``sum(transform(...))``
+    keeps the lambda integer-typed end to end.
+    """
+    bucket = _bucket_sql("x", "spark")
+    num = (
+        f"aggregate({_words()}, 0L, (acc, x) -> acc + {_weight_sql(bucket)})"
+    )
+    return (
+        documents.select(
+            "doc_id",
+            F.expr(num).alias("wsum"),
+            F.expr(f"size({_words()})").alias("n_words"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.col("wsum").cast("double")
+                / (F.lit(10.0) * F.col("n_words").cast("double")),
+                6,
+            ).alias("raw_score"),
+        )
+        .withColumn(
+            "decision",
+            F.when(F.col("raw_score") >= QMODEL_KEEP, "keep")
+            .when(F.col("raw_score") >= QMODEL_DROP, "review")
+            .otherwise("drop"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_model_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_model_oracle() -> str:
+    bucket = _bucket_sql("x", "duck")
+    return f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   list_sum(list_transform(
+                       string_split(lower(trim(text)), ' '),
+                       x -> {_weight_sql(bucket)}
+                   ))::BIGINT AS wsum,
+                   len(string_split(lower(trim(text)), ' ')) AS n_words
+            FROM documents
+        )
+        SELECT doc_id,
+               round(wsum::DOUBLE / (10.0::DOUBLE * n_words::DOUBLE), 6) AS raw_score,
+               CASE WHEN round(wsum::DOUBLE / (10.0::DOUBLE * n_words::DOUBLE), 6)
+                         >= {QMODEL_KEEP} THEN 'keep'
+                    WHEN round(wsum::DOUBLE / (10.0::DOUBLE * n_words::DOUBLE), 6)
+                         >= {QMODEL_DROP} THEN 'review'
+                    ELSE 'drop' END AS decision
+        FROM scored ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# source-overlap matrix
+# ---------------------------------------------------------------------------
+
+#: word n-gram width for the per-source vocabulary
+OVERLAP_SHINGLE = 3
+
+
+def source_overlap(documents: DataFrame, n: int = OVERLAP_SHINGLE) -> DataFrame:
+    """(source_a, source_b, common, jaccard) — pairwise Jaccard between
+    the distinct word-``n``-gram vocabularies of each source, for every
+    unordered source pair with at least one shared shingle. The corpus
+    forensics view: two feeds scraping the same upstream show up as a
+    high-overlap pair before any per-document dedup runs.
+
+    Scale shape: distinct (source, shingle) [one shuffle keyed by the
+    pair], self-join keyed by shingle with per-shingle fan-out bounded
+    by |sources|² (sources are a small dimension by construction),
+    then two bounded aggregates. Output ≤ |sources|² rows. The
+    jaccard is one division of exact integers — engine-identical.
+    """
+    grams_expr = (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', slice(w, i + 1, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    vocab = (
+        _with_words(documents)
+        .select("source", F.explode(F.expr(grams_expr)).alias("shingle"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = vocab.select(F.col("source").alias("source_a"), "shingle")
+    b = vocab.select(F.col("source").alias("source_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("source_a"), F.col("n_shingles").alias("na"))
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("source_b"), F.col("n_shingles").alias("nb"))
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+_SOURCE_OVERLAP_ORACLE = f"""
+    WITH words AS (
+        SELECT source, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ),
+    vocab AS (
+        SELECT DISTINCT source,
+               concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+        FROM (SELECT source, w,
+                     unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+              FROM words)
+    ),
+    sizes AS (
+        SELECT source, count(1) AS n_shingles FROM vocab GROUP BY source
+    ),
+    common AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(1)::BIGINT AS common
+        FROM vocab a JOIN vocab b ON a.shingle = b.shingle
+        WHERE a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT c.source_a, c.source_b, c.common,
+           c.common::DOUBLE / (sa.n_shingles + sb.n_shingles - c.common)::DOUBLE AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.source = c.source_a
+    JOIN sizes sb ON sb.source = c.source_b
+    ORDER BY c.source_a, c.source_b
+"""
+
+
+QUERIES = {
+    "q_bm25_topk": q_bm25_topk,
+    "q_quality_model": q_quality_model,
+    "q_source_overlap": q_source_overlap,
+}
+
+ORACLES = {
+    "q_bm25_topk": _bm25_oracle(),
+    "q_quality_model": _quality_model_oracle(),
+    "q_source_overlap": _SOURCE_OVERLAP_ORACLE,
+}
+
+BENCH = list(QUERIES)

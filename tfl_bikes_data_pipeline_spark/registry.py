@@ -83,6 +83,7 @@ def _load_all() -> None:
         merge,
         multimodal,
         profile,
+        retrieval,
         scd,
         similarity,
         text,
@@ -90,7 +91,7 @@ def _load_all() -> None:
         training,
     )
 
-    for mod in (dedup, similarity, text, multimodal, profile, asof, timeseries, merge, scd, fuzzy, training, graph):
+    for mod in (dedup, similarity, text, multimodal, profile, retrieval, asof, timeseries, merge, scd, fuzzy, training, graph):
         _register(
             mod.QUERIES,
             mod.ORACLES,
