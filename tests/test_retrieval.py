@@ -1,0 +1,140 @@
+"""Semantic properties of the retrieval / model-inference operators
+(beyond the oracle hash): ranking monotonicity, decision-band
+partition, canonical-selection policy, overlap bounds — plus the
+plan-shape pins that make each operator's 100 TB story checkable."""
+
+import pyspark.sql.functions as F
+
+from tfl_bikes_data_pipeline_spark.operators.retrieval import (
+    BM25_QUERY_TERMS,
+    BM25_TOP_K,
+    QMODEL_DROP,
+    QMODEL_KEEP,
+    bm25_topk,
+    quality_model_scores,
+    source_overlap,
+)
+from tfl_bikes_data_pipeline_spark.tables import load_table
+from .test_plan_quality import _exchange_count, plan_of
+
+
+def test_bm25_scores_positive_and_bounded(spark, sf_dir):
+    """Every returned doc matched ≥1 query term (score > 0), and the
+    result is exactly the top-k: no doc outside the result may out-score
+    the k-th returned doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    top = bm25_topk(docs).collect()
+    assert 0 < len(top) <= BM25_TOP_K
+    assert all(r.score > 0 for r in top)
+    kth = top[-1].score
+    # rerun unrestricted: count docs scoring strictly above the k-th
+    allscores = bm25_topk(docs, k=10**6).collect()
+    above = [r for r in allscores if r.score > kth]
+    assert len(above) < BM25_TOP_K
+
+
+def test_bm25_more_matches_scores_higher(spark):
+    """A doc containing every query term must outrank an
+    equal-length doc containing one — idf-weighted sum dominance."""
+    t_all = " ".join(BM25_QUERY_TERMS) + " filler pad pad"
+    t_one = f"{BM25_QUERY_TERMS[0]} filler pad pad pad pad"
+    docs = spark.createDataFrame(
+        [(1, t_all), (2, t_one), (3, "nothing here at all pad pad")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.score for r in bm25_topk(docs).collect()}
+    assert 3 not in rows  # no query term → no score row
+    assert rows[1] > rows[2]
+
+
+def test_quality_model_bands_partition_scores(spark, sf_dir):
+    """decision is a pure function of raw_score with the declared
+    thresholds — bands must partition the score line exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    bad = quality_model_scores(docs).where(
+        (
+            (F.col("raw_score") >= QMODEL_KEEP) & (F.col("decision") != "keep")
+        )
+        | (
+            (F.col("raw_score") < QMODEL_DROP) & (F.col("decision") != "drop")
+        )
+        | (
+            (F.col("raw_score") >= QMODEL_DROP)
+            & (F.col("raw_score") < QMODEL_KEEP)
+            & (F.col("decision") != "review")
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_quality_model_is_narrow(spark, sf_dir):
+    """Model inference is a pure map: the ONLY Exchange allowed is the
+    presentation sort's range partitioning — the plan property that
+    makes the quality-filter pass a single corpus scan at 100 TB."""
+    from tfl_bikes_data_pipeline_spark import registry
+
+    plan = plan_of(registry.QUERIES["q_quality_model"](spark, sf_dir))
+    n = _exchange_count(plan)
+    assert n <= 1, f"quality-model plan shuffles {n}× (budget 1: the sort)"
+
+
+def test_bm25_is_one_pass(spark, sf_dir):
+    """BM25's 100 TB shape: per-row tf extraction (no Generate — the
+    corpus vocabulary never materializes), ONE single-row scalar
+    aggregate (the only Exchange) broadcast back, TakeOrderedAndProject
+    for the top-k."""
+    from tfl_bikes_data_pipeline_spark import registry
+
+    plan = plan_of(registry.QUERIES["q_bm25_topk"](spark, sf_dir))
+    assert "Generate" not in plan, "BM25 must not explode the corpus"
+    n = _exchange_count(plan)
+    assert n <= 1, f"BM25 shuffles {n}× (budget 1: the scalar aggregate)"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_canonical_keeps_longest_member(spark, sf_dir):
+    """Within every multi-doc cluster the canonical doc has max
+    n_chars (doc_id-min tie-break), and exactly one member per cluster
+    is kept."""
+    from tfl_bikes_data_pipeline_spark import registry
+
+    out = registry.QUERIES["q_dedup_canonical"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = out.join(docs, "doc_id")
+    per_cluster = j.groupBy("cluster_id").agg(
+        F.sum("keep").alias("n_keep"),
+        F.max("n_chars").alias("max_chars"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    assert per_cluster.where(F.col("n_keep") != 1).count() == 0
+    canon = j.where(F.col("keep") == 1).join(
+        per_cluster.select("cluster_id", "max_chars"), "cluster_id"
+    )
+    assert canon.where(F.col("n_chars") != F.col("max_chars")).count() == 0
+
+
+def test_canonical_covers_every_document(spark, sf_dir):
+    """The decision surface is total: one row per corpus document
+    (singletons keep themselves)."""
+    from tfl_bikes_data_pipeline_spark import registry
+
+    out = registry.QUERIES["q_dedup_canonical"](spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs
+    singles = out.where(
+        (F.col("cluster_id") == F.col("doc_id"))
+        & (F.col("canonical_id") == F.col("doc_id"))
+    )
+    assert singles.where(F.col("keep") != 1).count() == 0
+
+
+def test_source_overlap_bounds_and_symmetric_input(spark, sf_dir):
+    """jaccard ∈ (0, 1]; common ≤ min(vocab sizes) — and each unordered
+    pair appears at most once."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = source_overlap(docs)
+    rows = out.collect()
+    assert all(0.0 < r.jaccard <= 1.0 for r in rows)
+    assert all(r.source_a < r.source_b for r in rows)
+    pairs = [(r.source_a, r.source_b) for r in rows]
+    assert len(pairs) == len(set(pairs))

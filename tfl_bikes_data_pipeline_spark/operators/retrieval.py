@@ -65,48 +65,39 @@ def bm25_topk(
     rounded to 6 dp and the ORDER is taken on the rounded value, so
     both engines rank identically.
 
-    Plan shape: explode words → ``isin(query_terms)`` filter (pushed
-    below the exchange — the corpus vocabulary never shuffles) →
-    (doc_id, term) counts → conditional-aggregation pivot to one row
-    per matching doc → broadcast of two scalar relations (corpus N +
-    avgdl, per-term df) → TakeOrderedAndProject. One narrow scan + two
-    tiny aggregates; linear in corpus size, output bounded by ``k``.
+    Plan shape — ONE PASS, no explode: the fixed query-term tfs come
+    from per-row ``size(filter(w, x -> x = t))`` (the corpus vocabulary
+    never materializes, let alone shuffles), so the per-doc relation is
+    a narrow codegen'd projection of the scan. ALL corpus statistics
+    (N, Σlen, every per-term df) fold into a single one-row aggregate
+    over that projection — one map-side-combined Exchange carrying one
+    row per task — broadcast back onto the matching docs, then
+    TakeOrderedAndProject. Two scans of the text column total (the
+    scalar branch and the scored branch), zero wide shuffles; at
+    100 TB the cost is the scan itself.
     """
-    words = documents.select(
-        "doc_id", F.explode(F.expr(_words())).alias("term")
-    ).where(F.col("term").isin(*query_terms))
-    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # pivot the bounded term set into fixed columns (one row per doc
-    # that matched at least one query term)
-    tfp = tf.groupBy("doc_id").agg(
+    per_doc = _with_words(documents).select(
+        "doc_id",
+        F.expr("size(w)").alias("dl"),
         *[
-            F.coalesce(
-                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
-            ).alias(f"tf_{i}")
+            F.expr(f"size(filter(w, x -> x = '{t}'))").alias(f"tf_{i}")
             for i, t in enumerate(query_terms)
-        ]
+        ],
     )
-    # per-term document frequencies → one scalar row (broadcast)
-    dfs = tf.groupBy().agg(
+    # every corpus statistic in ONE single-row aggregate (broadcast)
+    corpus = per_doc.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
         *[
-            F.sum(F.when(F.col("term") == t, F.lit(1)).otherwise(F.lit(0))).alias(
-                f"df_{i}"
-            )
-            for i, t in enumerate(query_terms)
-        ]
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
     )
-    # corpus scalars: N and total word count → avgdl = sum_len / N
-    lens = documents.select(
-        "doc_id", F.expr(f"size({_words()})").alias("dl")
-    )
-    corpus = lens.groupBy().agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    scored = (
-        tfp.join(lens, "doc_id")
-        .join(F.broadcast(dfs))
-        .join(F.broadcast(corpus))
-    )
+    match_any = None
+    for i in range(len(query_terms)):
+        cond = F.col(f"tf_{i}") > 0
+        match_any = cond if match_any is None else (match_any | cond)
+    scored = per_doc.where(match_any).join(F.broadcast(corpus))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
     contribs = []
     for i in range(len(query_terms)):
@@ -134,15 +125,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bm25_oracle() -> str:
     ts = BM25_QUERY_TERMS
-    in_list = ", ".join(f"'{t}'" for t in ts)
     tf_cols = ",\n               ".join(
-        f"coalesce(max(CASE WHEN term = '{t}' THEN tf END), 0) AS tf_{i}"
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}"
         for i, t in enumerate(ts)
     )
     df_cols = ",\n               ".join(
-        f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS df_{i}"
-        for i, t in enumerate(ts)
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(ts))
     )
+    match_any = " OR ".join(f"tf_{i} > 0" for i in range(len(ts)))
     contribs = " + ".join(
         f"(((n_docs::DOUBLE - df_{i}::DOUBLE + 0.5::DOUBLE) / (df_{i}::DOUBLE + 0.5::DOUBLE))"
         f" * (tf_{i}::DOUBLE * {BM25_K1 + 1.0}::DOUBLE)"
@@ -151,34 +142,21 @@ def _bm25_oracle() -> str:
         for i in range(len(ts))
     )
     return f"""
-        WITH words AS (
-            SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
-            FROM documents
-        ),
-        tf AS (
-            SELECT doc_id, term, count(1) AS tf FROM words
-            WHERE term IN ({in_list}) GROUP BY doc_id, term
-        ),
-        tfp AS (
-            SELECT doc_id,
+        WITH per_doc AS (
+            SELECT doc_id, len(w) AS dl,
                {tf_cols}
-            FROM tf GROUP BY doc_id
-        ),
-        dfs AS (
-            SELECT {df_cols}
-            FROM (SELECT DISTINCT doc_id, term FROM tf)
-        ),
-        lens AS (
-            SELECT doc_id, len(string_split(lower(trim(text)), ' ')) AS dl
-            FROM documents
+            FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+                  FROM documents)
         ),
         corpus AS (
-            SELECT count(1) AS n_docs, sum(dl) AS sum_dl FROM lens
+            SELECT count(1) AS n_docs, sum(dl) AS sum_dl,
+               {df_cols}
+            FROM per_doc
         )
-        SELECT t.doc_id, round({contribs}, 6) AS score
-        FROM tfp t JOIN lens l ON t.doc_id = l.doc_id
-        CROSS JOIN dfs CROSS JOIN corpus
-        ORDER BY score DESC, t.doc_id
+        SELECT doc_id, round({contribs}, 6) AS score
+        FROM per_doc CROSS JOIN corpus
+        WHERE {match_any}
+        ORDER BY score DESC, doc_id
         LIMIT {BM25_TOP_K}
     """
 
