@@ -138,3 +138,38 @@ def test_source_overlap_bounds_and_symmetric_input(spark, sf_dir):
     assert all(r.source_a < r.source_b for r in rows)
     pairs = [(r.source_a, r.source_b) for r in rows]
     assert len(pairs) == len(set(pairs))
+
+
+def test_ann_recall_eval_bounds_and_floor(spark, sf_dir):
+    """Recall is a valid ratio per query, and the IVF configuration's
+    measured quality stays above the documented floor (0.6 per query,
+    0.7 mean at fixture scales — regression guard for probe-count or
+    assignment changes)."""
+    from tfl_bikes_data_pipeline_spark import registry
+
+    rows = registry.QUERIES["q_ann_recall_eval"](spark, sf_dir).collect()
+    assert rows, "recall eval returned no queries"
+    assert all(0.0 <= r.recall <= 1.0 for r in rows)
+    assert all(r.recall >= 0.6 for r in rows)
+    assert sum(r.recall for r in rows) / len(rows) >= 0.7
+
+
+def test_leakage_safe_split_coassigns_duplicates(spark):
+    """The whole point: a reordered / re-multiplied copy of a document
+    must land in the same split as the original (an id-hashed split
+    would scatter them)."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import wordset_fingerprint
+    from tfl_bikes_data_pipeline_spark.operators.training import split_assign
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "delta gamma beta alpha"),          # reordered
+            (3, "alpha alpha beta beta gamma delta"),  # re-multiplied
+            (4, "completely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = split_assign(docs.withColumn("fp", wordset_fingerprint()), "fp")
+    splits = {r.doc_id: r.split for r in out.collect()}
+    assert splits[1] == splits[2] == splits[3]

@@ -1246,3 +1246,63 @@ ORACLES["q_embed_pca_project"] = f"""
 """
 QUERIES["q_embed_pca_project"] = q_embed_pca_project
 BENCH.append("q_embed_pca_project")
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation — index-quality measurement as a query
+# ---------------------------------------------------------------------------
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, n_hits, recall) — per-query recall@k of the IVF-probed
+    search against the exact brute-force top-k: the index-quality
+    metric every ANN deployment tracks (probe counts get tuned against
+    exactly this number). Declared as a QUERY so the measurement runs
+    in-engine over the same relations, not as offline analysis.
+
+    Scale shape: both branches are the already-declared bounded plans
+    (query set broadcast, candidates blocked by the IVF buckets); the
+    recall join keys on (qid, vec_id) over two ≤ q·k-row relations —
+    negligible next to the searches themselves. Exact-integer division
+    for the recall value; LEFT join from the per-qid k so a
+    zero-overlap query still reports recall 0.0."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    corpus = _vecs(embeddings, "vec_id", "cv")
+    queries = _vecs(embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv")
+    brute = cosine_topk(corpus, queries).select("qid", "vec_id")
+    approx = ivf_search(embeddings, queries).select("qid", "vec_id")
+    hits = (
+        brute.join(approx, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    ks = brute.groupBy("qid").agg(F.count(F.lit(1)).alias("k_eff"))
+    return (
+        ks.join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("k_eff").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
+ORACLES["q_ann_recall_eval"] = f"""
+    WITH brute AS ({ORACLES["q_ann_brute_topk"]}),
+    approx AS ({ORACLES["q_ann_ivf_topk"]}),
+    hits AS (
+        SELECT b.qid, count(1) AS n_hits
+        FROM brute b JOIN approx a ON a.qid = b.qid AND a.vec_id = b.vec_id
+        GROUP BY b.qid
+    ),
+    ks AS (SELECT qid, count(1) AS k_eff FROM brute GROUP BY qid)
+    SELECT k.qid, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+           coalesce(h.n_hits, 0)::DOUBLE / k.k_eff::DOUBLE AS recall
+    FROM ks k LEFT JOIN hits h ON h.qid = k.qid
+    ORDER BY k.qid
+"""
+QUERIES["q_ann_recall_eval"] = q_ann_recall_eval
+BENCH.append("q_ann_recall_eval")

@@ -832,3 +832,46 @@ ORACLES["q_budget_select"] = f"""
     ORDER BY cum_tokens
 """
 QUERIES["q_budget_select"] = q_budget_select
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/val/test split — duplicates co-assign by content
+# ---------------------------------------------------------------------------
+
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split) — train/val/test assignment hashed from the
+    CONTENT fingerprint (sorted distinct word set) instead of the row
+    id: every exact / reordered / re-multiplied copy of a document
+    lands in the SAME split, closing the classic evaluation leak where
+    an id-hashed split puts one copy of a duplicated doc in train and
+    its twin in test (the contamination mode decontamination checks
+    for AFTER the fact; this prevents it at assignment time).
+
+    Same md5-prefix band rule as :func:`split_assign` (≈90/5/5), same
+    narrow zero-shuffle shape — the fingerprint is a per-row
+    expression, so at 100 TB this stays a single codegen'd scan
+    projection plus the presentation sort."""
+    from .dedup import wordset_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        split_assign(docs.withColumn("fp", wordset_fingerprint()), "fp")
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["q_split_leakage_safe"] = f"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(md5(array_to_string(list_sort(list_distinct(
+                   string_split(lower(trim(text)), ' '))), ' '))) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN substr(h, 1, 2) < '{'{'}SPLIT_TRAIN{'}'}' THEN 'train'
+                WHEN substr(h, 1, 2) < '{'{'}SPLIT_VAL{'}'}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM fp ORDER BY doc_id
+""".replace("{SPLIT_TRAIN}", SPLIT_TRAIN_HEX).replace("{SPLIT_VAL}", SPLIT_VAL_HEX)
+QUERIES["q_split_leakage_safe"] = q_split_leakage_safe
