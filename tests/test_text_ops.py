@@ -216,3 +216,42 @@ def test_heavy_hitters_counts_are_exact(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cdc_chunks_reconstruct_and_are_edit_stable(spark):
+    """CDC invariants: (1) chunks joined in order reproduce the word
+    stream; (2) appending words to a document leaves every earlier
+    chunk byte-identical — the content-defined property a fixed-stride
+    chunker cannot provide (an insertion shifts all later fixed
+    boundaries)."""
+    from tfl_bikes_data_pipeline_spark.operators.text import cdc_chunks
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra words appended here")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    for d in by_doc.values():
+        d.sort()
+    rebuilt = " ".join(t for _, t in by_doc[1])
+    assert rebuilt == base
+    # every chunk of doc 1 except possibly the last must appear
+    # verbatim, in order, at the head of doc 2's chunk list
+    c1 = [t for _, t in by_doc[1]]
+    c2 = [t for _, t in by_doc[2]]
+    assert c2[: len(c1) - 1] == c1[:-1]
+
+
+def test_cdc_chunks_is_narrow(spark, sf_dir):
+    """CDC must stay scan-side: the ONLY Exchange allowed is the
+    presentation sort's range partitioning."""
+    from tfl_bikes_data_pipeline_spark import registry
+    from .test_plan_quality import _exchange_count, plan_of
+
+    plan = plan_of(registry.QUERIES["q_cdc_chunks"](spark, sf_dir))
+    n = _exchange_count(plan)
+    assert n <= 1, f"CDC chunking shuffles {n}× (budget 1: the sort)"

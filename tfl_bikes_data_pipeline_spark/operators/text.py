@@ -1555,3 +1555,96 @@ ORACLES["q_heavy_hitters"] = f"""
 
 QUERIES["q_heavy_hitters"] = q_heavy_hitters
 BENCH.append("q_heavy_hitters")
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) — rolling-boundary variable windows
+# ---------------------------------------------------------------------------
+
+#: boundary divisor: a word STARTS a new chunk when its md5 leading hex
+#: digit mod CDC_DIVISOR == 0 (p = 2/16 → expected chunk ≈ 8 words).
+CDC_DIVISOR = 8
+
+
+def cdc_chunks(documents: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, n_words, chunk_text) — CONTENT-DEFINED
+    chunking: boundaries fall where the word's own hash satisfies the
+    divisor predicate, not at fixed offsets. The property that matters
+    for dedup storage and incremental re-ingest: an edit near the END
+    of a document leaves every earlier chunk byte-identical (fixed
+    windows shift every boundary after an insertion — one edit
+    invalidates the whole tail), so chunk-level caches and
+    chunk-fingerprint dedup stay warm under document churn (the FastCDC
+    / LBFS rolling-boundary idea applied at word grain).
+
+    Fully narrow: boundary positions come from a per-row
+    ``filter(sequence(...))`` over the word array, chunk slices from
+    ``slice`` arithmetic — O(len) per row, no explode until the final
+    constant-factor posexplode, zero shuffles besides the presentation
+    sort."""
+    d1 = "(instr('0123456789abcdef', substr(md5(element_at(w, i)), 1, 1)) - 1)"
+    bpos = (
+        f"filter(sequence(1, size(w)), i -> i > 1 AND {d1} % {CDC_DIVISOR} = 0)"
+    )
+    chunks = (
+        f"transform(sequence(1, size(starts)), j -> concat_ws(' ', "
+        f"slice(w, element_at(starts, j), "
+        f"(CASE WHEN j < size(starts) THEN element_at(starts, j + 1) "
+        f"ELSE size(w) + 1 END) - element_at(starts, j))))"
+    )
+    return (
+        _with_words(documents)
+        .withColumn("starts", F.expr(f"concat(array(1), {bpos})"))
+        .select(
+            "doc_id", F.posexplode(F.expr(chunks)).alias("chunk_id", "chunk_text")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.expr("size(split(chunk_text, ' '))").cast("int").alias("n_words"),
+            "chunk_text",
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc_chunks(load_table(spark, sf_dir, "documents"))
+
+
+# independent formulation on purpose: the engine side is slice
+# arithmetic over arrays, the oracle is an explode + window cumsum +
+# ordered string_agg — agreeing answers from structurally different
+# computations are stronger differential evidence (everything here is
+# exact strings/ints, so no float-determinism reason to mirror).
+ORACLES["q_cdc_chunks"] = f"""
+    WITH words AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ),
+    exploded AS (
+        SELECT doc_id, i AS pos, w[i] AS word
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+              FROM words)
+    ),
+    flagged AS (
+        SELECT doc_id, pos, word,
+               CASE WHEN pos > 1
+                         AND (strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1)
+                             % {CDC_DIVISOR} = 0
+                    THEN 1 ELSE 0 END AS is_boundary
+        FROM exploded
+    ),
+    assigned AS (
+        SELECT doc_id, pos, word,
+               sum(is_boundary) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+               ) AS chunk_id
+        FROM flagged
+    )
+    SELECT doc_id, chunk_id::INT AS chunk_id, count(1)::INT AS n_words,
+           string_agg(word, ' ' ORDER BY pos) AS chunk_text
+    FROM assigned GROUP BY doc_id, chunk_id
+    ORDER BY doc_id, chunk_id
+"""
+QUERIES["q_cdc_chunks"] = q_cdc_chunks
+BENCH.append("q_cdc_chunks")
