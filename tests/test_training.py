@@ -105,3 +105,42 @@ def test_cap_per_source_invariants(spark, sf_dir):
             key=lambda r: (-r.n_chars, r.doc_id),
         )[:SOURCE_CAP]
         assert {m.doc_id for m in members} == {r.doc_id for r in pool}
+
+
+def test_adaptive_filter_per_source_keep_fraction(spark, sf_dir):
+    """Each source keeps ~the top 60% by n_chars: kept fraction per
+    source lands in [0.55, 0.65] at any fixture scale (exact rank
+    arithmetic ⇒ the bound is deterministic given n ≥ 10), and every
+    kept doc outranks every dropped doc within its source."""
+    import pyspark.sql.functions as F
+
+    from tfl_bikes_data_pipeline_spark import registry
+
+    out = registry.QUERIES["q_adaptive_filter"](spark, sf_dir)
+    frac = (
+        out.groupBy("source")
+        .agg(
+            (F.sum("keep") / F.count(F.lit(1))).alias("kept"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for r in frac:
+        if r.n >= 10:
+            assert 0.5 <= r.kept <= 0.7, (r.source, r.kept)
+    worst_kept = (
+        out.where(F.col("keep") == 1)
+        .groupBy("source")
+        .agg(F.min("n_chars").alias("min_kept"))
+    )
+    best_dropped = (
+        out.where(F.col("keep") == 0)
+        .groupBy("source")
+        .agg(F.max("n_chars").alias("max_dropped"))
+    )
+    bad = (
+        worst_kept.join(best_dropped, "source")
+        .where(F.col("max_dropped") > F.col("min_kept"))
+        .count()
+    )
+    assert bad == 0

@@ -875,3 +875,50 @@ ORACLES["q_split_leakage_safe"] = f"""
     FROM fp ORDER BY doc_id
 """.replace("{SPLIT_TRAIN}", SPLIT_TRAIN_HEX).replace("{SPLIT_VAL}", SPLIT_VAL_HEX)
 QUERIES["q_split_leakage_safe"] = q_split_leakage_safe
+
+
+# ---------------------------------------------------------------------------
+# per-source adaptive quality threshold — rank-quantile filtering
+# ---------------------------------------------------------------------------
+
+#: keep the top (1 - ADAPTIVE_CUT) fraction of each source by quality
+ADAPTIVE_CUT = 0.4
+
+
+def q_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_chars, pr, keep) — PER-SOURCE quality
+    filtering with an adaptive threshold: each document's exact
+    percent_rank within its source (by n_chars, doc_id-tie-broken)
+    decides keep/drop, so a uniformly-low-quality source still
+    contributes its best 60% instead of being wiped out by one global
+    cutoff (and a high-quality source still sheds its worst 40%) —
+    the per-domain thresholding curation pipelines apply because
+    quality-score distributions differ wildly across feeds.
+
+    Exact rank arithmetic ((rank-1)/(n-1), integers) — no interpolated
+    percentiles, so both engines agree bit-for-bit. One shuffle keyed
+    by source (the window), linear in corpus size; source cardinality
+    is small, and a skewed mega-source AQE-splits on the sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn(
+            "keep", (F.col("pr") >= F.lit(ADAPTIVE_CUT)).cast("int")
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["q_adaptive_filter"] = f"""
+    SELECT doc_id, source, n_chars,
+           percent_rank() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+           ) AS pr,
+           (percent_rank() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+           ) >= {ADAPTIVE_CUT})::INT AS keep
+    FROM documents ORDER BY doc_id
+"""
+QUERIES["q_adaptive_filter"] = q_adaptive_filter
