@@ -994,9 +994,24 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     underlying RDDs rather than via unpersist, a bounded
     rounds × |labels| cost per call.
     """
+    # both orientations via ONE narrow explode, not union(swap): a
+    # union references the (possibly expensive — embedding pairs cost
+    # seconds at bench scale, a full candidate-generation pass at
+    # 100 TB) pairs subtree TWICE in the materialization job, doubling
+    # its computation; the explode scans it once.
     edges = _retain(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
     )
     labels = (
         edges.select(F.col("src").alias("node"))
