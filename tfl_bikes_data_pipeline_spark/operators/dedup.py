@@ -1058,6 +1058,22 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.col("label"), F.coalesce("jlabel", "label")
             ).alias("label"),
         )
+        # SECOND pointer jump in the same round: each jump is one more
+        # tiny join over the (cached, pairs-sized) label relation —
+        # negligible build cost next to the per-round checkpoint job —
+        # but propagation distance goes ×4 per round instead of ×2, so
+        # a chain-shaped component (sequential near-dups: vec i ~
+        # vec i+1, the shape the embedding fixture actually contains)
+        # halves its round count. Fixpoint is unchanged: min-label
+        # jumping is idempotent, extra jumps never overshoot.
+        stepped = stepped.join(
+            jump, stepped["label"] == jump["jnode"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("jlabel", "label")
+            ).alias("label"),
+        )
         spark_ctx = stepped.sparkSession.sparkContext
         if spark_ctx.getCheckpointDir() is not None:
             new_labels = stepped.checkpoint()
