@@ -421,3 +421,58 @@ def test_containment_prune_is_lossless(spark, sf_dir):
         for r in containment_pairs_pruned(sets, CONTAINMENT_THRESHOLD).collect()
     }
     assert pruned == unpruned
+
+
+def test_duplicated_span_profile_planted_case(spark):
+    """Hand-checkable geometry: doc 0 and doc 1 share a 10-word run
+    (positions 0-9 in doc 0, 5-14 in doc 1); doc 2 is all-fresh text.
+    With 8-token grams the shared run yields windows at positions 0-2
+    of doc 0 (coverage 0..9 = 10 tokens) and 5-7 of doc 1 (coverage
+    5..14 = 10 tokens) — ONE merged span each; doc 2 reports zero."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        duplicated_span_profile,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " " + " ".join(f"a{i}" for i in range(6))),
+            (1, " ".join(f"b{i}" for i in range(5)) + " " + shared + " b5 b6"),
+            (2, " ".join(f"c{i}" for i in range(16))),
+            (3, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in duplicated_span_profile(docs).collect()}
+    assert rows[0].n_tokens == 16 and rows[0].dup_tokens == 10
+    assert rows[0].n_spans == 1 and abs(rows[0].dup_ratio - 0.625) < 1e-9
+    assert rows[1].n_tokens == 17 and rows[1].dup_tokens == 10
+    assert rows[1].n_spans == 1
+    assert rows[2].dup_tokens == 0 and rows[2].n_spans == 0
+    assert rows[3].n_tokens == 2 and rows[3].dup_tokens == 0  # < gram guard
+
+
+def test_duplicated_span_profile_merges_overlaps_exactly(spark):
+    """Two duplicated grams overlapping within one doc must merge into
+    one span whose length is the interval UNION, not the sum (the
+    double-count a naive per-gram sum would produce)."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        duplicated_span_profile,
+    )
+
+    # doc 0 repeats its own opening 9 words at position 9 → grams at
+    # 0,1 and 9,10 (plus cross-matches); doc 1 holds a disjoint copy.
+    run = " ".join(f"w{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            (0, run + " " + run),
+            (1, run + " x0 x1 x2 x3 x4 x5 x6 x7 x8"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in duplicated_span_profile(docs).collect()}
+    # every 8-gram of doc 0 appears ≥ twice (w-run periodicity) → the
+    # whole doc is one duplicated span of 18 tokens.
+    assert rows[0].dup_tokens == 18 and rows[0].n_spans == 1
+    # doc 1: only its first 9 tokens duplicate (grams at pos 0,1).
+    assert rows[1].dup_tokens == 9 and rows[1].n_spans == 1

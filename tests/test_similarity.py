@@ -255,3 +255,81 @@ def test_covariance_impls_identical(spark, sf_dir):
     expr = embedding_covariance(emb, impl="expr").orderBy("i", "j").collect()
     assert arrow == expr
     assert len(arrow) == 64 * 65 // 2
+
+
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    """Every vector gets PQ_M codes, each in [0, PQ_KSUB)."""
+    from tfl_bikes_data_pipeline_spark.operators.similarity import (
+        PQ_KSUB,
+        PQ_M,
+        _pq_subcentroids,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, _pq_subcentroids(emb))
+    bad = codes.where(
+        (F.size("codes") != PQ_M)
+        | (F.expr("array_min(codes)") < 0)
+        | (F.expr("array_max(codes)") >= PQ_KSUB)
+    ).count()
+    assert bad == 0
+    assert codes.count() == emb.count()
+
+
+def test_pq_encode_never_shuffles_the_corpus(spark, sf_dir):
+    """The PQ index build must stay embarrassingly parallel: the only
+    Exchange in the encode plan is the SinglePartition fold of the
+    64-row codebook (plus its broadcast back) — the corpus relation is
+    scan → project, never hash-partitioned. An explode+window encode
+    (which would shuffle the corpus PQ_M times over) fails this pin."""
+    import contextlib
+    import io
+
+    from tfl_bikes_data_pipeline_spark.operators.similarity import (
+        _pq_subcentroids,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = pq_encode(emb, _pq_subcentroids(emb))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        enc.explain("formatted")
+    plan = buf.getvalue()
+    assert "hashpartitioning" not in plan, "corpus shuffled during PQ encode"
+    assert plan.count("Exchange") <= 4  # codebook fold + broadcast only
+
+
+def test_pq_search_recall_floor_vs_exact_l2(spark, sf_dir):
+    """ADC shortlist + exact re-rank must keep recall@10 against the
+    exact full-precision L2 ranking above the measured floor (0.72-0.76
+    mean on the fixtures; floor leaves headroom for fixture drift but
+    catches a broken codebook/LUT, which scores ~0.1-0.3)."""
+    import duckdb
+
+    from tfl_bikes_data_pipeline_spark.operators.similarity import q_ann_pq_topk
+
+    pdf = q_ann_pq_topk(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    exact = con.execute(f"""
+        SELECT q.vec_id AS qid, c.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                  list_sum(list_transform(range(1, 65),
+                      i -> (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+                         * (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+                  )) ASC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < {NUM_QUERIES} AND c.vec_id != q.vec_id
+        QUALIFY rank <= 10 ORDER BY qid, rank
+    """).df()
+    recalls = []
+    for qid in sorted(set(exact.qid)):
+        want = set(exact[exact.qid == qid].vec_id)
+        got = set(pdf[pdf.qid == qid].vec_id)
+        recalls.append(len(want & got) / len(want))
+    assert min(recalls) >= 0.5, f"per-query PQ recall collapsed: {recalls}"
+    assert sum(recalls) / len(recalls) >= 0.65, f"mean PQ recall: {recalls}"

@@ -255,3 +255,26 @@ def test_cdc_chunks_is_narrow(spark, sf_dir):
     plan = plan_of(registry.QUERIES["q_cdc_chunks"](spark, sf_dir))
     n = _exchange_count(plan)
     assert n <= 1, f"CDC chunking shuffles {n}× (budget 1: the sort)"
+
+
+def test_phrase_scan_planted_positions(spark):
+    """Exact positional semantics: the phrase occurs at known offsets,
+    overlapping occurrences count separately, non-matches are absent."""
+    from tfl_bikes_data_pipeline_spark.operators.text import phrase_scan
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            # phrase of doc 0 at positions 2 and 8
+            (1, "x y alpha beta gamma delta epsilon zeta q r alpha beta gamma delta epsilon zeta"),
+            (2, "completely different words with no shared phrase here"),
+        ],
+        ["doc_id", "text"],
+    )
+    phrases = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], ["phrase_id", "phrase"]
+    )
+    rows = {r.doc_id: r for r in phrase_scan(docs, phrases).collect()}
+    assert rows[0].n_hits == 1 and rows[0].first_pos == 0
+    assert rows[1].n_hits == 2 and rows[1].first_pos == 2
+    assert 2 not in rows

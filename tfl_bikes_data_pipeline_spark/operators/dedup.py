@@ -1408,6 +1408,103 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup(documents).orderBy("doc_id")
 
 
+SPAN_GRAM = 8
+
+
+def duplicated_span_profile(
+    documents: DataFrame, gram_words: int = SPAN_GRAM
+) -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens, n_spans, dup_ratio) — exact
+    repeated-substring profiling, the relational form of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a token is
+    "duplicated" iff it is covered by some ``gram_words``-token
+    window whose text occurs MORE THAN ONCE in the whole corpus
+    (across documents or repeated within one). Output is the per-doc
+    duplicated-token coverage — the number a curation pipeline
+    thresholds on to drop or trim boilerplate-heavy documents —
+    plus the count of maximal contiguous duplicated spans.
+
+    Dataflow (vs the reference's single-machine suffix array, which
+    cannot shard): every position's gram is hashed narrowly
+    (16-hex-char md5 prefix, 64 bits — keeps the shuffle rows
+    narrow), ONE count shuffle finds grams with corpus frequency
+    ≥ 2 (map-side combine collapses each partition's repeats first),
+    one join brings positions back, and interval union runs per-doc
+    via the classic running-max islands window. Positions within a
+    doc are unique, so the window state is O(1) per row. This is the
+    scale shape: no all-pairs step anywhere, every stage keyed or
+    per-doc.
+
+    Docs shorter than ``gram_words`` tokens contribute no windows
+    (sequence() would flip descending on a negative bound — guarded
+    with an explicit CASE) and report dup_tokens = 0."""
+    words = documents.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    )
+    totals = words.select("doc_id", F.size("w").cast("bigint").alias("n_tokens"))
+    grams_expr = (
+        f"CASE WHEN size(w) >= {gram_words} THEN "
+        f"transform(sequence(0, size(w) - {gram_words}), "
+        f"i -> substring(md5(concat_ws(' ', slice(w, i + 1, {gram_words}))), 1, 16)) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    pos = words.select(
+        "doc_id", F.posexplode(F.expr(grams_expr)).alias("pos", "gh")
+    )
+    pos = _retain(pos)
+    dup = (
+        pos.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("gh")
+    )
+    hits = pos.join(dup, "gh").select(
+        "doc_id", "pos", (F.col("pos") + gram_words - 1).alias("e")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    w_prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    islands = hits.withColumn(
+        "prev_max_e", F.max("e").over(w_prev)
+    ).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max_e").isNull()
+            | (F.col("pos") > F.col("prev_max_e") + 1),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_doc))
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            / F.nullif(F.col("n_tokens"), F.lit(0)),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring coverage per document (Lee et al.-style
+    substring dedup as a relational plan): which fraction of each doc's
+    tokens sits inside an 8-token window that occurs ≥2 times in the
+    corpus. One row per document, zero-coverage docs included."""
+    documents = _ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents"), spark
+    )
+    return duplicated_span_profile(documents).orderBy("doc_id")
+
+
 def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy incremental dedup — the steady-state ingest gate a
     training pipeline actually runs: drop incoming-batch docs that are
@@ -1899,6 +1996,61 @@ ORACLES["q_dedup_canonical"] = f"""
     FROM full_docs ORDER BY doc_id
 """
 
+ORACLES["q_dedup_substrings"] = f"""
+    WITH words AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ),
+    totals AS (
+        SELECT doc_id, len(w)::BIGINT AS n_tokens FROM words
+    ),
+    pos AS (
+        SELECT doc_id, i AS pos,
+               substring(md5(array_to_string(
+                   list_slice(w, i + 1, i + {SPAN_GRAM}), ' ')), 1, 16) AS gh
+        FROM words, unnest(range(0, len(w) - {SPAN_GRAM} + 1)) AS t(i)
+    ),
+    dup AS (
+        SELECT gh FROM pos GROUP BY gh HAVING count(*) > 1
+    ),
+    hits AS (
+        SELECT p.doc_id, p.pos, p.pos + {SPAN_GRAM} - 1 AS e
+        FROM pos p JOIN dup d USING (gh)
+    ),
+    iv AS (
+        SELECT doc_id, pos, e,
+               max(e) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max_e
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, pos, e,
+               sum(CASE WHEN prev_max_e IS NULL OR pos > prev_max_e + 1
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+               ) AS island
+        FROM iv
+    ),
+    spans AS (
+        SELECT doc_id, island, min(pos) AS s, max(e) AS e
+        FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT doc_id, sum(e - s + 1)::BIGINT AS dup_tokens,
+               count(*)::BIGINT AS n_spans
+        FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens,
+           coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+           coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+           round(coalesce(p.dup_tokens, 0) / nullif(t.n_tokens, 0), 6)
+               AS dup_ratio
+    FROM totals t LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY t.doc_id
+"""
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_incremental": q_dedup_incremental,
@@ -1913,6 +2065,7 @@ QUERIES = {
     "q_dedup_incremental_lsh": q_dedup_incremental_lsh,
     "q_dedup_embedding_clusters": q_dedup_embedding_clusters,
     "q_dedup_segments": q_dedup_segments,
+    "q_dedup_substrings": q_dedup_substrings,
 }
 
 BENCH = [
@@ -1931,4 +2084,6 @@ BENCH = [
     "q_dedup_incremental",
     # C4-style sub-document dedup — two bounded shuffles
     "q_dedup_segments",
+    # repeated-substring coverage — one count shuffle + per-doc windows
+    "q_dedup_substrings",
 ]

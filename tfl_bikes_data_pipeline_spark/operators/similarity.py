@@ -792,6 +792,218 @@ ORACLES["q_ann_ivf_refined_topk"] = f"""
     ORDER BY qid, rank
 """
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) search
+# ---------------------------------------------------------------------------
+
+PQ_M = 8         # subspaces (64 dims / PQ_SUB)
+PQ_SUB = 8       # dims per subspace
+PQ_KSUB = 16     # sub-centroids per subspace → 4-bit codes
+PQ_SHORTLIST = 64  # ADC candidates kept per query for exact re-rank
+
+#: micro-int L2 between two small double vectors: left-fold of squared
+#: differences on the round-6 grid ×1e6 — integer thereafter, so every
+#: downstream sum/compare is order-exact in any engine.
+_L2_MICRO = (
+    "CAST(round(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) * 1000000.0, 0) AS BIGINT)"
+)
+
+
+def _pq_subcentroids(embeddings: DataFrame) -> DataFrame:
+    """(j, c, scv) — sub-centroid ``c`` of subspace ``j`` is the j-th
+    PQ_SUB-dim slice of seed vector ``c`` (the PQ_KSUB lowest vec_ids,
+    the same deterministic-seed convention as :func:`ivf_assign`; a
+    k-means-trained codebook would drop in without changing the
+    dataflow)."""
+    seeds = embeddings.where(F.col("vec_id") < PQ_KSUB).select(
+        F.col("vec_id").alias("c"), to_double_vec("embedding", "cv")
+    )
+    return seeds.select(
+        "c",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"j -> slice(cv, j * {PQ_SUB} + 1, {PQ_SUB}))"
+            )
+        ).alias("j", "scv"),
+    ).select("j", "c", "scv")
+
+
+def pq_encode(embeddings: DataFrame, subcent: DataFrame) -> DataFrame:
+    """(vec_id, codes) — PQ encoding as a ZERO-SHUFFLE projection: the
+    whole codebook (PQ_M·PQ_KSUB = 64 sub-centroids) folds into one
+    broadcast single-row array, and each vector computes its PQ_M
+    argmin codes inside one higher-order expression. This is the
+    100 TB index-build shape — encoding is embarrassingly parallel and
+    the corpus never moves (contrast: an explode+window encode would
+    shuffle the full corpus PQ_M times over). Ties take the lowest
+    sub-centroid id (the fold scans c ascending, replacing only on a
+    strictly smaller micro-int distance)."""
+    cents = subcent.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("j", "c", "scv"))).alias("cents")
+    )
+    d_expr = _L2_MICRO.format(
+        a=f"slice(cv, j * {PQ_SUB} + 1, {PQ_SUB})", b="t.scv"
+    )
+    codes = (
+        f"transform(sequence(0, {PQ_M - 1}), j -> "
+        f"aggregate(filter(cents, t -> t.j = j), "
+        f"named_struct('d', CAST(9223372036854775807 AS BIGINT), "
+        f"'c', CAST(-1 AS BIGINT)), "
+        f"(acc, t) -> CASE WHEN {d_expr} < acc.d "
+        f"THEN named_struct('d', {d_expr}, 'c', t.c) ELSE acc END, "
+        f"acc -> CAST(acc.c AS INT)))"
+    )
+    return (
+        _vecs(embeddings, "vec_id", "cv")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", F.expr(codes).alias("codes"))
+    )
+
+
+def pq_adc_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+    """(qid, vec_id, score_micro, rank) — asymmetric-distance (ADC)
+    nearest-neighbor search over PQ codes (Jégou et al. 2011): each
+    query precomputes a PQ_M × PQ_KSUB lookup table of micro-int L2
+    sub-distances to every sub-centroid (a tiny broadcast relation),
+    and scoring a corpus vector is PQ_M integer table lookups plus an
+    integer sum — no float math touches the corpus at query time, the
+    codes are 16× smaller than the float vectors, and the corpus never
+    shuffles (the one Exchange is the final per-query top-k window).
+    Integer micro sums are order-exact, so the oracle recomputes them
+    through a structurally different explode→join→groupBy."""
+    subcent = _pq_subcentroids(embeddings)
+    codes = pq_encode(embeddings, subcent)
+    queries = _vecs(
+        embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv"
+    )
+    qd = queries.crossJoin(F.broadcast(subcent)).select(
+        "qid", "j", "c",
+        F.expr(
+            _L2_MICRO.format(a=f"slice(qv, j * {PQ_SUB} + 1, {PQ_SUB})", b="scv")
+        ).alias("d"),
+    )
+    lutj = qd.groupBy("qid", "j").agg(
+        F.expr("transform(array_sort(collect_list(struct(c, d))), s -> s.d)")
+        .alias("tbl")
+    )
+    lut = lutj.groupBy("qid").agg(
+        F.expr("transform(array_sort(collect_list(struct(j, tbl))), s -> s.tbl)")
+        .alias("lut")
+    )
+    score = (
+        f"aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS BIGINT), "
+        f"(acc, j) -> acc + element_at(element_at(lut, j + 1), "
+        f"element_at(codes, j + 1) + 1))"
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(lut))
+        .where(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", F.expr(score).alias("score_micro"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("score_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
+def pq_search(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+    """(qid, vec_id, l2_micro, rank) — the full PQ serving pipeline:
+    ADC shortlist of PQ_SHORTLIST candidates per query (compressed
+    domain, corpus never shuffles), then EXACT re-rank of the
+    shortlist against the full float vectors — the standard IVF-PQ
+    refinement step that recovers the recall an untrained codebook
+    loses. The re-rank side is a broadcast of ≤ queries×PQ_SHORTLIST
+    ids joined back to the corpus scan (at 100 TB: one extra columnar
+    pass with a broadcast semi-join, no shuffle of the corpus), so
+    total cost stays linear and the heavy scoring stays integer ADC."""
+    shortlist = pq_adc_topk(embeddings, k=PQ_SHORTLIST).select("qid", "vec_id")
+    corpus = _vecs(embeddings, "vec_id", "cv")
+    queries = _vecs(
+        embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv"
+    )
+    rerank = (
+        corpus.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(queries), "qid")
+        .select(
+            "qid", "vec_id",
+            F.expr(_L2_MICRO.format(a="qv", b="cv")).alias("l2_micro"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("l2_micro"), F.asc("vec_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search end-to-end: deterministic codebook → zero-shuffle
+    encode → integer ADC shortlist → exact re-rank top-k."""
+    return pq_search(load_table(spark, sf_dir, "embeddings"))
+
+
+ORACLES["q_ann_pq_topk"] = f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, j,
+               list_slice(cv, j * {PQ_SUB} + 1, j * {PQ_SUB} + {PQ_SUB}) AS subv
+        FROM v, unnest(range(0, {PQ_M})) AS t(j)
+    ),
+    cent AS (
+        SELECT j, vec_id AS c, subv AS scv FROM sub WHERE vec_id < {PQ_KSUB}
+    ),
+    dmat AS (
+        SELECT s.vec_id, s.j, k.c,
+               CAST(round(list_sum(list_transform(range(1, {PQ_SUB} + 1),
+                   i -> (s.subv[i] - k.scv[i]) * (s.subv[i] - k.scv[i])
+               )) * 1000000.0, 0) AS BIGINT) AS d
+        FROM sub s JOIN cent k USING (j)
+    ),
+    codes AS (
+        SELECT vec_id, j, c FROM dmat
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id, j ORDER BY d ASC, c ASC) = 1
+    ),
+    scored AS (
+        SELECT l.vec_id AS qid, cd.vec_id AS vec_id,
+               CAST(sum(l.d) AS BIGINT) AS score_micro
+        FROM codes cd
+        JOIN dmat l ON l.j = cd.j AND l.c = cd.c
+        WHERE l.vec_id < {NUM_QUERIES} AND cd.vec_id != l.vec_id
+        GROUP BY l.vec_id, cd.vec_id
+    ),
+    shortlist AS (
+        SELECT qid, vec_id FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY qid ORDER BY score_micro ASC, vec_id ASC
+        ) <= {PQ_SHORTLIST}
+    )
+    SELECT s.qid, s.vec_id,
+           CAST(round(list_sum(list_transform(range(1, {PQ_M * PQ_SUB} + 1),
+               i -> (q.cv[i] - c.cv[i]) * (q.cv[i] - c.cv[i])
+           )) * 1000000.0, 0) AS BIGINT) AS l2_micro,
+           row_number() OVER (
+               PARTITION BY s.qid
+               ORDER BY CAST(round(list_sum(list_transform(
+                            range(1, {PQ_M * PQ_SUB} + 1),
+                            i -> (q.cv[i] - c.cv[i]) * (q.cv[i] - c.cv[i])
+                        )) * 1000000.0, 0) AS BIGINT) ASC, s.vec_id ASC
+           )::INT AS rank
+    FROM shortlist s
+    JOIN v c ON c.vec_id = s.vec_id
+    JOIN v q ON q.vec_id = s.qid
+    QUALIFY rank <= {TOP_K}
+    ORDER BY qid, rank
+"""
+
+
 QUERIES = {
     "q_ann_brute_topk": q_ann_brute_topk,
     "q_ann_brute_arrow": q_ann_brute_arrow,
@@ -803,6 +1015,7 @@ QUERIES = {
     "q_vector_stats": q_vector_stats,
     "q_embed_quantize": q_embed_quantize,
     "q_ann_quantized_topk": q_ann_quantized_topk,
+    "q_ann_pq_topk": q_ann_pq_topk,
 }
 
 BENCH = [
@@ -811,6 +1024,8 @@ BENCH = [
     "q_ann_ivf_topk",
     "q_embed_quantize",
     "q_ann_quantized_topk",
+    # PQ-ADC — zero-shuffle encode + integer LUT scoring
+    "q_ann_pq_topk",
 ]
 
 

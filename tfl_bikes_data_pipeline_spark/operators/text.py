@@ -1648,3 +1648,108 @@ ORACLES["q_cdc_chunks"] = f"""
 """
 QUERIES["q_cdc_chunks"] = q_cdc_chunks
 BENCH.append("q_cdc_chunks")
+
+
+# ---------------------------------------------------------------------------
+# exact phrase scan — positional benchmark-contamination audit
+# ---------------------------------------------------------------------------
+
+PHRASE_WORDS = 6
+PHRASE_DOCS = 10
+
+
+def phrase_scan(documents: DataFrame, phrases: DataFrame) -> DataFrame:
+    """(phrase_id, doc_id, n_hits, first_pos) — every EXACT positional
+    occurrence of each bench phrase in each document. Complements
+    [[q_decontaminate]] (shingle containment says "doc overlaps the
+    bench set somewhere"; this says "phrase p occurs at position k,
+    n times" — the audit evidence a contamination report needs).
+
+    Scale shape: documents decompose narrowly into per-position
+    PHRASE_WORDS-gram digests (16-hex md5 prefix, same convention as
+    the substring-dedup postings); the phrase set reduces to digests
+    and BROADCASTS into a hash join — no corpus shuffle at all until
+    the final (phrase_id, doc_id) count, whose cardinality is hits,
+    not corpus. ``phrases``: (phrase_id, phrase) single-space-joined
+    lowercase words."""
+    pw = phrases.select(
+        "phrase_id",
+        F.substring(F.md5(F.col("phrase")), 1, 16).alias("gh"),
+    )
+    words = documents.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    )
+    grams_expr = (
+        f"CASE WHEN size(w) >= {PHRASE_WORDS} THEN "
+        f"transform(sequence(0, size(w) - {PHRASE_WORDS}), "
+        f"i -> substring(md5(concat_ws(' ', slice(w, i + 1, {PHRASE_WORDS}))), 1, 16)) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    pos = words.select(
+        "doc_id", F.posexplode(F.expr(grams_expr)).alias("pos", "gh")
+    )
+    return (
+        pos.join(F.broadcast(pw), "gh")
+        .groupBy("phrase_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("pos").alias("first_pos"),
+        )
+        .orderBy("phrase_id", "doc_id")
+    )
+
+
+def q_phrase_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination phrase audit: the bench set is the 6-word opening
+    phrase of each of the first PHRASE_DOCS documents (deterministic,
+    self-contained); the scan reports every exact occurrence of any of
+    them anywhere in the corpus — each phrase hits at least its own
+    source doc, and the tiny shared vocabulary makes cross-doc exact
+    collisions a real (verified) phenomenon rather than a zero row."""
+    from .dedup import _ensure_scan_parallelism
+
+    documents = _ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents"), spark
+    )
+    phrases = (
+        documents.where(F.col("doc_id") < PHRASE_DOCS)
+        .select(
+            F.col("doc_id").alias("phrase_id"),
+            F.split(F.lower(F.trim(F.col("text"))), " ").alias("w"),
+        )
+        .where(F.size("w") >= PHRASE_WORDS)
+        .select(
+            "phrase_id",
+            F.expr(f"concat_ws(' ', slice(w, 1, {PHRASE_WORDS}))").alias("phrase"),
+        )
+    )
+    return phrase_scan(documents, phrases)
+
+
+ORACLES["q_phrase_scan"] = f"""
+    WITH words AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ),
+    phrases AS (
+        SELECT doc_id AS phrase_id,
+               substring(md5(array_to_string(
+                   list_slice(w, 1, {PHRASE_WORDS}), ' ')), 1, 16) AS gh
+        FROM words
+        WHERE doc_id < {PHRASE_DOCS} AND len(w) >= {PHRASE_WORDS}
+    ),
+    pos AS (
+        SELECT doc_id, i AS pos,
+               substring(md5(array_to_string(
+                   list_slice(w, i + 1, i + {PHRASE_WORDS}), ' ')), 1, 16) AS gh
+        FROM words, unnest(range(0, len(w) - {PHRASE_WORDS} + 1)) AS t(i)
+    )
+    SELECT ph.phrase_id, p.doc_id,
+           count(*)::BIGINT AS n_hits,
+           min(p.pos)::INT AS first_pos
+    FROM pos p JOIN phrases ph USING (gh)
+    GROUP BY ph.phrase_id, p.doc_id
+    ORDER BY ph.phrase_id, p.doc_id
+"""
+QUERIES["q_phrase_scan"] = q_phrase_scan
+BENCH.append("q_phrase_scan")
