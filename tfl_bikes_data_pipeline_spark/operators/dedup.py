@@ -1996,6 +1996,87 @@ ORACLES["q_dedup_canonical"] = f"""
     FROM full_docs ORDER BY doc_id
 """
 
+def q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(detector, n_pairs) — agreement matrix between the two
+    independent near-dup detectors (MinHash-LSH jaccard-verified pairs
+    vs SimHash banded-hamming pairs): how many pairs both find, and
+    how many each finds alone. The diagnostic a curation pipeline
+    reads before trusting one detector's deletions — a detector whose
+    'only' bucket dwarfs 'both' is either noisier or measuring a
+    different notion of similarity (16-bit SimHash over a tiny shared
+    vocabulary is the noisy one here, and the numbers show it).
+
+    Scale shape: both inputs are the already-bucketed declared plans
+    (banded joins, never all-pairs); the consensus is ONE full-outer
+    join on the pair key plus a 3-group aggregate."""
+    lsh = (
+        _lsh_pairs_unordered(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("in_lsh", F.lit(1))
+    )
+    # _lsh_pairs_unordered already released the previous invocation's
+    # relations; retaining the hash relation here (bands read it twice)
+    # is safe because no further release happens inside this builder.
+    documents = load_table(spark, sf_dir, "documents")
+    sim = (
+        simhash_pairs(_retain(simhash(documents)))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("in_sim", F.lit(1))
+    )
+    joined = lsh.join(sim, ["doc_a", "doc_b"], "full_outer")
+    return (
+        joined.select(
+            F.when(
+                F.col("in_lsh").isNotNull() & F.col("in_sim").isNotNull(),
+                F.lit("both"),
+            )
+            .when(F.col("in_lsh").isNotNull(), F.lit("minhash_only"))
+            .otherwise(F.lit("simhash_only"))
+            .alias("detector")
+        )
+        .groupBy("detector")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("detector")
+    )
+
+
+def q_quality_dup_xtab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(quality_band, n_docs, n_neardup, neardup_rate) — the
+    quality-vs-duplication cross-tab: for each heuristic quality band,
+    what share of documents participates in at least one verified
+    MinHash near-dup pair. The standard curation sanity check that
+    duplication concentrates where quality filtering already cuts
+    (and the joint-policy input when it doesn't). Near-dup membership
+    is the distinct doc set of the banded LSH pairs — hits-sized, one
+    semi-join against the per-doc quality relation."""
+    from .text import quality_features
+
+    documents = load_table(spark, sf_dir, "documents")
+    quality = quality_features(documents).select("doc_id", "quality_band")
+    pairs = _lsh_pairs_unordered(spark, sf_dir)
+    members = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct().withColumn("is_dup", F.lit(1))
+    return (
+        quality.join(members, "doc_id", "left")
+        .groupBy("quality_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_neardup"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("neardup_rate"),
+        )
+        .orderBy("quality_band")
+    )
+
+
 ORACLES["q_dedup_substrings"] = f"""
     WITH words AS (
         SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
@@ -2051,6 +2132,59 @@ ORACLES["q_dedup_substrings"] = f"""
     ORDER BY t.doc_id
 """
 
+ORACLES["q_dedup_consensus"] = f"""
+    WITH lshq AS ({{LSH}}),
+    simq AS ({{SIM}}),
+    l AS (SELECT DISTINCT doc_a, doc_b FROM lshq),
+    s AS (SELECT DISTINCT doc_a, doc_b FROM simq),
+    j AS (
+        SELECT l.doc_a IS NOT NULL AS in_l, s.doc_a IS NOT NULL AS in_s
+        FROM l FULL OUTER JOIN s
+          ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b
+    )
+    SELECT CASE WHEN in_l AND in_s THEN 'both'
+                WHEN in_l THEN 'minhash_only'
+                ELSE 'simhash_only' END AS detector,
+           count(*)::BIGINT AS n_pairs
+    FROM j GROUP BY 1 ORDER BY detector
+"""
+
+ORACLES["q_quality_dup_xtab"] = """
+    WITH lshq AS ({LSH}),
+    quality AS ({QUALITY}),
+    members AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_a AS doc_id FROM lshq
+              UNION ALL SELECT doc_b FROM lshq)
+    )
+    SELECT q.quality_band,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_neardup,
+           round(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 / count(*), 6) AS neardup_rate
+    FROM quality q LEFT JOIN members m USING (doc_id)
+    GROUP BY q.quality_band ORDER BY q.quality_band
+"""
+
+
+def _finalize_composite_oracles() -> None:
+    """Splice the component oracles (minus their presentation ORDER BY)
+    into the consensus/cross-tab oracle templates — one source of truth
+    for the component SQL, same pattern as q_dedup_canonical."""
+    lsh_body = ORACLES["q_dedup_minhash_lsh"].rsplit("ORDER BY", 1)[0]
+    sim_body = ORACLES["q_dedup_simhash_pairs"].rsplit("ORDER BY", 1)[0]
+    ORACLES["q_dedup_consensus"] = ORACLES["q_dedup_consensus"].format(
+        LSH=lsh_body, SIM=sim_body
+    )
+    from .text import ORACLES as TEXT_ORACLES
+
+    quality_body = TEXT_ORACLES["q_text_quality"].rsplit("ORDER BY", 1)[0]
+    ORACLES["q_quality_dup_xtab"] = ORACLES["q_quality_dup_xtab"].format(
+        LSH=lsh_body, QUALITY=quality_body
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_incremental": q_dedup_incremental,
@@ -2066,7 +2200,11 @@ QUERIES = {
     "q_dedup_embedding_clusters": q_dedup_embedding_clusters,
     "q_dedup_segments": q_dedup_segments,
     "q_dedup_substrings": q_dedup_substrings,
+    "q_dedup_consensus": q_dedup_consensus,
+    "q_quality_dup_xtab": q_quality_dup_xtab,
 }
+
+_finalize_composite_oracles()
 
 BENCH = [
     "q_dedup_exact",
