@@ -333,3 +333,55 @@ def test_pq_search_recall_floor_vs_exact_l2(spark, sf_dir):
         recalls.append(len(want & got) / len(want))
     assert min(recalls) >= 0.5, f"per-query PQ recall collapsed: {recalls}"
     assert sum(recalls) / len(recalls) >= 0.65, f"mean PQ recall: {recalls}"
+
+
+def test_ivfpq_index_build_is_narrow(spark, sf_dir):
+    """The one-projection IVF-PQ index build must never hash-shuffle
+    the corpus: coarse assignment and PQ codes both fold against
+    broadcast codebook arrays."""
+    import contextlib
+    import io
+
+    from tfl_bikes_data_pipeline_spark.operators.similarity import ivfpq_index
+
+    idx = ivfpq_index(load_table(spark, sf_dir, "embeddings"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        idx.explain("formatted")
+    plan = buf.getvalue()
+    assert "hashpartitioning" not in plan, "corpus shuffled during index build"
+
+
+def test_ivfpq_recall_floor_vs_exact_l2(spark, sf_dir):
+    """Probe(2/8) × ADC × exact re-rank must hold recall@10 vs exact
+    L2 above the floor (measured 0.88-0.92 mean on the fixtures; a
+    broken probe or LUT collapses to ~0.2)."""
+    import duckdb
+
+    from tfl_bikes_data_pipeline_spark.operators.similarity import (
+        q_ann_ivfpq_topk,
+    )
+
+    pdf = q_ann_ivfpq_topk(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    exact = con.execute(f"""
+        SELECT q.vec_id AS qid, c.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                  list_sum(list_transform(range(1, 65),
+                      i -> (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+                         * (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+                  )) ASC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < {NUM_QUERIES} AND c.vec_id != q.vec_id
+        QUALIFY rank <= 10 ORDER BY qid, rank
+    """).df()
+    recalls = []
+    for qid in sorted(set(exact.qid)):
+        want = set(exact[exact.qid == qid].vec_id)
+        got = set(pdf[pdf.qid == qid].vec_id)
+        recalls.append(len(want & got) / len(want))
+    assert min(recalls) >= 0.5, f"per-query IVF-PQ recall collapsed: {recalls}"
+    assert sum(recalls) / len(recalls) >= 0.7, f"mean IVF-PQ recall: {recalls}"

@@ -1004,6 +1004,238 @@ ORACLES["q_ann_pq_topk"] = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted file + PQ codes, the FAISS-style composition
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_index(embeddings: DataFrame, n_centroids: int = NUM_CENTROIDS) -> DataFrame:
+    """(vec_id, centroid_id, codes) — the full IVF-PQ index built in
+    ONE narrow projection: coarse assignment (min micro-int L2 against
+    the broadcast coarse centroids, ties to the lowest centroid id)
+    and the PQ codes computed side by side over the same scan. The
+    corpus never shuffles during index build — the coarse centroids
+    (n_centroids rows) and the PQ codebook (PQ_M·PQ_KSUB rows) each
+    fold into a broadcast single-row array. At 100 TB this is one
+    columnar pass; contrast the window-based :func:`ivf_assign`
+    (kept for the cosine-IVF path) which pays a corpus-wide window."""
+    corpus = _vecs(embeddings, "vec_id", "cv")
+    coarse = (
+        _vecs(
+            embeddings.where(F.col("vec_id") < n_centroids), "cc", "ccv"
+        )
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cc", "ccv"))).alias("coarse"))
+    )
+    subcent = _pq_subcentroids(embeddings)
+    cents = subcent.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("j", "c", "scv"))).alias("cents")
+    )
+    assign_d = _L2_MICRO.format(a="cv", b="t.ccv")
+    assign = (
+        f"aggregate(coarse, "
+        f"named_struct('d', CAST(9223372036854775807 AS BIGINT), "
+        f"'c', CAST(-1 AS BIGINT)), "
+        f"(acc, t) -> CASE WHEN {assign_d} < acc.d "
+        f"THEN named_struct('d', {assign_d}, 'c', t.cc) ELSE acc END, "
+        f"acc -> CAST(acc.c AS BIGINT))"
+    )
+    code_d = _L2_MICRO.format(
+        a=f"slice(cv, j * {PQ_SUB} + 1, {PQ_SUB})", b="t.scv"
+    )
+    codes = (
+        f"transform(sequence(0, {PQ_M - 1}), j -> "
+        f"aggregate(filter(cents, t -> t.j = j), "
+        f"named_struct('d', CAST(9223372036854775807 AS BIGINT), "
+        f"'c', CAST(-1 AS BIGINT)), "
+        f"(acc, t) -> CASE WHEN {code_d} < acc.d "
+        f"THEN named_struct('d', {code_d}, 'c', t.c) ELSE acc END, "
+        f"acc -> CAST(acc.c AS INT)))"
+    )
+    return (
+        corpus.crossJoin(F.broadcast(coarse))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.expr(assign).alias("centroid_id"),
+            F.expr(codes).alias("codes"),
+        )
+    )
+
+
+def ivfpq_search(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """(qid, vec_id, l2_micro, rank) — the serving-scale ANN
+    composition (IVF coarse pruning × PQ compressed-domain scoring ×
+    exact re-rank), L2 end to end on the micro-int grid:
+
+    1. each query probes its ``nprobe`` nearest coarse centroids
+       (tiny relation, broadcast);
+    2. ADC scores ONLY the probed buckets' members — integer LUT
+       lookups over 4-bit codes, candidates cut ~n_centroids/nprobe
+       and bytes cut 16× vs float;
+    3. the PQ_SHORTLIST best ADC candidates per query re-rank against
+       the full float vectors (exact, broadcast-join back to the scan).
+
+    Corpus-side dataflow: scan → narrow index projection → broadcast
+    hash join with probes → one top-k window. No corpus shuffle, no
+    all-pairs anywhere."""
+    idx = ivfpq_index(embeddings, n_centroids)
+    corpus = _vecs(embeddings, "vec_id", "cv")
+    queries = _vecs(
+        embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv"
+    )
+    coarse = _vecs(
+        embeddings.where(F.col("vec_id") < n_centroids), "cc", "ccv"
+    )
+    qprobe = queries.crossJoin(F.broadcast(coarse)).select(
+        "qid",
+        F.col("cc").alias("centroid_id"),
+        F.expr(_L2_MICRO.format(a="qv", b="ccv")).alias("cd"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("cd"), F.asc("centroid_id"))
+    probes = (
+        qprobe.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("qid", "centroid_id")
+    )
+    subcent = _pq_subcentroids(embeddings)
+    qd = queries.crossJoin(F.broadcast(subcent)).select(
+        "qid", "j", "c",
+        F.expr(
+            _L2_MICRO.format(a=f"slice(qv, j * {PQ_SUB} + 1, {PQ_SUB})", b="scv")
+        ).alias("d"),
+    )
+    lutj = qd.groupBy("qid", "j").agg(
+        F.expr("transform(array_sort(collect_list(struct(c, d))), s -> s.d)")
+        .alias("tbl")
+    )
+    lut = lutj.groupBy("qid").agg(
+        F.expr("transform(array_sort(collect_list(struct(j, tbl))), s -> s.tbl)")
+        .alias("lut")
+    )
+    adc = (
+        f"aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS BIGINT), "
+        f"(acc, j) -> acc + element_at(element_at(lut, j + 1), "
+        f"element_at(codes, j + 1) + 1))"
+    )
+    scored = (
+        idx.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("qid") != F.col("vec_id"))
+        .join(F.broadcast(lut), "qid")
+        .select("qid", "vec_id", F.expr(adc).alias("adc"))
+    )
+    ws = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= PQ_SHORTLIST)
+        .select("qid", "vec_id")
+    )
+    rerank = (
+        corpus.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(queries), "qid")
+        .select(
+            "qid", "vec_id",
+            F.expr(_L2_MICRO.format(a="qv", b="cv")).alias("l2_micro"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("l2_micro"), F.asc("vec_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end to end: narrow index build → probe → integer ADC
+    over probed buckets → exact re-rank."""
+    return ivfpq_search(load_table(spark, sf_dir, "embeddings"))
+
+
+_L2_MICRO_SQL = (
+    "CAST(round(list_sum(list_transform(range(1, {n} + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) * 1000000.0, 0) AS BIGINT)"
+)
+
+ORACLES["q_ann_ivfpq_topk"] = f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, j,
+               list_slice(cv, j * {PQ_SUB} + 1, j * {PQ_SUB} + {PQ_SUB}) AS subv
+        FROM v, unnest(range(0, {PQ_M})) AS t(j)
+    ),
+    cent AS (
+        SELECT j, vec_id AS c, subv AS scv FROM sub WHERE vec_id < {PQ_KSUB}
+    ),
+    coarse AS (
+        SELECT vec_id AS cc, cv AS ccv FROM v WHERE vec_id < {NUM_CENTROIDS}
+    ),
+    assign AS (
+        SELECT x.vec_id, k.cc AS centroid_id
+        FROM v x CROSS JOIN coarse k
+        QUALIFY row_number() OVER (
+            PARTITION BY x.vec_id
+            ORDER BY {_L2_MICRO_SQL.format(n=PQ_M * PQ_SUB, a='x.cv', b='k.ccv')} ASC,
+                     k.cc ASC
+        ) = 1
+    ),
+    dmat AS (
+        SELECT s.vec_id, s.j, k.c,
+               {_L2_MICRO_SQL.format(n=PQ_SUB, a='s.subv', b='k.scv')} AS d
+        FROM sub s JOIN cent k USING (j)
+    ),
+    codes AS (
+        SELECT vec_id, j, c FROM dmat
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id, j ORDER BY d ASC, c ASC) = 1
+    ),
+    probes AS (
+        SELECT q.vec_id AS qid, k.cc AS centroid_id
+        FROM v q CROSS JOIN coarse k
+        WHERE q.vec_id < {NUM_QUERIES}
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY {_L2_MICRO_SQL.format(n=PQ_M * PQ_SUB, a='q.cv', b='k.ccv')} ASC,
+                     k.cc ASC
+        ) <= {NPROBE}
+    ),
+    scored AS (
+        SELECT p.qid, a.vec_id, CAST(sum(l.d) AS BIGINT) AS adc
+        FROM probes p
+        JOIN assign a USING (centroid_id)
+        JOIN codes cd ON cd.vec_id = a.vec_id
+        JOIN dmat l ON l.vec_id = p.qid AND l.j = cd.j AND l.c = cd.c
+        WHERE a.vec_id != p.qid
+        GROUP BY p.qid, a.vec_id
+    ),
+    shortlist AS (
+        SELECT qid, vec_id FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY qid ORDER BY adc ASC, vec_id ASC
+        ) <= {PQ_SHORTLIST}
+    )
+    SELECT s.qid, s.vec_id,
+           {_L2_MICRO_SQL.format(n=PQ_M * PQ_SUB, a='q.cv', b='c.cv')} AS l2_micro,
+           row_number() OVER (
+               PARTITION BY s.qid
+               ORDER BY {_L2_MICRO_SQL.format(n=PQ_M * PQ_SUB, a='q.cv', b='c.cv')} ASC,
+                        s.vec_id ASC
+           )::INT AS rank
+    FROM shortlist s
+    JOIN v c ON c.vec_id = s.vec_id
+    JOIN v q ON q.vec_id = s.qid
+    QUALIFY rank <= {TOP_K}
+    ORDER BY qid, rank
+"""
+
+
 QUERIES = {
     "q_ann_brute_topk": q_ann_brute_topk,
     "q_ann_brute_arrow": q_ann_brute_arrow,
@@ -1016,6 +1248,7 @@ QUERIES = {
     "q_embed_quantize": q_embed_quantize,
     "q_ann_quantized_topk": q_ann_quantized_topk,
     "q_ann_pq_topk": q_ann_pq_topk,
+    "q_ann_ivfpq_topk": q_ann_ivfpq_topk,
 }
 
 BENCH = [
