@@ -173,3 +173,51 @@ def test_leakage_safe_split_coassigns_duplicates(spark):
     out = split_assign(docs.withColumn("fp", wordset_fingerprint()), "fp")
     splits = {r.doc_id: r.split for r in out.collect()}
     assert splits[1] == splits[2] == splits[3]
+
+
+def test_hybrid_rrf_consensus_beats_single_system(spark, sf_dir):
+    """RRF's defining property: a doc ranked by BOTH systems must
+    outscore a doc holding the same rank in only one system, and every
+    fused score must equal 1/(60+r_lex) + 1/(60+r_vec) recomputed from
+    the component rankings."""
+    from tfl_bikes_data_pipeline_spark.operators.retrieval import (
+        HYBRID_QVEC,
+        HYBRID_TOP_K,
+        RRF_K,
+        bm25_topk,
+        hybrid_rrf_topk,
+    )
+    from tfl_bikes_data_pipeline_spark.operators.similarity import (
+        _vecs,
+        cosine_topk,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    fused = {r.doc_id: r.rrf for r in hybrid_rrf_topk(docs, emb).collect()}
+    lex = {
+        r.doc_id: i + 1
+        for i, r in enumerate(bm25_topk(docs, k=HYBRID_TOP_K).collect())
+    }
+    corpus = _vecs(emb, "vec_id", "cv")
+    queries = _vecs(
+        emb.where(F.col("vec_id") == HYBRID_QVEC), "qid", "qv"
+    )
+    vec = {
+        r.vec_id: r.rank
+        for r in cosine_topk(corpus, queries, k=HYBRID_TOP_K).collect()
+    }
+    for doc_id, rrf in fused.items():
+        want = round(
+            (1.0 / (RRF_K + lex[doc_id]) if doc_id in lex else 0.0)
+            + (1.0 / (RRF_K + vec[doc_id]) if doc_id in vec else 0.0),
+            6,
+        )
+        assert abs(rrf - want) < 1e-9, (doc_id, rrf, want)
+    both = set(lex) & set(vec)
+    if both:  # consensus doc must beat any single-system doc at equal rank
+        d = min(both, key=lambda x: max(lex[x], vec[x]))
+        floor = 1.0 / (RRF_K + max(lex[d], vec[d]))
+        assert fused[d] > floor

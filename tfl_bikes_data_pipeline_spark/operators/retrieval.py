@@ -358,16 +358,126 @@ _SOURCE_OVERLAP_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 × vector cosine, fused by reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+#: RRF smoothing constant (Cormack, Clarke & Buettcher 2009)
+RRF_K = 60
+HYBRID_TOP_K = 10
+#: the query vector standing in for the lexical query's embedding — the
+#: synthetic embeddings table is row-aligned with documents (doc_id ==
+#: vec_id, pinned in tests), so fused ranks live in one id space.
+HYBRID_QVEC = 0
+
+
+def hybrid_rrf_topk(
+    documents: DataFrame, embeddings: DataFrame, k: int = HYBRID_TOP_K
+) -> DataFrame:
+    """(doc_id, rrf, rank) — hybrid search: the BM25 lexical top-10 and
+    the cosine vector top-10 fuse by reciprocal-rank fusion,
+    ``rrf = Σ 1/(RRF_K + rank_sys)`` with absent systems contributing
+    0 — rank-only fusion needs no score calibration between systems,
+    which is why it is the standard hybrid baseline. Engine-exact: each
+    contribution is one double division, the sum is two terms in fixed
+    textual order, rounded to 6 dp before ranking.
+
+    Scale shape: both inputs are already top-k relations (bounded), so
+    the fusion is a full-outer join of two ≤k-row broadcasts — free.
+    The cost is the two retrievals, each individually scale-shaped
+    (BM25: one pass + one-row corpus stats; cosine: broadcast query ×
+    linear scan)."""
+    from pyspark.sql import Window
+
+    from .similarity import cosine_topk, _vecs
+
+    w_lex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = bm25_topk(documents, k=k).withColumn(
+        "rank_lex", F.row_number().over(w_lex)
+    )
+    corpus = _vecs(embeddings, "vec_id", "cv")
+    queries = _vecs(
+        embeddings.where(F.col("vec_id") == HYBRID_QVEC), "qid", "qv"
+    )
+    vec = cosine_topk(corpus, queries, k=k).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("rank_vec")
+    )
+    fused = lex.select("doc_id", "rank_lex").join(vec, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_lex").cast("double")),
+            F.lit(0.0),
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_vec").cast("double")),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.select("doc_id", rrf.alias("rrf"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("rank")
+    )
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + vector-cosine retrieval fused by RRF."""
+    return hybrid_rrf_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
+def _hybrid_oracle() -> str:
+    lex_body = _bm25_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+        WITH lexbase AS ({lex_body}),
+        lexr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+            FROM lexbase
+            QUALIFY rank_lex <= {HYBRID_TOP_K}
+        ),
+        vecr AS (
+            SELECT c.vec_id AS doc_id,
+                   row_number() OVER (
+                       ORDER BY round(list_cosine_similarity(
+                           q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                           c.vec_id
+                   ) AS rank_vec
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id = {HYBRID_QVEC} AND c.vec_id != {HYBRID_QVEC}
+            QUALIFY rank_vec <= {HYBRID_TOP_K}
+        ),
+        fused AS (
+            SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                   round(coalesce(1.0 / ({RRF_K}.0 + rank_lex), 0.0)
+                         + coalesce(1.0 / ({RRF_K}.0 + rank_vec), 0.0), 6) AS rrf
+            FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+        )
+        SELECT doc_id, rrf,
+               row_number() OVER (ORDER BY rrf DESC, doc_id)::INT AS rank
+        FROM fused
+        QUALIFY rank <= {HYBRID_TOP_K}
+        ORDER BY rank
+    """
+
+
 QUERIES = {
     "q_bm25_topk": q_bm25_topk,
     "q_quality_model": q_quality_model,
     "q_source_overlap": q_source_overlap,
+    "q_hybrid_rrf": q_hybrid_rrf,
 }
 
 ORACLES = {
     "q_bm25_topk": _bm25_oracle(),
     "q_quality_model": _quality_model_oracle(),
     "q_source_overlap": _SOURCE_OVERLAP_ORACLE,
+    "q_hybrid_rrf": _hybrid_oracle(),
 }
 
 BENCH = list(QUERIES)
