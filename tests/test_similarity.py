@@ -385,3 +385,29 @@ def test_ivfpq_recall_floor_vs_exact_l2(spark, sf_dir):
         recalls.append(len(want & got) / len(want))
     assert min(recalls) >= 0.5, f"per-query IVF-PQ recall collapsed: {recalls}"
     assert sum(recalls) / len(recalls) >= 0.7, f"mean IVF-PQ recall: {recalls}"
+
+
+def test_filtered_ann_uses_hash_join_not_nlj(spark, sf_dir):
+    """Filtered search's point: the label predicate is an EQUI-join
+    key, so the plan must be a broadcast hash join (candidates cut to
+    the partition up front), never the all-pairs NLJ that unfiltered
+    cosine pays — and every returned hit shares its query's label."""
+    import contextlib
+    import io
+
+    from tfl_bikes_data_pipeline_spark.operators.similarity import (
+        q_ann_filtered_topk,
+    )
+
+    df = q_ann_filtered_topk(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in df.collect():
+        assert labels[r.vec_id] == labels[r.qid]

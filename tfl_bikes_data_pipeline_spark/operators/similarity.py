@@ -1157,6 +1157,69 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(load_table(spark, sf_dir, "embeddings"))
 
 
+def filtered_cosine_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+    """(qid, vec_id, cos_sim, rank) — FILTERED vector search: each
+    query retrieves only within its own ``label`` partition (the
+    tenant / collection / language constraint real vector serving
+    always carries). The predicate IS the join key, so the plan is a
+    broadcast HASH join on label — candidates drop to the partition
+    fraction up front, strictly better than post-filtering a global
+    top-k (which under-fills k) or scoring everything then discarding
+    (which wastes the scan). At 100 TB with the corpus partitioned by
+    label on disk this prunes whole partitions before scoring."""
+    cn = with_norm(
+        embeddings.select(
+            "vec_id", "label", to_double_vec("embedding", "cv")
+        ),
+        "cv",
+        "ncv",
+    )
+    qn = with_norm(
+        embeddings.where(F.col("vec_id") < NUM_QUERIES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            to_double_vec("embedding", "qv"),
+        ),
+        "qv",
+        "nqv",
+    )
+    scored = (
+        cn.join(F.broadcast(qn), F.col("label") == F.col("qlabel"))
+        .where(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid", "vec_id",
+            _cos_pre("qv", "nqv", "cv", "ncv").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-constrained cosine top-k (filtered ANN)."""
+    return filtered_cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+ORACLES["q_ann_filtered_topk"] = f"""
+    SELECT q.vec_id AS qid, c.vec_id,
+           {_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                        c.vec_id
+           )::INT AS rank
+    FROM embeddings q
+    JOIN embeddings c ON c.label = q.label AND c.vec_id != q.vec_id
+    WHERE q.vec_id < {NUM_QUERIES}
+    QUALIFY rank <= {TOP_K}
+    ORDER BY qid, rank
+"""
+
+
 _L2_MICRO_SQL = (
     "CAST(round(list_sum(list_transform(range(1, {n} + 1), "
     "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) * 1000000.0, 0) AS BIGINT)"
@@ -1249,6 +1312,7 @@ QUERIES = {
     "q_ann_quantized_topk": q_ann_quantized_topk,
     "q_ann_pq_topk": q_ann_pq_topk,
     "q_ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "q_ann_filtered_topk": q_ann_filtered_topk,
 }
 
 BENCH = [
