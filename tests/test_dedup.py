@@ -471,8 +471,12 @@ def test_duplicated_span_profile_merges_overlaps_exactly(spark):
         ["doc_id", "text"],
     )
     rows = {r.doc_id: r for r in duplicated_span_profile(docs).collect()}
-    # every 8-gram of doc 0 appears ≥ twice (w-run periodicity) → the
-    # whole doc is one duplicated span of 18 tokens.
+    # doc 0's duplicated grams sit at positions 0,1 (match doc 1 and
+    # pos 9,10) and 9,10 — islands [0,8] and [9,17] are ADJACENT
+    # (9 = 8+1), and the pos > prev_max_e + 1 rule merges adjacency,
+    # so the whole doc reports ONE 18-token span. This assertion pins
+    # the adjacency-merge semantics (a strict-overlap rule would
+    # report 2 spans of 9).
     assert rows[0].dup_tokens == 18 and rows[0].n_spans == 1
     # doc 1: only its first 9 tokens duplicate (grams at pos 0,1).
     assert rows[1].dup_tokens == 9 and rows[1].n_spans == 1

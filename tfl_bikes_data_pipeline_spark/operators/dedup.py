@@ -1499,6 +1499,9 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring dedup as a relational plan): which fraction of each doc's
     tokens sits inside an 8-token window that occurs ≥2 times in the
     corpus. One row per document, zero-coverage docs included."""
+    # top-level builder: honor the module's one-generation cache rule
+    # (the span profile _retains the exploded postings relation).
+    release_cached_relations()
     documents = _ensure_scan_parallelism(
         load_table(spark, sf_dir, "documents"), spark
     )

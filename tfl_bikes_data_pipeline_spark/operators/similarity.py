@@ -830,35 +830,85 @@ def _pq_subcentroids(embeddings: DataFrame) -> DataFrame:
     ).select("j", "c", "scv")
 
 
+def _argmin_expr(cand_arr: str, d_expr: str, id_field: str, out_type: str) -> str:
+    """SQL text: pick the lowest-distance candidate id from the sorted
+    struct array ``cand_arr``. Candidates map to (d, c) structs FIRST,
+    then a left fold keeps the strict minimum — each distance is
+    computed exactly once (Catalyst does not CSE inside HOF lambdas,
+    so a compare-then-rebuild CASE form would pay every improving
+    step's distance twice). Ties take the FIRST candidate (arrays are
+    sorted by id ascending; the fold replaces only on strictly
+    smaller d). ``d_expr`` references the candidate as ``t``."""
+    return (
+        f"aggregate(transform({cand_arr}, "
+        f"t -> named_struct('d', {d_expr}, 'c', CAST(t.{id_field} AS BIGINT))), "
+        f"named_struct('d', CAST(9223372036854775807 AS BIGINT), "
+        f"'c', CAST(-1 AS BIGINT)), "
+        f"(acc, s) -> CASE WHEN s.d < acc.d THEN s ELSE acc END, "
+        f"acc -> CAST(acc.c AS {out_type}))"
+    )
+
+
+def _pq_codes_expr() -> str:
+    """SQL text for the PQ_M argmin codes of the vector in column
+    ``cv`` against the folded codebook array in column ``cents``."""
+    d_expr = _L2_MICRO.format(
+        a=f"slice(cv, j * {PQ_SUB} + 1, {PQ_SUB})", b="t.scv"
+    )
+    inner = _argmin_expr("filter(cents, t -> t.j = j)", d_expr, "c", "INT")
+    return f"transform(sequence(0, {PQ_M - 1}), j -> {inner})"
+
+
+def _fold_codebook(subcent: DataFrame) -> DataFrame:
+    """One-row (cents) relation: the whole PQ codebook as a sorted
+    struct array, broadcast into the narrow encode projections."""
+    return subcent.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("j", "c", "scv"))).alias("cents")
+    )
+
+
+def _adc_lut(queries: DataFrame, subcent: DataFrame) -> DataFrame:
+    """(qid, lut) — per-query PQ_M × PQ_KSUB table of micro-int L2
+    sub-distances as array<array<bigint>> (j-major, code-minor).
+    queries × codebook rows only — always broadcast-sized."""
+    qd = queries.crossJoin(F.broadcast(subcent)).select(
+        "qid", "j", "c",
+        F.expr(
+            _L2_MICRO.format(a=f"slice(qv, j * {PQ_SUB} + 1, {PQ_SUB})", b="scv")
+        ).alias("d"),
+    )
+    lutj = qd.groupBy("qid", "j").agg(
+        F.expr("transform(array_sort(collect_list(struct(c, d))), s -> s.d)")
+        .alias("tbl")
+    )
+    return lutj.groupBy("qid").agg(
+        F.expr("transform(array_sort(collect_list(struct(j, tbl))), s -> s.tbl)")
+        .alias("lut")
+    )
+
+
+#: ADC score of the codes in column ``codes`` against the per-query
+#: table in column ``lut``: PQ_M integer lookups + an integer sum.
+_ADC_SCORE = (
+    f"aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS BIGINT), "
+    f"(acc, j) -> acc + element_at(element_at(lut, j + 1), "
+    f"element_at(codes, j + 1) + 1))"
+)
+
+
 def pq_encode(embeddings: DataFrame, subcent: DataFrame) -> DataFrame:
     """(vec_id, codes) — PQ encoding as a ZERO-SHUFFLE projection: the
-    whole codebook (PQ_M·PQ_KSUB = 64 sub-centroids) folds into one
+    whole codebook (PQ_M·PQ_KSUB = 128 sub-centroids) folds into one
     broadcast single-row array, and each vector computes its PQ_M
     argmin codes inside one higher-order expression. This is the
     100 TB index-build shape — encoding is embarrassingly parallel and
     the corpus never moves (contrast: an explode+window encode would
     shuffle the full corpus PQ_M times over). Ties take the lowest
-    sub-centroid id (the fold scans c ascending, replacing only on a
-    strictly smaller micro-int distance)."""
-    cents = subcent.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("j", "c", "scv"))).alias("cents")
-    )
-    d_expr = _L2_MICRO.format(
-        a=f"slice(cv, j * {PQ_SUB} + 1, {PQ_SUB})", b="t.scv"
-    )
-    codes = (
-        f"transform(sequence(0, {PQ_M - 1}), j -> "
-        f"aggregate(filter(cents, t -> t.j = j), "
-        f"named_struct('d', CAST(9223372036854775807 AS BIGINT), "
-        f"'c', CAST(-1 AS BIGINT)), "
-        f"(acc, t) -> CASE WHEN {d_expr} < acc.d "
-        f"THEN named_struct('d', {d_expr}, 'c', t.c) ELSE acc END, "
-        f"acc -> CAST(acc.c AS INT)))"
-    )
+    sub-centroid id (see :func:`_argmin_expr`)."""
     return (
         _vecs(embeddings, "vec_id", "cv")
-        .crossJoin(F.broadcast(cents))
-        .select("vec_id", F.expr(codes).alias("codes"))
+        .crossJoin(F.broadcast(_fold_codebook(subcent)))
+        .select("vec_id", F.expr(_pq_codes_expr()).alias("codes"))
     )
 
 
@@ -878,29 +928,11 @@ def pq_adc_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     queries = _vecs(
         embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv"
     )
-    qd = queries.crossJoin(F.broadcast(subcent)).select(
-        "qid", "j", "c",
-        F.expr(
-            _L2_MICRO.format(a=f"slice(qv, j * {PQ_SUB} + 1, {PQ_SUB})", b="scv")
-        ).alias("d"),
-    )
-    lutj = qd.groupBy("qid", "j").agg(
-        F.expr("transform(array_sort(collect_list(struct(c, d))), s -> s.d)")
-        .alias("tbl")
-    )
-    lut = lutj.groupBy("qid").agg(
-        F.expr("transform(array_sort(collect_list(struct(j, tbl))), s -> s.tbl)")
-        .alias("lut")
-    )
-    score = (
-        f"aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS BIGINT), "
-        f"(acc, j) -> acc + element_at(element_at(lut, j + 1), "
-        f"element_at(codes, j + 1) + 1))"
-    )
+    lut = _adc_lut(queries, subcent)
     scored = (
         codes.crossJoin(F.broadcast(lut))
         .where(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", F.expr(score).alias("score_micro"))
+        .select("qid", "vec_id", F.expr(_ADC_SCORE).alias("score_micro"))
     )
     w = Window.partitionBy("qid").orderBy(F.asc("score_micro"), F.asc("vec_id"))
     return (
@@ -1027,38 +1059,16 @@ def ivfpq_index(embeddings: DataFrame, n_centroids: int = NUM_CENTROIDS) -> Data
         .groupBy()
         .agg(F.array_sort(F.collect_list(F.struct("cc", "ccv"))).alias("coarse"))
     )
-    subcent = _pq_subcentroids(embeddings)
-    cents = subcent.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("j", "c", "scv"))).alias("cents")
-    )
-    assign_d = _L2_MICRO.format(a="cv", b="t.ccv")
-    assign = (
-        f"aggregate(coarse, "
-        f"named_struct('d', CAST(9223372036854775807 AS BIGINT), "
-        f"'c', CAST(-1 AS BIGINT)), "
-        f"(acc, t) -> CASE WHEN {assign_d} < acc.d "
-        f"THEN named_struct('d', {assign_d}, 'c', t.cc) ELSE acc END, "
-        f"acc -> CAST(acc.c AS BIGINT))"
-    )
-    code_d = _L2_MICRO.format(
-        a=f"slice(cv, j * {PQ_SUB} + 1, {PQ_SUB})", b="t.scv"
-    )
-    codes = (
-        f"transform(sequence(0, {PQ_M - 1}), j -> "
-        f"aggregate(filter(cents, t -> t.j = j), "
-        f"named_struct('d', CAST(9223372036854775807 AS BIGINT), "
-        f"'c', CAST(-1 AS BIGINT)), "
-        f"(acc, t) -> CASE WHEN {code_d} < acc.d "
-        f"THEN named_struct('d', {code_d}, 'c', t.c) ELSE acc END, "
-        f"acc -> CAST(acc.c AS INT)))"
+    assign = _argmin_expr(
+        "coarse", _L2_MICRO.format(a="cv", b="t.ccv"), "cc", "BIGINT"
     )
     return (
         corpus.crossJoin(F.broadcast(coarse))
-        .crossJoin(F.broadcast(cents))
+        .crossJoin(F.broadcast(_fold_codebook(_pq_subcentroids(embeddings))))
         .select(
             "vec_id",
             F.expr(assign).alias("centroid_id"),
-            F.expr(codes).alias("codes"),
+            F.expr(_pq_codes_expr()).alias("codes"),
         )
     )
 
@@ -1103,31 +1113,12 @@ def ivfpq_search(
         .where(F.col("rn") <= nprobe)
         .select("qid", "centroid_id")
     )
-    subcent = _pq_subcentroids(embeddings)
-    qd = queries.crossJoin(F.broadcast(subcent)).select(
-        "qid", "j", "c",
-        F.expr(
-            _L2_MICRO.format(a=f"slice(qv, j * {PQ_SUB} + 1, {PQ_SUB})", b="scv")
-        ).alias("d"),
-    )
-    lutj = qd.groupBy("qid", "j").agg(
-        F.expr("transform(array_sort(collect_list(struct(c, d))), s -> s.d)")
-        .alias("tbl")
-    )
-    lut = lutj.groupBy("qid").agg(
-        F.expr("transform(array_sort(collect_list(struct(j, tbl))), s -> s.tbl)")
-        .alias("lut")
-    )
-    adc = (
-        f"aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS BIGINT), "
-        f"(acc, j) -> acc + element_at(element_at(lut, j + 1), "
-        f"element_at(codes, j + 1) + 1))"
-    )
+    lut = _adc_lut(queries, _pq_subcentroids(embeddings))
     scored = (
         idx.join(F.broadcast(probes), "centroid_id")
         .where(F.col("qid") != F.col("vec_id"))
         .join(F.broadcast(lut), "qid")
-        .select("qid", "vec_id", F.expr(adc).alias("adc"))
+        .select("qid", "vec_id", F.expr(_ADC_SCORE).alias("adc"))
     )
     ws = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
     shortlist = (

@@ -1670,11 +1670,24 @@ def phrase_scan(documents: DataFrame, phrases: DataFrame) -> DataFrame:
     the substring-dedup postings); the phrase set reduces to digests
     and BROADCASTS into a hash join — no corpus shuffle at all until
     the final (phrase_id, doc_id) count, whose cardinality is hits,
-    not corpus. ``phrases``: (phrase_id, phrase) single-space-joined
-    lowercase words."""
+    not corpus. ``phrases``: (phrase_id, phrase); casing and extra
+    whitespace are normalized here, but the phrase MUST be exactly
+    PHRASE_WORDS tokens — a different length cannot match any document
+    window (the scan indexes fixed-width grams) and such a phrase
+    contributes no rows."""
+    # Normalize the phrase the same way document tokens are normalized
+    # (lowercase, trimmed, single-spaced) so a caller's casing or
+    # stray whitespace cannot silently zero the audit; a phrase whose
+    # token count differs from PHRASE_WORDS still cannot match any
+    # document window by construction — that contract is loud in the
+    # docstring rather than silently truncated here.
+    norm = (
+        "concat_ws(' ', filter(split(lower(trim(phrase)), ' +'), "
+        "x -> x != ''))"
+    )
     pw = phrases.select(
         "phrase_id",
-        F.substring(F.md5(F.col("phrase")), 1, 16).alias("gh"),
+        F.substring(F.md5(F.expr(norm)), 1, 16).alias("gh"),
     )
     words = documents.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")

@@ -47,8 +47,15 @@ def _metrics(plan: str) -> dict:
         "smj": len(re.findall(r"\(\d+\) SortMergeJoin\b", plan)),
         "bnlj": len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin\b", plan)),
         "codegen": len(set(re.findall(r"codegen id : (\d+)", plan))),
-        "pushed": "PushedFilters: []" not in plan
-        and "PushedFilters" in plan,
+        # per-scan: "m/n" = scans with non-empty pushed filters / scans
+        "pushed": "{}/{}".format(
+            sum(
+                1
+                for f in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+                if f.strip()
+            ),
+            len(re.findall(r"PushedFilters: \[", plan)),
+        ),
         "forbidden": [
             n for n in ("CartesianProduct", "BatchEvalPython") if n in plan
         ],
@@ -72,12 +79,12 @@ def main() -> None:
             m = _metrics(buf.getvalue())
             m["name"] = name
             m["build_s"] = round(time.perf_counter() - t0, 2)
-            m["streaming"] = name.startswith(_STREAMING[:-1]) or name == _STREAMING[-1]
+            m["streaming"] = name.startswith("q_stream_") or name == "q_session_window"
             rows.append(m)
         except Exception as exc:  # surface, never hide
             rows.append({
                 "name": name, "exchanges": -1, "broadcasts": -1, "bhj": -1,
-                "smj": -1, "bnlj": -1, "codegen": -1, "pushed": False,
+                "smj": -1, "bnlj": -1, "codegen": -1, "pushed": "0/0",
                 "forbidden": [f"ERROR: {exc}"],
                 "build_s": round(time.perf_counter() - t0, 2),
                 "streaming": False,
@@ -89,7 +96,7 @@ def main() -> None:
         "",
         f"sf_dir={args.sf_dir}; Exchange excludes BroadcastExchange "
         "(broadcasts are the POINT at scale, shuffles are the cost); "
-        "`pushed` = parquet scan carries non-empty PushedFilters; "
+        "`pushed` = scans with non-empty PushedFilters / total scans; "
         "`build_s` = plan-construction wall time (iterative/streaming "
         "queries execute bounded driver work here by design). "
         "Forbidden nodes are enforced empty by the differential gate; "
@@ -107,7 +114,7 @@ def main() -> None:
         out.append(
             f"| {r['name']}{tag} | {r['exchanges']} | {r['broadcasts']} | "
             f"{r['bhj']} | {r['smj']} | {r['bnlj']} | {r['codegen']} | "
-            f"{'y' if r['pushed'] else ''} | {r['build_s']} | "
+            f"{r['pushed']} | {r['build_s']} | "
             f"{', '.join(r['forbidden'])} |"
         )
     n_bad = sum(1 for r in rows if r["forbidden"])
