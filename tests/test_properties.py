@@ -338,3 +338,54 @@ def test_scd2_collapse_treats_null_as_a_state(spark):
     out = scd2_collapse(df, "user_id", "event_type", ["ts", "event_id"]).collect()
     states = [(r.event_type, r.n_events) for r in sorted(out, key=lambda r: r.valid_from)]
     assert states == [("a", 1), (None, 1), ("a", 2)], states
+
+
+# ---------------------------------------------------------------------------
+# repeated-substring span profile — coverage laws on generated corpora
+# ---------------------------------------------------------------------------
+
+_words = st.lists(
+    st.sampled_from([f"w{i}" for i in range(12)]), min_size=0, max_size=30
+)
+
+
+@given(corpus=st.lists(_words, min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_span_profile_coverage_laws(spark, corpus):
+    """Structural laws that hold for ANY corpus: coverage never exceeds
+    the doc, every span is at least gram-length tokens (so n_spans ≤
+    dup_tokens / L), and zero coverage means zero spans."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        SPAN_GRAM,
+        duplicated_span_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        ["doc_id", "text"],
+    )
+    for r in duplicated_span_profile(docs).collect():
+        assert 0 <= r.dup_tokens <= r.n_tokens
+        assert r.n_spans * SPAN_GRAM <= r.dup_tokens or r.dup_tokens == 0
+        assert (r.dup_tokens == 0) == (r.n_spans == 0)
+        if r.dup_tokens:
+            assert r.dup_tokens >= SPAN_GRAM
+
+
+@given(ws=_words.filter(lambda w: len(w) >= 8))
+@settings(**SETTINGS)
+def test_span_profile_exact_copy_is_fully_covered(spark, ws):
+    """A doc with an exact corpus twin is 100% duplicated tokens: every
+    one of its grams occurs ≥ 2 times, so the interval union spans the
+    whole document."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        duplicated_span_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(ws)), (1, " ".join(ws))], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in duplicated_span_profile(docs).collect()}
+    for d in (0, 1):
+        assert rows[d].dup_tokens == rows[d].n_tokens == len(ws)
+        assert rows[d].n_spans == 1
