@@ -411,3 +411,36 @@ def test_filtered_ann_uses_hash_join_not_nlj(spark, sf_dir):
     labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
     for r in df.collect():
         assert labels[r.vec_id] == labels[r.qid]
+
+
+def test_incremental_index_references_only_corpus_codebooks(spark, sf_dir):
+    """Ingested vectors may only cite EXISTING-corpus seed ids: coarse
+    assignments come from the corpus coarse seeds, codes from the
+    corpus sub-codebook — and every batch vector is indexed exactly
+    once."""
+    from tfl_bikes_data_pipeline_spark.operators.similarity import (
+        INC_COARSE_BOUND,
+        INC_SUB_BOUND,
+        q_ann_incremental_index,
+    )
+
+    rows = q_ann_incremental_index(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_batch = emb.where(F.col("vec_id") % 4 == 0).count()
+    assert len(rows) == n_batch
+    coarse_ids = {
+        r.vec_id
+        for r in emb.where(
+            (F.col("vec_id") % 4 != 0) & (F.col("vec_id") < INC_COARSE_BOUND)
+        ).collect()
+    }
+    sub_ids = {
+        r.vec_id
+        for r in emb.where(
+            (F.col("vec_id") % 4 != 0) & (F.col("vec_id") < INC_SUB_BOUND)
+        ).collect()
+    }
+    for r in rows:
+        assert r.vec_id % 4 == 0
+        assert r.centroid_id in coarse_ids
+        assert all(int(c) in sub_ids for c in r.codes_str.split(","))

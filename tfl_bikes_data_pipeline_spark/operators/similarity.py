@@ -809,6 +809,12 @@ _L2_MICRO = (
     "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) * 1000000.0, 0) AS BIGINT)"
 )
 
+#: the DuckDB twin of _L2_MICRO (1-based list indexing, list_sum fold)
+_L2_MICRO_SQL = (
+    "CAST(round(list_sum(list_transform(range(1, {n} + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) * 1000000.0, 0) AS BIGINT)"
+)
+
 
 def _pq_subcentroids(embeddings: DataFrame) -> DataFrame:
     """(j, c, scv) — sub-centroid ``c`` of subspace ``j`` is the j-th
@@ -816,9 +822,17 @@ def _pq_subcentroids(embeddings: DataFrame) -> DataFrame:
     the same deterministic-seed convention as :func:`ivf_assign`; a
     k-means-trained codebook would drop in without changing the
     dataflow)."""
-    seeds = embeddings.where(F.col("vec_id") < PQ_KSUB).select(
-        F.col("vec_id").alias("c"), to_double_vec("embedding", "cv")
+    return _pq_subcentroids_from(
+        embeddings.where(F.col("vec_id") < PQ_KSUB).select(
+            F.col("vec_id").alias("c"), to_double_vec("embedding", "cv")
+        )
     )
+
+
+def _pq_subcentroids_from(seeds: DataFrame) -> DataFrame:
+    """(j, c, scv) from an explicit (c, cv) seed relation — the
+    composition point for codebooks derived from a sub-population
+    (e.g. the existing corpus in incremental ingest)."""
     return seeds.select(
         "c",
         F.posexplode(
@@ -1148,6 +1162,110 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(load_table(spark, sf_dir, "embeddings"))
 
 
+#: incremental ingest: seed-id bounds chosen so the EXISTING-corpus
+#: population (vec_id % 4 != 0) contributes exactly NUM_CENTROIDS
+#: coarse seeds (ids < 11 minus 0,4,8) and PQ_KSUB sub-codebook seeds
+#: (ids < 22 minus the six multiples of 4).
+INC_COARSE_BOUND = 11
+INC_SUB_BOUND = 22
+
+
+def ivfpq_assign_batch(corpus: DataFrame, batch: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, codes_str) — incremental IVF-PQ ingest:
+    assign + encode a NEW batch against the FROZEN codebooks derived
+    from the existing corpus. The index-maintenance property this
+    demonstrates: ingest is the same narrow one-projection shape as
+    the initial build — the existing index is never touched, never
+    rescanned beyond the (tiny, broadcast) codebook seeds, and the
+    batch never shuffles. Codes serialize to a comma-joined string so
+    the relation is directly hashable by the differential gate."""
+    coarse = (
+        _vecs(
+            corpus.where(F.col("vec_id") < INC_COARSE_BOUND), "cc", "ccv"
+        )
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cc", "ccv"))).alias("coarse"))
+    )
+    subcent = _pq_subcentroids_from(
+        corpus.where(F.col("vec_id") < INC_SUB_BOUND).select(
+            F.col("vec_id").alias("c"), to_double_vec("embedding", "cv")
+        )
+    )
+    assign = _argmin_expr(
+        "coarse", _L2_MICRO.format(a="cv", b="t.ccv"), "cc", "BIGINT"
+    )
+    return (
+        _vecs(batch, "vec_id", "cv")
+        .crossJoin(F.broadcast(coarse))
+        .crossJoin(F.broadcast(_fold_codebook(subcent)))
+        .select(
+            "vec_id",
+            F.expr(assign).alias("centroid_id"),
+            F.expr(f"concat_ws(',', {_pq_codes_expr()})").alias("codes_str"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q_ann_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ANN ingest gate: the incoming batch (vec_id % 4 ==
+    0, the same split convention as [[q_dedup_incremental]]) is
+    assigned and PQ-encoded against the existing corpus's frozen
+    codebooks — one narrow pass over the batch only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 4 != 0)
+    batch = emb.where(F.col("vec_id") % 4 == 0)
+    return ivfpq_assign_batch(corpus, batch)
+
+
+ORACLES["q_ann_incremental_index"] = f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ),
+    corpus AS (SELECT * FROM v WHERE vec_id % 4 != 0),
+    batch AS (SELECT * FROM v WHERE vec_id % 4 = 0),
+    coarse AS (
+        SELECT vec_id AS cc, cv AS ccv FROM corpus
+        WHERE vec_id < {INC_COARSE_BOUND}
+    ),
+    cent AS (
+        SELECT j, vec_id AS c,
+               list_slice(cv, j * {PQ_SUB} + 1, j * {PQ_SUB} + {PQ_SUB}) AS scv
+        FROM corpus, unnest(range(0, {PQ_M})) AS t(j)
+        WHERE vec_id < {INC_SUB_BOUND}
+    ),
+    bsub AS (
+        SELECT vec_id, j,
+               list_slice(cv, j * {PQ_SUB} + 1, j * {PQ_SUB} + {PQ_SUB}) AS subv
+        FROM batch, unnest(range(0, {PQ_M})) AS t(j)
+    ),
+    assign AS (
+        SELECT b.vec_id, k.cc AS centroid_id
+        FROM batch b CROSS JOIN coarse k
+        QUALIFY row_number() OVER (
+            PARTITION BY b.vec_id
+            ORDER BY {_L2_MICRO_SQL.format(n=PQ_M * PQ_SUB, a='b.cv', b='k.ccv')} ASC,
+                     k.cc ASC
+        ) = 1
+    ),
+    codes AS (
+        SELECT s.vec_id, s.j, k.c FROM bsub s JOIN cent k USING (j)
+        QUALIFY row_number() OVER (
+            PARTITION BY s.vec_id, s.j
+            ORDER BY {_L2_MICRO_SQL.format(n=PQ_SUB, a='s.subv', b='k.scv')} ASC,
+                     k.c ASC
+        ) = 1
+    ),
+    codes_agg AS (
+        SELECT vec_id, string_agg(c::VARCHAR, ',' ORDER BY j) AS codes_str
+        FROM codes GROUP BY vec_id
+    )
+    SELECT a.vec_id, a.centroid_id, g.codes_str
+    FROM assign a JOIN codes_agg g USING (vec_id)
+    ORDER BY a.vec_id
+"""
+
+
 def filtered_cosine_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     """(qid, vec_id, cos_sim, rank) — FILTERED vector search: each
     query retrieves only within its own ``label`` partition (the
@@ -1210,11 +1328,6 @@ ORACLES["q_ann_filtered_topk"] = f"""
     ORDER BY qid, rank
 """
 
-
-_L2_MICRO_SQL = (
-    "CAST(round(list_sum(list_transform(range(1, {n} + 1), "
-    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) * 1000000.0, 0) AS BIGINT)"
-)
 
 ORACLES["q_ann_ivfpq_topk"] = f"""
     WITH v AS (
@@ -1304,6 +1417,7 @@ QUERIES = {
     "q_ann_pq_topk": q_ann_pq_topk,
     "q_ann_ivfpq_topk": q_ann_ivfpq_topk,
     "q_ann_filtered_topk": q_ann_filtered_topk,
+    "q_ann_incremental_index": q_ann_incremental_index,
 }
 
 BENCH = [
