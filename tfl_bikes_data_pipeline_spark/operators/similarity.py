@@ -226,6 +226,11 @@ def cosine_topk_arrow(
     import numpy as np
 
     spark = corpus.sparkSession
+    if not query_rows:
+        # empty query set: no candidates, typed empty result
+        return spark.createDataFrame(
+            [], "qid bigint, vec_id bigint, cos_sim double, rank int"
+        )
     qids = np.array([r[0] for r in query_rows], dtype=np.int64)
     qm = np.vstack([np.asarray(r[1], dtype=np.float64) for r in query_rows])
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -1751,6 +1756,9 @@ def pca_power_projection(
     spark = embeddings.sparkSession
     cov = embedding_covariance(embeddings, dim)
     cells = {(r.i, r.j): r.cov for r in cov.collect()}  # d(d+1)/2 values
+    if not cells:
+        # empty corpus: no covariance, no component — typed empty result
+        return spark.createDataFrame([], "vec_id bigint, score double")
 
     cs, vs = PCA_MAT_SHIFT, EMBED_COV_SHIFT
 

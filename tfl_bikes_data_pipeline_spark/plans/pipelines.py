@@ -208,6 +208,11 @@ def p_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     write_partitioned(events, out, ["ym"], mode="overwrite")
     last_month = events.agg(F.max("ym")).first()[0]
+    if last_month is None:
+        # empty source: nothing was written (no partitions, so the
+        # read-back cannot infer a schema) — the correct result is the
+        # empty aggregate over the (empty) input relation itself.
+        return events.groupBy("ym").agg(F.count(F.lit(1)).alias("cnt")).orderBy("ym")
     # idempotent re-run of the latest month: dynamic overwrite replaces
     # only that partition.
     write_partitioned(events.where(F.col("ym") == last_month), out, ["ym"], mode="overwrite")

@@ -148,9 +148,13 @@ def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
 
 def from_pandas_strings(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
     """The Spark-side seam shared by the XLSX and any other
-    pandas-at-the-edge reader: everything string, NULLs preserved."""
+    pandas-at-the-edge reader: everything string, NULLs preserved.
+    Schema is EXPLICIT (all-string DDL from the header) so a
+    zero-row file still yields a typed empty relation instead of a
+    cannot-infer-schema error."""
     pdf = pdf.astype("string").where(pdf.notna(), None)
-    return spark.createDataFrame(pdf.astype(object))
+    schema = ", ".join(f"`{c}` string" for c in pdf.columns)
+    return spark.createDataFrame(pdf.astype(object), schema=schema)
 
 
 # ---------------------------------------------------------------------------
