@@ -260,8 +260,10 @@ def fake_decode_meta(payload: bytes) -> dict:
 
 def attach_payload(documents: DataFrame) -> DataFrame:
     """Opaque binary payload column (UTF-8 bytes of text stands in for
-    real media bytes; real ingest would read files into `binary`)."""
-    return documents.select(
+    real media bytes; real ingest would read files into `binary`).
+    NULL-text rows carry no payload and are absent from media ops —
+    a codec cannot decode a missing blob."""
+    return documents.where(F.col("text").isNotNull()).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
 

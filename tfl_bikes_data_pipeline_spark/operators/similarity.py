@@ -45,7 +45,13 @@ NPROBE = 2
 
 
 def _vecs(embeddings: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-    return embeddings.select(
+    """Shared vector projection. Rows with a NULL embedding are ABSENT
+    from every vector operation built on this seam (the SQL-aggregate
+    null convention; the zero-norm precondition note in the module
+    docstring covers the sibling hazard) — downstream folds, numpy
+    stacks, and driver-side centroid iterations all assume a vector is
+    present when the row is."""
+    return embeddings.where(F.col("embedding").isNotNull()).select(
         F.col("vec_id").alias(id_alias), to_double_vec("embedding", vec_alias)
     )
 
@@ -1584,7 +1590,9 @@ def embedding_covariance(
         raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
 
     s = EMBED_COV_SHIFT
-    v = embeddings.select(
+    # NULL embeddings are absent from the statistic (SQL aggregate
+    # semantics) — and would crash the numpy stack either way.
+    v = embeddings.where(F.col("embedding").isNotNull()).select(
         F.expr(
             f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {s}) AS BIGINT))"
         ).alias("v")

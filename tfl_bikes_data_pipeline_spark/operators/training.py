@@ -741,7 +741,10 @@ def select_within_token_budget(spark, documents: DataFrame) -> DataFrame:
 
     feats = quality_features(documents).select(
         "doc_id",
-        "n_words",
+        # NULL-text docs hold zero tokens in the budget (they cannot
+        # contribute training data) — and a NULL would poison the
+        # driver-side offset accumulation.
+        F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
         "quality_band",
         F.when(F.col("quality_band") == "high", 0)
         .when(F.col("quality_band") == "mid", 1)

@@ -265,7 +265,9 @@ def q_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("Event Id").cast("long").alias("event_id"),
         F.col("User Id").cast("long").alias("user_id"),
         F.col("Event Type").alias("event_type"),
-        F.col("Value").cast("double").alias("value"),
+        # a NULL value serializes as an empty cell; reading it back as
+        # "" must round-trip to NULL, not a NumberFormatException
+        F.nullif(F.col("Value"), F.lit("")).cast("double").alias("value"),
     )
     return (
         typed.groupBy("event_type")
