@@ -59,3 +59,41 @@ def null_sf_dir(tmp_path_factory):
 def test_query_survives_null_payloads(spark, null_sf_dir, name):
     df = registry.QUERIES[name](spark, null_sf_dir)
     assert df.count() >= 0
+
+
+def _null_parity_names():
+    """Queries whose ORACLES mirror the null-absence convention (the
+    whole vector-ops module via the `_vecs` seam mirror, the payload
+    multimodal ops, the token budget, the XLSX round-trip) — for these
+    the differential holds on NULL-bearing data too, not just the
+    null-free driver fixtures. The remaining queries' oracles are
+    defined over payload-complete rows and carry the crash-resistance
+    check above only."""
+    from tfl_bikes_data_pipeline_spark.operators import similarity
+
+    extra = [
+        "q_multimodal_meta",
+        "q_multimodal_framesample",
+        "q_multimodal_phash_pairs",
+        "q_budget_select",
+        "q_xlsx_roundtrip",
+    ]
+    return sorted(
+        n for n in (*similarity.QUERIES, *extra) if n in registry.ORACLES
+    )
+
+
+@pytest.mark.parametrize("name", _null_parity_names())
+def test_null_semantics_match_oracle(spark, null_sf_dir, name):
+    import duckdb
+
+    from .oracle_utils import assert_matches_oracle
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{null_sf_dir}/{t}.parquet'"
+        )
+    df = registry.QUERIES[name](spark, null_sf_dir)
+    assert_matches_oracle(df, con, registry.ORACLES[name], name)

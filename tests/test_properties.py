@@ -372,7 +372,10 @@ def test_span_profile_coverage_laws(spark, corpus):
             assert r.dup_tokens >= SPAN_GRAM
 
 
-@given(ws=_words.filter(lambda w: len(w) >= 8))
+from tfl_bikes_data_pipeline_spark.operators.dedup import SPAN_GRAM as _SPAN_GRAM
+
+
+@given(ws=_words.filter(lambda w: len(w) >= _SPAN_GRAM))
 @settings(**SETTINGS)
 def test_span_profile_exact_copy_is_fully_covered(spark, ws):
     """A doc with an exact corpus twin is 100% duplicated tokens: every

@@ -340,14 +340,14 @@ ORACLES: dict[str, str] = {
                ((strlen(text) * 7) % 480)::INT AS height,
                (strlen(text) % 16 + 1)::INT AS n_frames,
                CASE WHEN strlen(text) % 2 = 0 THEN 'img' ELSE 'vid' END AS format
-        FROM documents ORDER BY doc_id
+        FROM documents WHERE text IS NOT NULL ORDER BY doc_id
     """,
     # frames 0, 4, 8, ... of each 'vid' payload, feature = deterministic
     # stand-in arithmetic — integer-exact in both engines.
     "q_multimodal_framesample": f"""
         WITH meta AS (
             SELECT doc_id, (strlen(text) % 16 + 1)::INT AS n_frames
-            FROM documents WHERE strlen(text) % 2 = 1
+            FROM documents WHERE text IS NOT NULL AND strlen(text) % 2 = 1
         )
         SELECT doc_id,
                (f * {FRAME_EVERY_N})::INT AS frame_idx,
@@ -491,7 +491,7 @@ _AHASH_BITS = " + ".join(
 ORACLES["q_multimodal_phash_pairs"] = f"""
     WITH payloads AS (
         SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS blen
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     means AS (
         SELECT doc_id, hx, blen,

@@ -527,7 +527,9 @@ def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python. Integer outputs (count, argmax index) keep the result
     engine-exact; float32 equality in argmax is bit-equality of the
     same stored value on both engines."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()  # the module-wide null-absent rule
+    )
     return emb.select(
         "vec_id",
         "label",
@@ -571,7 +573,7 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
     (scale 0 guard). ``round`` runs on an exactly-representable double
     in both engines, and the cast happens on an integral value, so the
     codes are engine-exact."""
-    e = embeddings.select(
+    e = embeddings.where(F.col("embedding").isNotNull()).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
     ).withColumn(
@@ -1214,7 +1216,6 @@ def ivfpq_assign_batch(corpus: DataFrame, batch: DataFrame) -> DataFrame:
             F.expr(assign).alias("centroid_id"),
             F.expr(f"concat_ws(',', {_pq_codes_expr()})").alias("codes_str"),
         )
-        .orderBy("vec_id")
     )
 
 
@@ -1226,7 +1227,9 @@ def q_ann_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") % 4 != 0)
     batch = emb.where(F.col("vec_id") % 4 == 0)
-    return ivfpq_assign_batch(corpus, batch)
+    # presentation sort belongs to the query wrapper, not the library
+    # operator (whose ingest dataflow is genuinely shuffle-free).
+    return ivfpq_assign_batch(corpus, batch).orderBy("vec_id")
 
 
 ORACLES["q_ann_incremental_index"] = f"""
@@ -1939,3 +1942,22 @@ ORACLES["q_ann_recall_eval"] = f"""
 """
 QUERIES["q_ann_recall_eval"] = q_ann_recall_eval
 BENCH.append("q_ann_recall_eval")
+
+
+def _mirror_null_absence_in_oracles() -> None:
+    """The Spark side drops NULL-embedding rows at the shared seams
+    (:func:`_vecs`, :func:`quantize_int8`, the covariance projection).
+    Mirror the same convention in EVERY oracle of this module by
+    replacing each ``embeddings`` table reference with a null-filtered
+    subquery, so implementation and declared semantics agree on
+    NULL-bearing data too — value-checked on the null-injected fixture
+    by tests/test_null_inputs.py, and a textual no-op on the null-free
+    driver fixtures."""
+    import re
+
+    sub = "(SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
+    for name, sql in list(ORACLES.items()):
+        ORACLES[name] = re.sub(r"\bembeddings\b", sub, sql)
+
+
+_mirror_null_absence_in_oracles()

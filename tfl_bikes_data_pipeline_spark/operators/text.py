@@ -1670,24 +1670,21 @@ def phrase_scan(documents: DataFrame, phrases: DataFrame) -> DataFrame:
     the substring-dedup postings); the phrase set reduces to digests
     and BROADCASTS into a hash join — no corpus shuffle at all until
     the final (phrase_id, doc_id) count, whose cardinality is hits,
-    not corpus. ``phrases``: (phrase_id, phrase); casing and extra
-    whitespace are normalized here, but the phrase MUST be exactly
-    PHRASE_WORDS tokens — a different length cannot match any document
+    not corpus. ``phrases``: (phrase_id, phrase); casing and outer
+    whitespace normalize here (same lower+trim the document side
+    gets), but the phrase MUST be exactly PHRASE_WORDS single-space-
+    joined tokens — a different token count cannot match any document
     window (the scan indexes fixed-width grams) and such a phrase
     contributes no rows."""
-    # Normalize the phrase the same way document tokens are normalized
-    # (lowercase, trimmed, single-spaced) so a caller's casing or
-    # stray whitespace cannot silently zero the audit; a phrase whose
-    # token count differs from PHRASE_WORDS still cannot match any
-    # document window by construction — that contract is loud in the
-    # docstring rather than silently truncated here.
-    norm = (
-        "concat_ws(' ', filter(split(lower(trim(phrase)), ' +'), "
-        "x -> x != ''))"
-    )
+    # Normalize the phrase EXACTLY as the document side normalizes
+    # text — lower + trim, nothing more. Collapsing whitespace here
+    # would break parity: documents split on single spaces, so a
+    # double space in a document produces an empty token that its own
+    # grams (and the derived self-phrases) legitimately contain; a
+    # collapsed phrase could then never match them.
     pw = phrases.select(
         "phrase_id",
-        F.substring(F.md5(F.expr(norm)), 1, 16).alias("gh"),
+        F.substring(F.md5(F.lower(F.trim(F.col("phrase")))), 1, 16).alias("gh"),
     )
     words = documents.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")

@@ -808,7 +808,7 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_budget_select"] = f"""
     WITH feats AS (
         SELECT doc_id,
-               len(string_split(lower(trim(text)), ' '))::INT AS n_words,
+               coalesce(len(string_split(lower(trim(text)), ' ')), 0)::INT AS n_words,
                CAST(len(list_filter(string_split(lower(trim(text)), ' '),
                         x -> list_contains(['the', 'a', 'of', 'and', 'in', 'to', 'is'], x))) AS DOUBLE)
                    / len(string_split(lower(trim(text)), ' ')) AS stopword_ratio

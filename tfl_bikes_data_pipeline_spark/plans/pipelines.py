@@ -206,13 +206,26 @@ def p_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accumulate full table copies in /tmp.
     atexit.register(shutil.rmtree, out, ignore_errors=True)
 
-    write_partitioned(events, out, ["ym"], mode="overwrite")
-    last_month = events.agg(F.max("ym")).first()[0]
-    if last_month is None:
-        # empty source: nothing was written (no partitions, so the
-        # read-back cannot infer a schema) — the correct result is the
-        # empty aggregate over the (empty) input relation itself.
+    agg0 = events.agg(
+        F.count(F.lit(1)).alias("n"), F.max("ym").alias("last_ym")
+    ).first()
+    if agg0["n"] == 0:
+        # truly empty source: nothing was written (no partitions, so
+        # the read-back cannot infer a schema) — the correct result is
+        # the empty aggregate over the (empty) input relation itself.
         return events.groupBy("ym").agg(F.count(F.lit(1)).alias("cnt")).orderBy("ym")
+    write_partitioned(events, out, ["ym"], mode="overwrite")
+    last_month = agg0["last_ym"]
+    if last_month is None:
+        # rows exist but every ym is NULL: the write above landed them
+        # all in the default partition; there is no latest month to
+        # re-run, so fall through to the read-back inventory.
+        back = spark.read.parquet(out)
+        return (
+            back.groupBy("ym")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("ym")
+        )
     # idempotent re-run of the latest month: dynamic overwrite replaces
     # only that partition.
     write_partitioned(events.where(F.col("ym") == last_month), out, ["ym"], mode="overwrite")

@@ -264,7 +264,9 @@ def q_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed = raw.select(
         F.col("Event Id").cast("long").alias("event_id"),
         F.col("User Id").cast("long").alias("user_id"),
-        F.col("Event Type").alias("event_type"),
+        # the minimal XLSX wire format cannot distinguish NULL from an
+        # empty inline string — empty cells decode as NULL uniformly
+        F.nullif(F.col("Event Type"), F.lit("")).alias("event_type"),
         # a NULL value serializes as an empty cell; reading it back as
         # "" must round-trip to NULL, not a NumberFormatException
         F.nullif(F.col("Value"), F.lit("")).cast("double").alias("value"),

@@ -34,7 +34,12 @@ from tfl_bikes_data_pipeline_spark.session import get_spark
 
 #: streaming queries return already-materialized memory-sink relations;
 #: their "plan" is the drained result, so plan metrics mean little.
-_STREAMING = ("q_stream_", "q_session_window")
+_STREAMING_PREFIX = "q_stream_"
+_STREAMING_EXACT = ("q_session_window",)
+
+
+def _is_streaming(name: str) -> bool:
+    return name.startswith(_STREAMING_PREFIX) or name in _STREAMING_EXACT
 
 
 def _metrics(plan: str) -> dict:
@@ -47,14 +52,18 @@ def _metrics(plan: str) -> dict:
         "smj": len(re.findall(r"\(\d+\) SortMergeJoin\b", plan)),
         "bnlj": len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin\b", plan)),
         "codegen": len(set(re.findall(r"codegen id : (\d+)", plan))),
-        # per-scan: "m/n" = scans with non-empty pushed filters / scans
+        # per-scan: "m/n" = scans with non-empty pushed filters / scans.
+        # Line-by-line so a filter list truncated by
+        # spark.sql.maxMetadataStringLength (no closing bracket) still
+        # counts as pushed and can never swallow later lines.
         "pushed": "{}/{}".format(
             sum(
                 1
-                for f in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-                if f.strip()
+                for line in plan.splitlines()
+                if "PushedFilters: [" in line
+                and line.split("PushedFilters: [", 1)[1].split("]", 1)[0].strip()
             ),
-            len(re.findall(r"PushedFilters: \[", plan)),
+            sum(1 for line in plan.splitlines() if "PushedFilters: [" in line),
         ),
         "forbidden": [
             n for n in ("CartesianProduct", "BatchEvalPython") if n in plan
@@ -79,7 +88,7 @@ def main() -> None:
             m = _metrics(buf.getvalue())
             m["name"] = name
             m["build_s"] = round(time.perf_counter() - t0, 2)
-            m["streaming"] = name.startswith("q_stream_") or name == "q_session_window"
+            m["streaming"] = _is_streaming(name)
             rows.append(m)
         except Exception as exc:  # surface, never hide
             rows.append({
