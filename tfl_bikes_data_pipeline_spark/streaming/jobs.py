@@ -694,8 +694,18 @@ def _stage_half(sf_dir: str, landing: str, parity: int, name: str) -> None:
     # version 2.6 explicitly: older pyarrow defaults (2.4) cannot write
     # TIMESTAMP(NANOS) and would coerce/raise, changing the staged
     # file's physical type away from the feed's (same guard as
-    # tables.nanos_arrival_type's probe writer).
-    pq.write_table(half, f"{landing}/{name}", version="2.6")
+    # tables.nanos_arrival_type's probe writer). Footer metadata is
+    # STRIPPED: a source fixture previously written by Spark embeds
+    # row metadata (org.apache.spark.sql.parquet.row.metadata) that
+    # the schema probe would trust OVER the physical type — for an
+    # INT64-nanos column it declares TimestampType, which the
+    # vectorized reader then cannot produce (FAILED_READ_FILE on the
+    # first drain; found by the 4× full-bench run). A landing feed's
+    # contract is the file's physical+logical shape, not a previous
+    # engine's embedded metadata.
+    pq.write_table(
+        half.replace_schema_metadata(None), f"{landing}/{name}", version="2.6"
+    )
 
 
 def q_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
