@@ -73,7 +73,17 @@ def release_cached_relations() -> None:
 
 def _retain(df: DataFrame) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK) and register it for deferred
-    release at the next dedup invocation."""
+    release at the next dedup invocation. LAZY on purpose — a blanket
+    eager count() here was tried and measured (round 6): most _retain
+    sites are consumed by scans inside ONE downstream job, where
+    Spark's cache population shares a single evaluation and the extra
+    materialization job only serializes the pipeline (+0.2-1.1 s per
+    query at sf0.1 on minhash/triangles/substrings, no winners). The
+    one real recompute hazard — an ITERATIVE consumer whose round-0
+    job fans out over the unmaterialized cache across stages — is
+    fixed at its site (connected_components pre-materializes edges and
+    labels; measured 373 s → 30 s at 4×). New iterative consumers must
+    do the same."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _CACHED_RELATIONS.append(df)
     return df
