@@ -41,8 +41,11 @@ def test_bench_runs_to_completion_and_emits_contract_json():
     assert out["n"] == len(registry.BENCH_QUERIES)
     assert sum(out["queries"].values()) <= out["value"] + 0.01
 
-    # the complete per-query map lands in BENCH_DETAIL.md
-    detail = os.path.join(root, "BENCH_DETAIL.md")
+    # the complete per-query map lands in the detail artifact; non-sf0.1
+    # runs write a side file so this smoke run can never clobber the
+    # committed sf0.1 BENCH_DETAIL.md (VERDICT r6 item 2)
+    assert out["detail"] == "BENCH_DETAIL_smoke.md"
+    detail = os.path.join(root, out["detail"])
     assert os.path.exists(detail)
     with open(detail) as fh:
         body = fh.read()

@@ -105,3 +105,20 @@ def test_every_declared_query_is_documented_in_coverage():
         if not re.search(rf"{re.escape(q)}(?![A-Za-z0-9_])", text)
     ]
     assert not missing, f"queries not documented in COVERAGE.md: {missing}"
+
+
+def test_similarity_oracle_mirror_covers_all_registrations():
+    """The null-absence mirror in operators/similarity.py rewrites every
+    oracle registered BEFORE it runs; an oracle registered after (or from
+    another module into its dict) would silently skip the rewrite and
+    diverge on NULL-bearing data (ADVICE r6). The frozen snapshot taken
+    right after the mirror must still equal the live key set."""
+    from tfl_bikes_data_pipeline_spark.operators import similarity
+
+    assert frozenset(similarity.ORACLES) == similarity.MIRRORED_ORACLE_NAMES, (
+        "an oracle was registered in operators/similarity.py after the "
+        "null-absence mirror ran — move it above _mirror_null_absence_in_oracles()"
+    )
+    sub = "(SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
+    unmirrored = [n for n, sql in similarity.ORACLES.items() if sub not in sql]
+    assert not unmirrored, f"oracles without the null-filtered subquery: {unmirrored}"

@@ -444,3 +444,34 @@ def test_incremental_index_references_only_corpus_codebooks(spark, sf_dir):
         assert r.vec_id % 4 == 0
         assert r.centroid_id in coarse_ids
         assert all(int(c) in sub_ids for c in r.codes_str.split(","))
+
+
+def test_filtered_topk_drops_null_embeddings_with_live_labels(spark):
+    """A row with a NULL embedding but a non-NULL label must neither
+    surface as a (NULL-scored) candidate nor, as a query, emit k
+    all-NULL rows — the module-wide null-absence convention the
+    mirrored oracles declare (ADVICE r6; the shared fixture nulls
+    embedding and label together, which masked this seam)."""
+    from tfl_bikes_data_pipeline_spark.operators.similarity import (
+        filtered_cosine_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, "a", [1.0, 0.0]),     # query with live embedding
+            (1, "a", None),           # query row: NULL embedding, live label
+            (7, "a", [0.9, 0.1]),
+            (8, "a", None),           # corpus row: NULL embedding, live label
+            (9, "b", [0.0, 1.0]),
+        ],
+        "vec_id INT, label STRING, embedding ARRAY<DOUBLE>",
+    )
+    rows = filtered_cosine_topk(emb, k=5).collect()
+    qids = {r.qid for r in rows}
+    assert 1 not in qids, "NULL-embedding query emitted candidate rows"
+    assert all(r.vec_id != 8 for r in rows), "NULL-embedding corpus row ranked"
+    assert all(r.cos_sim is not None for r in rows)
+    # the live query still retrieves its in-label neighbor and not the
+    # other label's vector
+    mine = [r.vec_id for r in rows if r.qid == 0]
+    assert mine == [7]

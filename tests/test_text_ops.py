@@ -278,3 +278,32 @@ def test_phrase_scan_planted_positions(spark):
     assert rows[0].n_hits == 1 and rows[0].first_pos == 0
     assert rows[1].n_hits == 2 and rows[1].first_pos == 2
     assert 2 not in rows
+
+
+def test_phrase_scan_multispace_edge_token(spark):
+    """A double space inside a document produces an empty token; a
+    phrase window whose EDGE token is empty space-joins with a
+    trailing/leading space. The phrase digest must NOT trim that edge
+    space away, or the engine misses hits the document grams (and the
+    DuckDB oracle) contain (ADVICE r6)."""
+    from tfl_bikes_data_pipeline_spark.operators.text import phrase_scan
+
+    # "a b c d e  f" splits to [a,b,c,d,e,'',f]: window [a..''] is the
+    # 6-gram "a b c d e " (trailing space), window [b..f] is
+    # "b c d e  f" (double space inside).
+    docs = spark.createDataFrame(
+        [(0, "a b c d e  f"), (1, "z a b c d e  f z")],
+        ["doc_id", "text"],
+    )
+    phrases = spark.createDataFrame(
+        [(10, "a b c d e "), (11, "b c d e  f")], ["phrase_id", "phrase"]
+    )
+    rows = {
+        (r.phrase_id, r.doc_id): r for r in phrase_scan(docs, phrases).collect()
+    }
+    # trailing-space edge phrase: found in both docs
+    assert rows[(10, 0)].first_pos == 0
+    assert rows[(10, 1)].first_pos == 1
+    # interior double-space phrase: found in both docs
+    assert rows[(11, 0)].first_pos == 1
+    assert rows[(11, 1)].first_pos == 2

@@ -1290,6 +1290,11 @@ def filtered_cosine_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     top-k (which under-fills k) or scoring everything then discarding
     (which wastes the scan). At 100 TB with the corpus partitioned by
     label on disk this prunes whole partitions before scoring."""
+    # module-wide null-absence convention (same rule as _vecs): a row
+    # with a NULL embedding must not surface as a NULL-scored candidate
+    # nor emit k all-NULL rows for a NULL-embedding query — the mirrored
+    # oracles drop such rows, so the engine must too (ADVICE r6).
+    embeddings = embeddings.where(F.col("embedding").isNotNull())
     cn = with_norm(
         embeddings.select(
             "vec_id", "label", to_double_vec("embedding", "cv")
@@ -1957,7 +1962,27 @@ def _mirror_null_absence_in_oracles() -> None:
 
     sub = "(SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
     for name, sql in list(ORACLES.items()):
-        ORACLES[name] = re.sub(r"\bembeddings\b", sub, sql)
+        # a qualified reference (``embeddings.vec_id``) would rewrite to
+        # an invalid ``(subquery).vec_id`` — fail loudly at import time
+        # instead of silently corrupting the oracle (ADVICE r6). Module
+        # SQL must alias the table and qualify through the alias.
+        assert not re.search(r"\bembeddings\s*\.", sql), (
+            f"oracle {name}: qualified 'embeddings.' reference would be "
+            "corrupted by the null-absence mirror — alias the table"
+        )
+        new_sql, n = re.subn(r"\bembeddings\b", sub, sql)
+        assert n > 0, (
+            f"oracle {name}: no 'embeddings' reference found — the "
+            "null-absence mirror did nothing; is it registered in the "
+            "right module?"
+        )
+        ORACLES[name] = new_sql
 
 
 _mirror_null_absence_in_oracles()
+
+# Registration guard: any ORACLES entry added below this line (or from
+# another module into this dict) would silently bypass the null-absence
+# mirror. tests/test_registry_contract.py asserts the live key set still
+# equals this frozen snapshot.
+MIRRORED_ORACLE_NAMES = frozenset(ORACLES)

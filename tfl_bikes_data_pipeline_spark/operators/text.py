@@ -1670,21 +1670,23 @@ def phrase_scan(documents: DataFrame, phrases: DataFrame) -> DataFrame:
     the substring-dedup postings); the phrase set reduces to digests
     and BROADCASTS into a hash join — no corpus shuffle at all until
     the final (phrase_id, doc_id) count, whose cardinality is hits,
-    not corpus. ``phrases``: (phrase_id, phrase); casing and outer
-    whitespace normalize here (same lower+trim the document side
-    gets), but the phrase MUST be exactly PHRASE_WORDS single-space-
-    joined tokens — a different token count cannot match any document
-    window (the scan indexes fixed-width grams) and such a phrase
-    contributes no rows."""
-    # Normalize the phrase EXACTLY as the document side normalizes
-    # text — lower + trim, nothing more. Collapsing whitespace here
-    # would break parity: documents split on single spaces, so a
-    # double space in a document produces an empty token that its own
-    # grams (and the derived self-phrases) legitimately contain; a
-    # collapsed phrase could then never match them.
+    not corpus. ``phrases``: (phrase_id, phrase); casing normalizes
+    here (lower — whitespace is significant, matching the document
+    grams byte-for-byte), and the phrase MUST be exactly PHRASE_WORDS
+    single-space-joined tokens — a different token count cannot match
+    any document window (the scan indexes fixed-width grams) and such
+    a phrase contributes no rows."""
+    # Normalize the phrase EXACTLY as the document grams are built —
+    # lower only, NO trim and NO whitespace collapsing. Documents split
+    # on single spaces, so a double space produces an empty token; a
+    # 6-token window whose EDGE token is empty space-joins with a
+    # leading/trailing space, and trimming the phrase here would strip
+    # that edge space and miss the hit the document grams (and the
+    # DuckDB oracle, which hashes the raw joined slice) contain
+    # (ADVICE r6).
     pw = phrases.select(
         "phrase_id",
-        F.substring(F.md5(F.lower(F.trim(F.col("phrase")))), 1, 16).alias("gh"),
+        F.substring(F.md5(F.lower(F.col("phrase"))), 1, 16).alias("gh"),
     )
     words = documents.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
