@@ -14,7 +14,10 @@ dates, ship modes and phone numbers):
 - Q9's supply cost is proxied as 10% of ``p_retailprice``.
 - Q12's ship-mode split becomes shipping-delay buckets.
 - Q22's phone prefix becomes the customer nation.
-Q2/Q11/Q16/Q20 need the partsupp table and are out of scope.
+- Q2/Q11/Q16/Q20 run over a SYNTHETIC partsupp (see the section at the
+  bottom of this module): the fixture lacks the table, so it is derived
+  deterministically from part x supplier-count with pure integer
+  arithmetic, identically on the Spark and DuckDB sides.
 
 Every plan follows the house scale rules: predicates pushed to scans,
 fixed-cardinality dims (nation/region) broadcast-hinted, SF-scaling
@@ -820,5 +823,314 @@ QUERIES.update(
         "q_discounted_revenue": q_discounted_revenue,
         "q_waiting_suppliers": q_waiting_suppliers,
         "q_sales_opportunity": q_sales_opportunity,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic partsupp — the one classic table the fixture lacks. Derived
+# DETERMINISTICALLY from part x supplier-count so the Spark relation and
+# the DuckDB oracle CTE construct bit-identical rows with pure integer
+# arithmetic (no randomness, no floats until a final exact /100.0):
+#   ps_suppkey         = (p_partkey*4 + i) % S          for i in 0..3
+#                        (4 DISTINCT suppliers per part for any S >= 4)
+#   ps_availqty        = (p_partkey*17 + ps_suppkey*31) % 9999 + 1
+#   ps_supplycost_cents= (p_partkey*13 + ps_suppkey*7) % 100000 + 1
+# Money stays integer cents through every join/aggregate; the only
+# float op is a final cents/100.0 — IEEE division is exactly specified,
+# so both engines emit the same double. Unlocks TPC-H Q2/Q11/Q16/Q20,
+# previously declared out of scope above for lack of the table.
+# ---------------------------------------------------------------------------
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the synthetic partsupp relation. Scale shape: a narrow
+    projection of part exploded x4 against a broadcast 1-row supplier
+    count — no shuffle at all; at 100 TB this is a generated dimension,
+    not a scanned fact."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    n_supp = load_table(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        part.crossJoin(F.broadcast(n_supp))  # 1-row scalar merge
+        .select(
+            "p_partkey",
+            "n_supp",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .withColumn(
+            "ps_suppkey", (F.col("p_partkey") * 4 + F.col("i")) % F.col("n_supp")
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            "ps_suppkey",
+            ((F.col("p_partkey") * 17 + F.col("ps_suppkey") * 31) % 9999 + 1)
+            .cast("int")
+            .alias("ps_availqty"),
+            ((F.col("p_partkey") * 13 + F.col("ps_suppkey") * 7) % 100000 + 1)
+            .cast("bigint")
+            .alias("ps_supplycost_cents"),
+        )
+    )
+
+
+#: the oracle-side twin of :func:`_partsupp` — spliced as a CTE into
+#: each of the four oracles below so DuckDB builds the identical table.
+_PS_SQL = """
+partsupp AS (
+    SELECT p_partkey AS ps_partkey,
+           (p_partkey * 4 + i) % (SELECT count(*) FROM supplier) AS ps_suppkey,
+           ((p_partkey * 17 + ((p_partkey * 4 + i) % (SELECT count(*) FROM supplier)) * 31) % 9999 + 1)::INT AS ps_availqty,
+           ((p_partkey * 13 + ((p_partkey * 4 + i) % (SELECT count(*) FROM supplier)) * 7) % 100000 + 1)::BIGINT AS ps_supplycost_cents
+    FROM part, unnest(range(0, 4)) AS t(i)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 — min-cost supplier: for every qualifying part, the EUROPE
+# supplier(s) offering it at the regional minimum supply cost.
+# ---------------------------------------------------------------------------
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") < 25)
+    )
+    # supplier/nation/region are the SF-fixed or sub-linear dims —
+    # broadcast them into the generated partsupp; the only shuffle is
+    # the per-part min (keyed on ps_partkey, the natural key).
+    eligible = (
+        ps.join(F.broadcast(supplier), ps["ps_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_supplycost_cents", "s_acctbal", "s_name", "n_name")
+    )
+    # rename the grouping key: best derives from eligible, and a raw
+    # self-join on ps_partkey would hit Spark's ambiguous-attribute
+    # fix-up (trivially-true-predicate warning) instead of a clean plan
+    best = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").alias("mc")
+    ).withColumnRenamed("ps_partkey", "best_partkey")
+    return (
+        eligible.join(
+            best,
+            (F.col("ps_partkey") == F.col("best_partkey"))
+            & (F.col("ps_supplycost_cents") == F.col("mc")),
+        )
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            (F.col("ps_supplycost_cents") / F.lit(100.0)).alias("ps_supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+ORACLES["q_min_cost_supplier"] = f"""
+    WITH {_PS_SQL},
+    eligible AS (
+        SELECT ps.ps_partkey, ps.ps_supplycost_cents,
+               s.s_acctbal, s.s_name, n.n_name
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    ),
+    best AS (
+        SELECT ps_partkey, min(ps_supplycost_cents) AS mc
+        FROM eligible GROUP BY ps_partkey
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+           (e.ps_supplycost_cents / 100.0) AS ps_supplycost
+    FROM eligible e
+    JOIN best b ON b.ps_partkey = e.ps_partkey
+               AND b.mc = e.ps_supplycost_cents
+    JOIN part p ON p.p_partkey = e.ps_partkey
+               AND p.p_type = 'SMALL' AND p.p_size < 25
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock: parts whose stock value held by NATION_7
+# suppliers exceeds 1/1000 of that nation's total. The HAVING compares
+# INTEGER cents (sum*1000 > total) — no float threshold anywhere.
+# ---------------------------------------------------------------------------
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_7"
+    )
+    natps = (
+        ps.join(F.broadcast(supplier), ps["ps_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_availqty").cast("bigint") * F.col("ps_supplycost_cents"))
+            .alias("v_cents"),
+        )
+    )
+    grouped = natps.groupBy("ps_partkey").agg(F.sum("v_cents").alias("sv"))
+    total = natps.agg(F.sum("v_cents").alias("t"))
+    return (
+        grouped.crossJoin(F.broadcast(total))  # 1-row scalar merge
+        .where(F.col("sv") * 1000 > F.col("t"))
+        .select("ps_partkey", (F.col("sv") / F.lit(100.0)).alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+ORACLES["q_important_stock"] = f"""
+    WITH {_PS_SQL},
+    natps AS (
+        SELECT ps.ps_partkey,
+               ps.ps_availqty::BIGINT * ps.ps_supplycost_cents AS v_cents
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+                     AND n.n_name = 'NATION_7'
+    ),
+    tot AS (SELECT sum(v_cents) AS t FROM natps)
+    SELECT ps_partkey, (sum(v_cents) / 100.0) AS value
+    FROM natps, tot
+    GROUP BY ps_partkey, t
+    HAVING sum(v_cents) * 1000 > t
+    ORDER BY value DESC, ps_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — parts/supplier relationship: distinct supplier count per
+# (brand, type, size) bucket, excluding one brand and the suppliers
+# with negative account balance (the fixture's analog of the classic
+# "customer complaints" exclusion; deterministic on the fixture).
+# ---------------------------------------------------------------------------
+
+def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#2")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    complained = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    )
+    return (
+        ps.join(
+            F.broadcast(complained),
+            ps["ps_suppkey"] == complained["s_suppkey"],
+            "left_anti",
+        )
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLES["q_parts_supplier_count"] = f"""
+    WITH {_PS_SQL}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.ps_suppkey)::BIGINT AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#2'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps.ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — excess-stock suppliers: NATION_3 suppliers holding more than
+# half the 1996 shipped quantity of a 'red%' part they supply. The
+# quantity sum is exact DECIMAL; the comparison is 2*availqty > sum
+# (both sides DECIMAL — no 0.5 float factor).
+# ---------------------------------------------------------------------------
+
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_3"
+    )
+    shipped = (
+        lineitem.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+    )
+    excess = (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .where(
+            (F.col("ps_availqty") * 2).cast("decimal(18,2)") > F.col("sum_qty")
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(excess, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+ORACLES["q_excess_stock_suppliers"] = f"""
+    WITH {_PS_SQL},
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    excess AS (
+        SELECT DISTINCT ps.ps_suppkey
+        FROM partsupp ps
+        JOIN part p ON p.p_partkey = ps.ps_partkey
+                   AND p.p_name LIKE 'red%'
+        JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                       AND sh.l_suppkey = ps.ps_suppkey
+        WHERE CAST(ps.ps_availqty * 2 AS DECIMAL(18,2)) > sh.sum_qty
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN excess e ON e.ps_suppkey = s.s_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+                 AND n.n_name = 'NATION_3'
+    ORDER BY s.s_name
+"""
+
+
+QUERIES.update(
+    {
+        "q_min_cost_supplier": q_min_cost_supplier,
+        "q_important_stock": q_important_stock,
+        "q_parts_supplier_count": q_parts_supplier_count,
+        "q_excess_stock_suppliers": q_excess_stock_suppliers,
     }
 )
