@@ -67,11 +67,51 @@ def _cos_pre(a: str, na: str, b: str, nb: str):
     return F.round(F.expr(dot_expr(a, b)) / (F.col(na) * F.col(nb)), 6)
 
 
+#: salt width for the two-phase exact top-k: phase 1 ranks inside
+#: (qid, hash(vec_id) % SALT) buckets, so the per-query sort spreads
+#: over TOPK_SALT× more tasks and phase 2 sees ≤ SALT·k rows per query
+#: instead of the whole corpus. 64 keeps every local[32] core busy at
+#: query counts as low as 1 and is still only 64·k rows per query on a
+#: 1000-executor cluster.
+TOPK_SALT = 64
+
+
+def _topk_by_query(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k over a (qid, vec_id, cos_sim) relation —
+    the two-phase salted form of ``row_number() OVER (PARTITION BY
+    qid)``. A single qid-partitioned window sorts the ENTIRE candidate
+    set in as many tasks as there are queries (the r6 scale audit
+    measured q_knn_classify growing 5.9× at 4× data on exactly this:
+    5 sort tasks for a corpus-sized candidate set). Phase 1 ranks
+    inside deterministic (qid, hash(vec_id) % TOPK_SALT) buckets —
+    every global top-k row is by definition within the top-k of its
+    own bucket, so discarding bucket ranks > k is lossless — and
+    phase 2 ranks the ≤ SALT·k survivors per query. Same exact output
+    (the (cos_sim DESC, vec_id ASC) total order makes top-k unique),
+    same oracle, corpus-scale sorts now fan out across the cluster."""
+    w1 = Window.partitionBy("qid", "__b").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    pruned = (
+        scored.withColumn("__b", F.pmod(F.hash("vec_id"), F.lit(TOPK_SALT)))
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .drop("__b", "__r1")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame, queries: DataFrame, k: int = TOP_K
 ) -> DataFrame:
-    """Exact top-k by cosine: broadcast queries × corpus, window top-k.
-    Norms are computed ONCE per vector on each side, not per pair.
+    """Exact top-k by cosine: broadcast queries × corpus, two-phase
+    salted top-k (:func:`_topk_by_query`). Norms are computed ONCE per
+    vector on each side, not per pair.
     Output: (qid, vec_id, cos_sim, rank)."""
 
     cn = with_norm(corpus, "cv", "ncv")
@@ -81,12 +121,7 @@ def cosine_topk(
         .where(F.col("qid") != F.col("vec_id"))
         .select("qid", "vec_id", _cos_pre("qv", "nqv", "cv", "ncv").alias("cos_sim"))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .orderBy("qid", "rank")
-    )
+    return _topk_by_query(scored, k)
 
 
 def ivf_assign(embeddings: DataFrame, num_centroids: int = NUM_CENTROIDS) -> DataFrame:
@@ -706,12 +741,7 @@ def ivf_search_with_centroids(
         .where(F.col("qid") != F.col("vec_id"))
         .select("qid", "vec_id", _cos_pre("qv", "nqv", "cv", "ncv").alias("cos_sim"))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .orderBy("qid", "rank")
-    )
+    return _topk_by_query(scored, k)
 
 
 def q_ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1319,12 +1349,7 @@ def filtered_cosine_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
             _cos_pre("qv", "nqv", "cv", "ncv").alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .orderBy("qid", "rank")
-    )
+    return _topk_by_query(scored, k)
 
 
 def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1469,11 +1494,21 @@ def knn_classify(
     The standard embedding-space labeling pass of a training-data
     pipeline (weak labeling / label propagation onto unlabeled
     documents). Scale shape: the scoring is :func:`cosine_topk`'s plan
-    — broadcast queries, linear corpus scan, per-query window — and the
-    vote is a ≤ q·k-row aggregate, negligible. Swap the scorer for
-    :func:`ivf_search` at large query volumes; the vote stage is
-    unchanged."""
-    hits = cosine_topk(corpus, queries, k).join(labels, "vec_id")
+    — broadcast queries, linear corpus scan, per-query window — so it
+    is linear in corpus at fixed query count but scores EVERYTHING;
+    the declared :func:`q_knn_classify` uses the IVF scorer instead
+    (probe ``nprobe`` buckets per query), which is the shape that
+    survives a growing corpus. The vote stage (:func:`knn_vote`) is
+    shared."""
+    return knn_vote(cosine_topk(corpus, queries, k), labels)
+
+
+def knn_vote(hits: DataFrame, labels: DataFrame) -> DataFrame:
+    """(qid, pred_label, n_votes) — majority vote over a scored
+    neighbor relation (qid, vec_id, ...): joins each neighbor to its
+    label, counts votes, argmax with ties toward the smaller label.
+    A ≤ q·k-row aggregate — negligible next to any scorer."""
+    hits = hits.join(labels, "vec_id")
     votes = hits.groupBy("qid", "label").agg(F.count(F.lit(1)).alias("n_votes"))
     w = Window.partitionBy("qid").orderBy(F.desc("n_votes"), F.asc("label"))
     return (
@@ -1485,7 +1520,17 @@ def knn_classify(
 
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classify the NUM_QUERIES held-out vectors against the labeled
-    rest of the corpus; output the prediction next to the true label."""
+    rest of the corpus; output the prediction next to the true label.
+
+    EXACT scorer — a classifier's declared semantics should be the
+    exact k neighbors, and since r7 the brute scan is scale-safe: the
+    r6 audit's 5.9× growth at 4× data came from the top-k window
+    sorting the corpus-sized candidate set in NUM_QUERIES tasks, which
+    :func:`_topk_by_query`'s salted two-phase ranking now spreads
+    across the cluster. The serving-scale APPROXIMATE swap is declared
+    separately as :func:`q_knn_classify_ivf` (the fixture's embeddings
+    are near-uniform, so IVF recall there is fixture-poor — the exact
+    path stays the flagship)."""
     embeddings = load_table(spark, sf_dir, "embeddings")
     held_out = embeddings.where(F.col("vec_id") < NUM_QUERIES)
     rest = embeddings.where(F.col("vec_id") >= NUM_QUERIES)
@@ -1527,8 +1572,104 @@ ORACLES["q_knn_classify"] = f"""
     ORDER BY w.qid
 """
 
+
+def q_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-scale kNN-classify swap: the IVF probe scores only
+    ~nprobe/NUM_CENTROIDS of the corpus per query (seed centroids =
+    the NUM_CENTROIDS lowest corpus vec_ids), then the same majority
+    vote. Approximate BY DESIGN — the oracle mirrors the probe CTEs
+    exactly, so correctness is exact-to-declared-semantics, while
+    test_knn_ivf_agreement records the fixture's prediction agreement
+    vs the exact scorer (near-uniform fixture embeddings make IVF
+    recall fixture-poor; on clustered real corpora the probed buckets
+    capture the true neighborhood)."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    held_out = embeddings.where(F.col("vec_id") < NUM_QUERIES)
+    rest = embeddings.where(F.col("vec_id") >= NUM_QUERIES)
+    seeds = _vecs(
+        rest.where(F.col("vec_id") < NUM_QUERIES + NUM_CENTROIDS),
+        "centroid_id",
+        "qv",
+    )
+    queries = _vecs(held_out, "qid", "qv")
+    hits = ivf_search_with_centroids(rest, queries, seeds, k=KNN_K)
+    labels = rest.select("vec_id", "label")
+    truth = held_out.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label")
+    )
+    return (
+        knn_vote(hits, labels)
+        .join(truth, "qid")
+        .select("qid", "true_label", "pred_label", "n_votes")
+        .orderBy("qid")
+    )
+
+
+ORACLES["q_knn_classify_ivf"] = f"""
+    WITH rest AS MATERIALIZED (
+        SELECT * FROM embeddings WHERE vec_id >= {NUM_QUERIES}
+    ),
+    seeds AS MATERIALIZED (
+        SELECT * FROM embeddings
+        WHERE vec_id >= {NUM_QUERIES}
+          AND vec_id < {NUM_QUERIES + NUM_CENTROIDS}
+    ),
+    held AS MATERIALIZED (
+        SELECT * FROM embeddings WHERE vec_id < {NUM_QUERIES}
+    ),
+    -- MATERIALIZED is load-bearing: DuckDB v1.0.0 evaluates
+    -- list_cosine_similarity below the mirrored IS-NOT-NULL filter
+    -- when these inputs are inlined into the CROSS JOINs (the function
+    -- hard-errors on NULL input instead of returning NULL, and even a
+    -- CASE guard does not short-circuit it); materializing the
+    -- null-filtered inputs pins the evaluation order
+    scored_assign AS (
+        SELECT c.vec_id, k.vec_id AS centroid_id,
+               {_COS.format(a='k.embedding', b='c.embedding')} AS cos_sim
+        FROM rest c CROSS JOIN seeds k
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id FROM scored_assign
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id) = 1
+    ),
+    probes AS (
+        SELECT q.vec_id AS qid, k.vec_id AS centroid_id
+        FROM held q CROSS JOIN seeds k
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY {_COS.format(a='q.embedding', b='k.embedding')} DESC, k.vec_id
+        ) <= {NPROBE}
+    ),
+    hits AS (
+        SELECT p.qid, c.label,
+               row_number() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC, c.vec_id
+               ) AS rank
+        FROM probes p
+        JOIN assign a ON a.centroid_id = p.centroid_id
+        JOIN rest c ON c.vec_id = a.vec_id AND c.vec_id != p.qid
+        JOIN held q ON q.vec_id = p.qid
+        QUALIFY rank <= {KNN_K}
+    ),
+    votes AS (
+        SELECT qid, label, count(1)::BIGINT AS n_votes FROM hits GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT qid, label AS pred_label, n_votes FROM votes
+        QUALIFY row_number() OVER (
+            PARTITION BY qid ORDER BY n_votes DESC, label) = 1
+    )
+    SELECT w.qid, q.label AS true_label, w.pred_label, w.n_votes
+    FROM win w JOIN embeddings q ON q.vec_id = w.qid
+    ORDER BY w.qid
+"""
+
 QUERIES["q_knn_classify"] = q_knn_classify
 BENCH.append("q_knn_classify")
+QUERIES["q_knn_classify_ivf"] = q_knn_classify_ivf
+BENCH.append("q_knn_classify_ivf")
 
 
 # ---------------------------------------------------------------------------
