@@ -480,3 +480,39 @@ def test_duplicated_span_profile_merges_overlaps_exactly(spark):
     assert rows[0].dup_tokens == 18 and rows[0].n_spans == 1
     # doc 1: only its first 9 tokens duplicate (grams at pos 0,1).
     assert rows[1].dup_tokens == 9 and rows[1].n_spans == 1
+
+
+def test_connected_components_reliable_checkpoint_branch(spark, tmp_path):
+    """The cluster-posture branch: with a RELIABLE checkpoint dir
+    configured, each round runs through DataFrame.checkpoint() (HDFS
+    posture — survives executor loss, lineage truncated on disk)
+    instead of localCheckpoint(). Same fixpoint on the 40-link chain,
+    and checkpoint files actually land in the configured dir. The dir
+    is reset afterwards so the rest of the suite keeps exercising the
+    localCheckpoint() branch."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None, "suite default should be local"
+    ckpt = str(tmp_path / "cc_ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], ["doc_a", "doc_b"]
+        )
+        labels = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+        assert set(labels.values()) == {0}
+        assert len(labels) == 41
+        import glob
+        import os
+
+        written = glob.glob(os.path.join(ckpt, "**", "rdd-*"), recursive=True)
+        assert written, "no reliable checkpoint files written — branch not taken"
+    finally:
+        # Scala setCheckpointDir(null) -> Option(null) = None: the only
+        # way to UNSET the dir (the Python wrapper rejects None)
+        sc._jsc.sc().setCheckpointDir(None)
+        assert sc.getCheckpointDir() is None
