@@ -61,6 +61,20 @@ def _calibrate(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _calibrate_scheduler(spark, n: int = 20) -> float:
+    """Scheduler-latency probe: n TINY jobs timed back-to-back. The
+    one-job calibration probe reads compute health but misses
+    driver/scheduler latency — the round-7 cross-session comparison
+    found inflation concentrated in many-tiny-job queries (iterative
+    CC, micro-batch streaming) while the compute probe looked healthy.
+    This probe makes that axis readable from the artifact alone:
+    ~n × (job submit + schedule + single-task round trip)."""
+    t0 = time.perf_counter()
+    for _ in range(n):
+        spark.range(0, 1000, 1, 1).count()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -75,6 +89,7 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     calib_before = _calibrate(spark)
+    sched_before = _calibrate_scheduler(spark)
     heap_before = _heap_used_mb(spark)
     load_before = os.getloadavg()[0]
 
@@ -89,6 +104,7 @@ def main() -> None:
             run[name] = round(time.perf_counter() - t0, 3)
 
     calib_after = _calibrate(spark)
+    sched_after = _calibrate_scheduler(spark)
     heap_after = _heap_used_mb(spark)
     load_after = os.getloadavg()[0]
 
@@ -115,10 +131,14 @@ def main() -> None:
                 "of the warm plan; the number that scales with data). The "
                 "stdout line carries the driver-pinned cold subset only "
                 "(2000-char tail-capture budget).\n\n"
-                "Session health — a fixed 1M-row calibration query timed "
-                "before/after the sweep plus driver-heap and host load: if "
-                "`calib_after` ≫ `calib_before`, artifact-level inflation is "
-                "session/host degradation, not query plans.\n\n```json\n"
+                "Session health — a fixed 1M-row calibration query and a "
+                "20-tiny-job scheduler-latency probe timed before/after the "
+                "sweep, plus driver-heap and host load: if `calib_after` ≫ "
+                "`calib_before`, artifact-level inflation is session/host "
+                "compute degradation; if `sched20` is inflated while "
+                "`calib` is healthy, many-tiny-job queries (iterative CC, "
+                "micro-batch streaming) inflate while scan-bound queries "
+                "don't — compare WITHIN a session when possible.\n\n```json\n"
             )
             fh.write(
                 json.dumps(
@@ -129,6 +149,8 @@ def main() -> None:
                         "session_health": {
                             "calib_before_sec": calib_before,
                             "calib_after_sec": calib_after,
+                            "sched20_before_sec": sched_before,
+                            "sched20_after_sec": sched_after,
                             "heap_before_mb": heap_before,
                             "heap_after_mb": heap_after,
                             "load1_before": round(load_before, 2),
