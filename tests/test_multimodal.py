@@ -378,3 +378,51 @@ def test_phash_oracle_matches_spark_on_non_ascii_payloads(spark):
         got, con, registry.ORACLES["q_multimodal_phash_pairs"], "phash_non_ascii"
     )
     assert got.count() >= 1  # the duplicate pair must survive
+
+
+def test_dedup_canonical_collapses_exact_copies(spark):
+    """Byte-identical payloads must collapse to ONE representative
+    before the banded-hamming join: pair count is invariant to
+    duplication depth (the r7 10x sweep measured the flat pair listing
+    growing 348x in output on replicated identical payloads), the
+    representative is the min doc_id, and cluster sizes ride along."""
+    from tfl_bikes_data_pipeline_spark.operators.multimodal import (
+        ahash,
+        ahash_pairs,
+        attach_payload,
+    )
+
+    base = "x" * 64                       # 64-byte payload, all cells equal
+    near = "x" * 63 + "y"                 # differs in one trailing cell
+    rows = (
+        [(i, base) for i in (3, 7, 11, 20)]   # 4 exact copies
+        + [(5, near), (6, near)]              # 2 exact copies of the near-dup
+        + [(9, "completely different words entirely unrelated " * 2)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # inline the declared composition over a planted frame
+    from pyspark.sql import functions as F
+
+    wp = attach_payload(docs)
+    digests = wp.select("doc_id", F.substring(F.md5("payload"), 1, 16).alias("dg"))
+    reps = digests.groupBy("dg").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    rep_rows = {r.rep_id: r.n_copies for r in reps.collect()}
+    assert rep_rows[3] == 4 and rep_rows[5] == 2, "exact clusters miscounted"
+
+    rep_payloads = wp.join(
+        F.broadcast(reps.select("rep_id")), wp["doc_id"] == F.col("rep_id")
+    ).select("doc_id", "payload")
+    pairs = ahash_pairs(ahash(rep_payloads)).collect()
+    # representatives 3 (base) and 5 (near) are within hamming budget;
+    # with copies collapsed there is exactly ONE such pair — not 4x2
+    keyed = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert (3, 5) in keyed
+    flat = ahash_pairs(ahash(wp)).where(
+        "doc_a != 9 and doc_b != 9"
+    ).count()
+    assert flat > len([p for p in keyed if 9 not in p]), (
+        "flat listing should emit strictly more pairs than the collapsed one"
+    )

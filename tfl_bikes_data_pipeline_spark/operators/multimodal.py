@@ -519,6 +519,97 @@ ORACLES["q_multimodal_phash_pairs"] = f"""
 QUERIES["q_multimodal_phash_pairs"] = q_multimodal_phash_pairs
 
 
+def q_multimodal_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-collapse-then-near-dup for the binary modality — the
+    image-side mirror of the text curation pipeline's discipline
+    (quality → EXACT dedup → LSH on survivors). The r7 10× replica
+    sweep measured the flat pair listing (:func:`q_multimodal_phash_pairs`)
+    growing 348.6× in OUTPUT on replicated byte-identical payloads —
+    quadratic in identical-payload cluster depth by definition. Here
+    byte-identical payloads first collapse to one representative
+    (md5-digest groupBy, min doc_id, cluster size kept), and the
+    banded-hamming join then sees each distinct payload ONCE — pair
+    count is invariant to duplication depth, the 100 TB posture.
+
+    Output: (doc_a, doc_b, hamming, copies_a, copies_b) over
+    representatives, cluster sizes carried so downstream keep/drop
+    logic can weight by exact-duplicate mass."""
+    documents = load_table(spark, sf_dir, "documents")
+    wp = attach_payload(documents)
+    # md5 over the payload BYTES == DuckDB md5(text) over UTF-8
+    digests = wp.select(
+        "doc_id", F.substring(F.md5("payload"), 1, 16).alias("dg")
+    )
+    reps = digests.groupBy("dg").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    rep_payloads = wp.join(
+        F.broadcast(reps.select("rep_id")),
+        wp["doc_id"] == F.col("rep_id"),
+    ).select("doc_id", "payload")
+    pairs = ahash_pairs(ahash(rep_payloads))
+    a = reps.select(
+        F.col("rep_id").alias("doc_a"), F.col("n_copies").alias("copies_a")
+    )
+    b = reps.select(
+        F.col("rep_id").alias("doc_b"), F.col("n_copies").alias("copies_b")
+    )
+    return (
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select("doc_a", "doc_b", "hamming", "copies_a", "copies_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLES["q_multimodal_dedup_canonical"] = f"""
+    WITH payloads AS (
+        SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS blen,
+               substr(md5(text), 1, 16) AS dg
+        FROM documents WHERE text IS NOT NULL
+    ),
+    reps AS (
+        SELECT dg, min(doc_id) AS rep_id, count(1)::BIGINT AS n_copies
+        FROM payloads GROUP BY dg
+    ),
+    rp AS (
+        SELECT p.doc_id, p.hx, p.blen
+        FROM payloads p JOIN reps r ON p.doc_id = r.rep_id
+    ),
+    means AS (
+        SELECT doc_id, hx, blen,
+               ({_AHASH_SUM}) / {AHASH_CELLS}.0 AS cell_mean
+        FROM rp
+    ),
+    hashes AS (
+        SELECT doc_id, ({_AHASH_BITS})::BIGINT AS ahash FROM means
+    ),
+    bands AS (
+        SELECT doc_id, ahash, b.band_id,
+               (ahash >> (b.band_id * 8)) & 255 AS band_key
+        FROM hashes,
+             (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) b(band_id)
+    ),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               bit_count(xor(x.ahash, y.ahash))::INT AS hamming
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.band_key = y.band_key
+        WHERE x.doc_id < y.doc_id
+          AND bit_count(xor(x.ahash, y.ahash)) <= {AHASH_MAX_HAMMING}
+    )
+    SELECT p.doc_a, p.doc_b, p.hamming,
+           ra.n_copies AS copies_a, rb.n_copies AS copies_b
+    FROM pairs p
+    JOIN reps ra ON ra.rep_id = p.doc_a
+    JOIN reps rb ON rb.rep_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+"""
+
+QUERIES["q_multimodal_dedup_canonical"] = q_multimodal_dedup_canonical
+
+
 # ---------------------------------------------------------------------------
 # REAL codec round-trips inside the gate
 # ---------------------------------------------------------------------------
