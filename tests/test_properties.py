@@ -392,3 +392,45 @@ def test_span_profile_exact_copy_is_fully_covered(spark, ws):
     for d in (0, 1):
         assert rows[d].dup_tokens == rows[d].n_tokens == len(ws)
         assert rows[d].n_spans == 1
+
+
+# ---------------------------------------------------------------------------
+# two-phase salted top-k (operators/similarity._topk_by_query) — the
+# shared extraction behind every cosine top-k; losslessness must hold
+# for ANY score multiset (heavy ties, negatives, singleton buckets),
+# not just the planted grid in test_similarity.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    scores=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),       # qid
+            st.integers(min_value=-3, max_value=3),      # coarse score → ties
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=7),
+)
+@settings(**SETTINGS)
+def test_topk_two_phase_matches_window_model(spark, scores, k):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.operators.similarity import _topk_by_query
+
+    rows = [(qid, i, float(s)) for i, (qid, s) in enumerate(scores)]
+    scored = spark.createDataFrame(rows, "qid INT, vec_id INT, cos_sim DOUBLE")
+    got = [
+        (r.qid, r.vec_id, r.rank) for r in _topk_by_query(scored, k).collect()
+    ]
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    want = [
+        (r.qid, r.vec_id, r.rank)
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    assert got == want
