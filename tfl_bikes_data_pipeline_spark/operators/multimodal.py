@@ -463,9 +463,15 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup across the binary payload column: the
     image-dedup pass of a multimodal ingest pipeline (byte-identical
     copies hash equal; near-identical payloads land within the hamming
-    budget)."""
+    budget). The hash relation is _retain'd before the banded
+    self-join — without it each side of the join re-runs the
+    mapInPandas decode (the same discipline q_dedup_simhash_pairs
+    applies, dedup.py:1273)."""
+    from .dedup import _retain, release_cached_relations
+
+    release_cached_relations()
     documents = load_table(spark, sf_dir, "documents")
-    hashes = ahash(attach_payload(documents))
+    hashes = _retain(ahash(attach_payload(documents)))
     return ahash_pairs(hashes).orderBy("doc_a", "doc_b")
 
 
@@ -534,21 +540,30 @@ def q_multimodal_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_a, doc_b, hamming, copies_a, copies_b) over
     representatives, cluster sizes carried so downstream keep/drop
     logic can weight by exact-duplicate mass."""
+    from .dedup import _retain, release_cached_relations
+
+    release_cached_relations()
     documents = load_table(spark, sf_dir, "documents")
     wp = attach_payload(documents)
     # md5 over the payload BYTES == DuckDB md5(text) over UTF-8
     digests = wp.select(
         "doc_id", F.substring(F.md5("payload"), 1, 16).alias("dg")
     )
-    reps = digests.groupBy("dg").agg(
-        F.min("doc_id").alias("rep_id"),
-        F.count(F.lit(1)).alias("n_copies"),
+    # reps feeds THREE joins below (representative selection + both
+    # cluster-size annotations); uncached, each consumer re-ran the
+    # full digest scan+groupBy (measured 23.4 s vs the flat listing's
+    # 16.7 s at 20× before the _retain)
+    reps = _retain(
+        digests.groupBy("dg").agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
     )
     rep_payloads = wp.join(
         F.broadcast(reps.select("rep_id")),
         wp["doc_id"] == F.col("rep_id"),
     ).select("doc_id", "payload")
-    pairs = ahash_pairs(ahash(rep_payloads))
+    pairs = ahash_pairs(_retain(ahash(rep_payloads)))
     a = reps.select(
         F.col("rep_id").alias("doc_a"), F.col("n_copies").alias("copies_a")
     )
