@@ -307,3 +307,34 @@ def test_phrase_scan_multispace_edge_token(spark):
     # interior double-space phrase: found in both docs
     assert rows[(11, 0)].first_pos == 1
     assert rows[(11, 1)].first_pos == 2
+
+
+def test_min_k_prob_selects_bottom_fraction(spark):
+    import pytest
+    """Min-K% semantics on a planted corpus: a 5-token doc at k=20%
+    selects exactly its single least-likely token, so its score IS that
+    token's unigram logprob; an all-common doc scores the common
+    token's logprob; and n_sel floors at 1 for short docs."""
+    import math
+
+    from tfl_bikes_data_pipeline_spark.operators.text import min_k_prob
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common common common common rare"),
+            (1, "common common common common common"),
+            (2, "common"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in min_k_prob(docs, k_pct=20).collect()}
+    total = 11  # 5 + 5 + 1 tokens
+    lp_rare = round(math.log(1 / total), 6)
+    lp_common = round(math.log(10 / total), 6)
+    assert rows[0].n_tokens == 5 and rows[0].n_sel == 1
+    assert rows[0].mink_logprob == pytest.approx(lp_rare, abs=1e-9)
+    assert rows[1].mink_logprob == pytest.approx(lp_common, abs=1e-9)
+    assert rows[2].n_sel == 1  # floor at 1 token
+    # memorization signal direction: the doc containing a rare token
+    # scores LOWER (more surprising) than the all-common doc
+    assert rows[0].mink_logprob < rows[1].mink_logprob

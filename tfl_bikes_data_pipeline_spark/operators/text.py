@@ -873,6 +873,125 @@ QUERIES["q_text_unigram_logprob"] = q_text_unigram_logprob
 BENCH.append("q_text_unigram_logprob")
 
 
+MINK_PCT = 20
+
+
+def min_k_prob(documents: DataFrame, k_pct: int = MINK_PCT) -> DataFrame:
+    """(doc_id, n_tokens, n_sel, mink_logprob) — the Min-K% Prob
+    membership/memorization audit (Shi et al., "Detecting Pretraining
+    Data from Large Language Models"): score each document by the MEAN
+    log-probability of its ``k_pct``% least-likely tokens. A document
+    the model has memorized has anomalously HIGH probability even on
+    its rarest tokens, so a high min-k score flags likely training-set
+    membership — the per-document complement of the shingle-level
+    [[q_decontaminate]] and positional [[q_phrase_scan]] audits. The
+    corpus's own unigram model stands in for the external LM (same
+    substitution as :func:`unigram_logprob`).
+
+    Determinism: the bottom-n_sel selection is tie-safe WITHOUT a
+    tie-break column — swapping equal-lp tokens across the selection
+    boundary cannot change the selected SUM, and row_number guarantees
+    both engines select exactly n_sel rows. lp values ride the same
+    round-6 DECIMAL grid as unigram_logprob, summed exactly.
+
+    Scale shape: one vocabulary aggregate (broadcastable after a
+    min-count floor at real scale), one broadcast join onto the token
+    stream, one per-document window (per-doc cardinality = document
+    length, bounded by construction — no skew hazard), one per-doc
+    aggregate."""
+    from .dedup import _retain
+
+    tokens = _retain(
+        documents.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word"),
+        )
+    )
+    model = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = model.agg(F.sum("c").alias("total"))
+    model = model.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.round(F.log(F.col("c").cast("double") / F.col("total").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    w = Window.partitionBy("doc_id")
+    ranked = (
+        tokens.join(F.broadcast(model), "word")
+        .select(
+            "doc_id",
+            "lp",
+            F.row_number().over(w.orderBy(F.asc("lp"))).alias("rn"),
+            F.count(F.lit(1)).over(w).alias("n_tokens"),
+        )
+        .withColumn(
+            "n_sel",
+            F.greatest(F.lit(1), F.expr(f"(n_tokens * {k_pct}) div 100")),
+        )
+    )
+    return (
+        ranked.where(F.col("rn") <= F.col("n_sel"))
+        .groupBy("doc_id", "n_tokens", "n_sel")
+        .agg(F.sum("lp").alias("sel_sum"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_sel",
+            # NO final round: the exact-DECIMAL sum reaches double by
+            # the same string route in both engines and IEEE division
+            # is exactly specified, so the raw quotient is bit-equal —
+            # while round(x, 6) diverges on half-digit ties (measured:
+            # -3.4453395 split -3.445339 vs -3.44534 across engines)
+            (
+                F.col("sel_sum").cast("string").cast("double")
+                / F.col("n_sel").cast("double")
+            ).alias("mink_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_min_k_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load_table(spark, sf_dir, "documents")
+    return min_k_prob(documents)
+
+
+ORACLES["q_min_k_prob"] = f"""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+        FROM documents
+    ),
+    model AS (
+        SELECT word,
+               CAST(round(ln(count(1)::DOUBLE
+                   / (SELECT count(1)::DOUBLE FROM tokens)), 6)
+                   AS DECIMAL(18,6)) AS lp
+        FROM tokens GROUP BY word
+    ),
+    ranked AS (
+        SELECT t.doc_id, m.lp,
+               row_number() OVER (PARTITION BY t.doc_id ORDER BY m.lp ASC) AS rn,
+               count(1) OVER (PARTITION BY t.doc_id) AS n_tokens
+        FROM tokens t JOIN model m ON t.word = m.word
+    ),
+    capped AS (
+        SELECT doc_id, lp, n_tokens,
+               greatest(1, (n_tokens * {MINK_PCT}) // 100) AS n_sel
+        FROM ranked
+        WHERE rn <= greatest(1, (n_tokens * {MINK_PCT}) // 100)
+    )
+    SELECT doc_id, n_tokens::BIGINT AS n_tokens, n_sel::BIGINT AS n_sel,
+           CAST(CAST(sum(lp) AS VARCHAR) AS DOUBLE) / n_sel::DOUBLE
+               AS mink_logprob
+    FROM capped
+    GROUP BY doc_id, n_tokens, n_sel
+    ORDER BY doc_id
+"""
+
+QUERIES["q_min_k_prob"] = q_min_k_prob
+BENCH.append("q_min_k_prob")
+
+
 # ---------------------------------------------------------------------------
 # TextRank keyword extraction (PageRank over the co-occurrence graph)
 # ---------------------------------------------------------------------------
