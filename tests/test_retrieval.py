@@ -221,3 +221,27 @@ def test_hybrid_rrf_consensus_beats_single_system(spark, sf_dir):
         d = min(both, key=lambda x: max(lex[x], vec[x]))
         floor = 1.0 / (RRF_K + max(lex[d], vec[d]))
         assert fused[d] > floor
+
+
+def test_rbo_hand_computed_curve(spark):
+    """RBO on a hand-computable pair of runs: lex = [A,B,C],
+    vec = [B,A,D]. Overlaps by depth: 0, 2, 2 → terms 0, 0.9·1,
+    0.81·round(2/3, 6) → RBO prefix 0, 0.09, 0.144000027 (exact on the
+    decimal grid, no float folding anywhere before the final cast)."""
+    import pytest
+
+    from tfl_bikes_data_pipeline_spark.operators.retrieval import (
+        rank_biased_overlap,
+    )
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], ["doc_id", "rank_lex"]
+    )
+    vec = spark.createDataFrame(
+        [(20, 1), (10, 2), (40, 3)], ["doc_id", "rank_vec"]
+    )
+    rows = rank_biased_overlap(lex, vec, k=3).collect()
+    assert [(r.depth, r.n_overlap) for r in rows] == [(1, 0), (2, 2), (3, 2)]
+    assert rows[0].rbo_at_depth == pytest.approx(0.0, abs=0)
+    assert rows[1].rbo_at_depth == pytest.approx(0.09, abs=1e-12)
+    assert rows[2].rbo_at_depth == pytest.approx(0.144000027, abs=1e-12)

@@ -466,11 +466,156 @@ def _hybrid_oracle() -> str:
     """
 
 
+#: exact decimal powers of 0.9 for RBO's geometric weights — 0.9^(d-1)
+#: has exactly d-1 decimal digits, so DECIMAL(18,9) holds every value
+#: for k=10 with NO rounding anywhere (IEEE pow() is not
+#: correctly-rounded-guaranteed across libms, so the weights are
+#: literals, not computed)
+_RBO_P_POW = [
+    "1.000000000", "0.900000000", "0.810000000", "0.729000000",
+    "0.656100000", "0.590490000", "0.531441000", "0.478296900",
+    "0.430467210", "0.387420489",
+]
+
+
+def rank_biased_overlap(lex: DataFrame, vec: DataFrame, k: int = HYBRID_TOP_K) -> DataFrame:
+    """(depth, n_overlap, rbo_at_depth) — truncated rank-biased overlap
+    (Webber et al.) between two ranked runs, the standard top-weighted
+    agreement metric for comparing retrieval systems (here: how much
+    the lexical and vector rankings agree, and WHERE they diverge —
+    the evaluation companion to [[q_hybrid_rrf]]'s fusion).
+
+    ``rbo_at_depth`` is the monotone prefix
+    (1-p)·Σ_{e≤d} p^(e-1)·(A_e/e) with p = 0.9: row ``depth = k`` is
+    RBO@k, earlier rows show the agreement curve. Engine-exact: A_e/e
+    rides the round-6 DECIMAL grid, the geometric weights are exact
+    decimal LITERALS (0.9^(e-1) terminates in e-1 digits), products
+    and prefix sums are pure DECIMAL, and the only float is the final
+    string→double cast.
+
+    Scale shape: both runs are ≤k-row relations, so everything here is
+    broadcast arithmetic over k² rows — free next to the retrievals
+    that produce the runs."""
+    from pyspark.sql import Window
+
+    spark = lex.sparkSession
+    depths = spark.createDataFrame(
+        [(d, _RBO_P_POW[d - 1]) for d in range(1, k + 1)],
+        "depth INT, p_pow_s STRING",
+    ).select("depth", F.col("p_pow_s").cast("decimal(18,9)").alias("p_pow"))
+    both = lex.join(vec, "doc_id").select("rank_lex", "rank_vec")
+    overlaps = (
+        depths.join(
+            F.broadcast(both),
+            (F.col("rank_lex") <= F.col("depth"))
+            & (F.col("rank_vec") <= F.col("depth")),
+            "left",
+        )
+        .groupBy("depth", "p_pow")
+        .agg(F.count("rank_lex").alias("n_overlap"))
+    )
+    term = (
+        F.round(F.col("n_overlap") / F.col("depth"), 6).cast("decimal(18,6)")
+        * F.col("p_pow")
+    ).alias("term")
+    w = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        overlaps.select("depth", "n_overlap", term)
+        .withColumn("prefix", F.sum("term").over(w))
+        .select(
+            "depth",
+            "n_overlap",
+            (
+                (F.col("prefix") * F.lit("0.1").cast("decimal(2,1)"))
+                .cast("string")
+                .cast("double")
+            ).alias("rbo_at_depth"),
+        )
+        .orderBy("depth")
+    )
+
+
+def q_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBO agreement curve between the BM25 and vector top-10 runs —
+    the same two runs q_hybrid_rrf fuses."""
+    from pyspark.sql import Window
+
+    from .similarity import cosine_topk, _vecs
+
+    documents = load_table(spark, sf_dir, "documents")
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    w_lex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = bm25_topk(documents, k=HYBRID_TOP_K).select(
+        "doc_id", F.row_number().over(w_lex).alias("rank_lex")
+    )
+    corpus = _vecs(embeddings, "vec_id", "cv")
+    queries = _vecs(
+        embeddings.where(F.col("vec_id") == HYBRID_QVEC), "qid", "qv"
+    )
+    vec = cosine_topk(corpus, queries, k=HYBRID_TOP_K).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("rank_vec")
+    )
+    return rank_biased_overlap(lex, vec)
+
+
+def _rbo_oracle() -> str:
+    lex_body = _bm25_oracle().rsplit("ORDER BY", 1)[0]
+    pow_rows = ", ".join(
+        f"({d}, {_RBO_P_POW[d - 1]}::DECIMAL(18,9))"
+        for d in range(1, HYBRID_TOP_K + 1)
+    )
+    return f"""
+        WITH lexbase AS ({lex_body}),
+        lexr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+            FROM lexbase
+            QUALIFY rank_lex <= {HYBRID_TOP_K}
+        ),
+        vecr AS (
+            SELECT c.vec_id AS doc_id,
+                   row_number() OVER (
+                       ORDER BY round(list_cosine_similarity(
+                           q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                           c.vec_id
+                   ) AS rank_vec
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id = {HYBRID_QVEC} AND c.vec_id != {HYBRID_QVEC}
+            QUALIFY rank_vec <= {HYBRID_TOP_K}
+        ),
+        agreed AS (
+            SELECT l.rank_lex, v.rank_vec
+            FROM lexr l JOIN vecr v ON l.doc_id = v.doc_id
+        ),
+        powers (depth, p_pow) AS (VALUES {pow_rows}),
+        depth_agree AS (
+            SELECT p.depth, p.p_pow, count(b.rank_lex)::BIGINT AS n_overlap
+            FROM powers p
+            LEFT JOIN agreed b
+              ON b.rank_lex <= p.depth AND b.rank_vec <= p.depth
+            GROUP BY p.depth, p.p_pow
+        ),
+        terms AS (
+            SELECT depth, n_overlap,
+                   CAST(round(n_overlap / depth, 6) AS DECIMAL(18,6)) * p_pow
+                       AS term
+            FROM depth_agree
+        )
+        SELECT depth, n_overlap,
+               CAST(CAST(sum(term) OVER (ORDER BY depth
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    * 0.1::DECIMAL(2,1) AS VARCHAR) AS DOUBLE) AS rbo_at_depth
+        FROM terms
+        ORDER BY depth
+    """
+
+
 QUERIES = {
     "q_bm25_topk": q_bm25_topk,
     "q_quality_model": q_quality_model,
     "q_source_overlap": q_source_overlap,
     "q_hybrid_rrf": q_hybrid_rrf,
+    "q_rbo_eval": q_rbo_eval,
 }
 
 ORACLES = {
@@ -478,6 +623,7 @@ ORACLES = {
     "q_quality_model": _quality_model_oracle(),
     "q_source_overlap": _SOURCE_OVERLAP_ORACLE,
     "q_hybrid_rrf": _hybrid_oracle(),
+    "q_rbo_eval": _rbo_oracle(),
 }
 
 BENCH = list(QUERIES)
