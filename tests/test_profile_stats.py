@@ -170,3 +170,26 @@ def test_psi_flags_shifted_distribution(spark):
     shifted = docs.withColumn("n_chars", F.col("n_chars") + F.lit(300))
     drift_psi = distribution_psi(docs, shifted, "n_chars").first()["psi_total"]
     assert drift_psi > 0.25, drift_psi
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    """Hand-checkable MAD semantics: a zero-MAD group flags ANY
+    deviation, a spread group flags only the planted spike, and both
+    median and MAD are exact lower-median order statistics."""
+    from tfl_bikes_data_pipeline_spark.operators.profile import mad_outliers
+
+    rows = (
+        [("a", 0.0)] * 4 + [("a", 100.0)]
+        + [("b", float(x)) for x in range(1, 8)] + [("b", 100.0)]
+    )
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {r.k: r for r in mad_outliers(df, "k", "v").collect()}
+    # group a: med=0, deviations [0,0,0,0,100] -> mad=0 -> the spike
+    # is the only |x-med| > 0
+    assert got["a"].med == 0.0 and got["a"].mad == 0.0
+    assert got["a"].n_outliers == 1
+    # group b: n=8, lower median = 4th of [1..7,100] = 4; deviations
+    # sorted [0,1,1,2,2,3,3,96] -> mad = 2 -> threshold 6 -> only 100
+    assert got["b"].med == 4.0 and got["b"].mad == 2.0
+    assert got["b"].n_outliers == 1
+    assert got["b"].outlier_frac == 1 / 8

@@ -1082,3 +1082,119 @@ ORACLES["q_table_stats"] = """
 """
 
 QUERIES["q_table_stats"] = q_table_stats
+
+
+# ---------------------------------------------------------------------------
+# MAD outlier detection — the flagging complement of winsorize_profile
+# ---------------------------------------------------------------------------
+
+MAD_K = 3
+
+
+def mad_outliers(df: DataFrame, key: str, value_col: str) -> DataFrame:
+    """(key, n, med, mad, n_outliers, outlier_frac) — robust per-key
+    outlier detection: a row is an outlier when
+    ``|x - median| > MAD_K * MAD`` (median absolute deviation), the
+    standard curation gate for numeric feature columns where mean/std
+    are themselves dragged by the outliers being hunted
+    (the flagging complement of [[q_winsorized_means]]' location
+    estimate).
+
+    Engine-exactness discipline (same as winsorize_profile): median
+    and MAD are LOWER-MEDIAN ORDER STATISTICS — exact stored doubles
+    via element_at(array_sort(...)), never interpolated percentiles
+    (interpolation arithmetic diverges at ~1 ulp across engines and a
+    threshold comparison against a diverged boundary flips rows). The
+    deviation |x - med|, the threshold MAD_K*mad, and the comparison
+    are single IEEE ops — bit-identical across engines. outlier_frac
+    is the raw IEEE quotient (no rounding anywhere).
+
+    Scale posture: per-key collect for the order statistics (grouped-
+    sort memory profile — per-key cardinality bounded; unbounded keys
+    take the approx-sketch path [[q_approx_quantiles]]), then one
+    partial-aggregated flag pass with the key-sized med/mad relation
+    broadcast."""
+    vals = df.where(F.col(value_col).isNotNull())
+    stats = (
+        vals.groupBy(key)
+        .agg(
+            F.array_sort(F.collect_list(value_col)).alias("vs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            key,
+            "n",
+            F.element_at("vs", F.expr("(n + 1) div 2").cast("int")).alias("med"),
+            F.col("vs"),
+        )
+        .select(
+            key,
+            "n",
+            "med",
+            F.element_at(
+                F.array_sort(F.expr("transform(vs, x -> abs(x - med))")),
+                F.expr("(n + 1) div 2").cast("int"),
+            ).alias("mad"),
+        )
+    )
+    flagged = (
+        vals.join(F.broadcast(stats), key)
+        .groupBy(key, "n", "med", "mad")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col(value_col) - F.col("med"))
+                    > F.lit(float(MAD_K)) * F.col("mad")
+                ).cast("bigint")
+            ).alias("n_outliers")
+        )
+        .select(
+            key,
+            "n",
+            "med",
+            "mad",
+            "n_outliers",
+            (F.col("n_outliers").cast("double") / F.col("n").cast("double")).alias(
+                "outlier_frac"
+            ),
+        )
+        .orderBy(key)
+    )
+    return flagged
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return mad_outliers(events, "event_type", "value")
+
+
+ORACLES["q_mad_outliers"] = f"""
+    WITH vals AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    b AS (
+        SELECT event_type,
+               list(value ORDER BY value) AS vs,
+               count(1)::BIGINT AS n
+        FROM vals GROUP BY event_type
+    ),
+    med AS (
+        SELECT event_type, n, vs,
+               vs[CAST((n + 1) // 2 AS INT)] AS med
+        FROM b
+    ),
+    stats AS (
+        SELECT event_type, n, med,
+               (list_sort(list_transform(vs, x -> abs(x - med))))
+                   [CAST((n + 1) // 2 AS INT)] AS mad
+        FROM med
+    )
+    SELECT v.event_type, s.n, s.med, s.mad,
+           sum(CASE WHEN abs(v.value - s.med) > {MAD_K}.0 * s.mad
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           sum(CASE WHEN abs(v.value - s.med) > {MAD_K}.0 * s.mad
+                    THEN 1 ELSE 0 END)::DOUBLE / s.n::DOUBLE AS outlier_frac
+    FROM vals v JOIN stats s USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    ORDER BY v.event_type
+"""
+
+QUERIES["q_mad_outliers"] = q_mad_outliers
