@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -40,6 +41,11 @@ from tfl_bikes_data_pipeline_spark.session import get_spark
 
 #: the driver tail-captures 2000 chars; leave headroom for the newline.
 MAX_LINE = 1900
+# Session-health gate thresholds (see main()): calibrated from the r7
+# incident — a healthy session probes sched20 ≈ 0.4s / load1 ≈ 3-4; the
+# degraded one that inflated many-tiny-job queries 1.4-5× read 1.34s / 4.7+.
+SCHED20_DEGRADED_SEC = 0.8
+LOAD1_DEGRADED = 10.0
 
 
 def _heap_used_mb(spark) -> float:
@@ -77,7 +83,19 @@ def _calibrate_scheduler(spark, n: int = 20) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Parse the scale factor from the TRAILING path component only — a
+    # bare rsplit("sf") mis-routed any custom dir containing "sf"
+    # elsewhere (e.g. .../sfdata/sf0.1-v2) to the smoke artifact.
+    m = re.search(r"sf(\d+(?:\.\d+)?)$", sf_dir.rstrip("/").split("/")[-1])
+    if m:
+        sf = m.group(1)
+    else:
+        sf = sf_dir.rstrip("/").split("/")[-1]
+        print(
+            f"bench: dir {sf_dir!r} has no trailing sf<N> component; "
+            "detail routes to BENCH_DETAIL_smoke.md",
+            file=sys.stderr,
+        )
     spark = get_spark(app_name="bench")
 
     # warm the JVM/session and the table scans (parquet footers, codegen)
@@ -92,6 +110,28 @@ def main() -> None:
     sched_before = _calibrate_scheduler(spark)
     heap_before = _heap_used_mb(spark)
     load_before = os.getloadavg()[0]
+
+    # Environment gate (VERDICT r7 item 6): the r7 artifacts proved
+    # cross-session absolute seconds drift ~1.4× on byte-identical code
+    # when the host scheduler is degraded (sched20 1.344s vs 0.408s
+    # healthy). Don't silently commit an artifact from a degraded
+    # session — stamp the verdict into the artifact header so a reader
+    # knows whether cross-round second-level comparison is meaningful.
+    gate_reasons = []
+    if sched_before > SCHED20_DEGRADED_SEC:
+        gate_reasons.append(
+            f"sched20_before={sched_before}s > {SCHED20_DEGRADED_SEC}s"
+        )
+    if load_before > LOAD1_DEGRADED:
+        gate_reasons.append(f"load1_before={round(load_before, 2)} > {LOAD1_DEGRADED}")
+    env_gate = "ok" if not gate_reasons else "degraded: " + "; ".join(gate_reasons)
+    if gate_reasons:
+        print(
+            f"bench: SESSION DEGRADED ({env_gate}) — absolute seconds in "
+            "this artifact are NOT cross-round comparable; judge scale on "
+            "within-session ratios only.",
+            file=sys.stderr,
+        )
 
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
@@ -138,7 +178,12 @@ def main() -> None:
                 "compute degradation; if `sched20` is inflated while "
                 "`calib` is healthy, many-tiny-job queries (iterative CC, "
                 "micro-batch streaming) inflate while scan-bound queries "
-                "don't — compare WITHIN a session when possible.\n\n```json\n"
+                "don't — compare WITHIN a session when possible.\n\n"
+                f"Environment gate at sweep start: **{env_gate}** "
+                f"(degraded when sched20_before > {SCHED20_DEGRADED_SEC}s "
+                f"or load1 > {LOAD1_DEGRADED}; a degraded artifact's "
+                "absolute seconds are not cross-round comparable).\n\n"
+                "```json\n"
             )
             fh.write(
                 json.dumps(
@@ -147,6 +192,7 @@ def main() -> None:
                         "cold_total_sec": total,
                         "steady_total_sec": steady_total,
                         "session_health": {
+                            "env_gate": env_gate,
                             "calib_before_sec": calib_before,
                             "calib_after_sec": calib_after,
                             "sched20_before_sec": sched_before,
@@ -175,6 +221,7 @@ def main() -> None:
         "n": len(cold),
         "steady_total": steady_total,
         "calib": [calib_before, calib_after],
+        "gate": env_gate,
         "detail": detail_name,
         "queries": pinned,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -559,8 +559,14 @@ def q_multimodal_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+    # NO broadcast hints on reps or its projections: reps has DISTINCT-
+    # PAYLOAD cardinality — roughly corpus-sized once exact duplicates
+    # are the exception — so a forced broadcast would OOM at the 100 TB
+    # posture this docstring claims. AQE picks BHJ when the collapse
+    # output happens to be small (heavy exact duplication) and falls
+    # back to a shuffle join when it isn't.
     rep_payloads = wp.join(
-        F.broadcast(reps.select("rep_id")),
+        reps.select("rep_id"),
         wp["doc_id"] == F.col("rep_id"),
     ).select("doc_id", "payload")
     pairs = ahash_pairs(_retain(ahash(rep_payloads)))
@@ -571,8 +577,8 @@ def q_multimodal_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rep_id").alias("doc_b"), F.col("n_copies").alias("copies_b")
     )
     return (
-        pairs.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
         .select("doc_a", "doc_b", "hamming", "copies_a", "copies_b")
         .orderBy("doc_a", "doc_b")
     )

@@ -17,7 +17,7 @@ weather observations are tolerated by design,
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import exact_row_avg
@@ -1102,40 +1102,57 @@ def mad_outliers(df: DataFrame, key: str, value_col: str) -> DataFrame:
 
     Engine-exactness discipline (same as winsorize_profile): median
     and MAD are LOWER-MEDIAN ORDER STATISTICS — exact stored doubles
-    via element_at(array_sort(...)), never interpolated percentiles
+    selected at rank ``(n + 1) div 2``, never interpolated percentiles
     (interpolation arithmetic diverges at ~1 ulp across engines and a
-    threshold comparison against a diverged boundary flips rows). The
-    deviation |x - med|, the threshold MAD_K*mad, and the comparison
-    are single IEEE ops — bit-identical across engines. outlier_frac
-    is the raw IEEE quotient (no rounding anywhere).
+    threshold comparison against a diverged boundary flips rows).
+    Ties are rank-order-safe: every row inside a tie run carries the
+    same value, so whichever of them lands on the target rank yields
+    the identical double. The deviation |x - med|, the threshold
+    MAD_K*mad, and the comparison are single IEEE ops — bit-identical
+    across engines. outlier_frac is the raw IEEE quotient (no rounding
+    anywhere).
 
-    Scale posture: per-key collect for the order statistics (grouped-
-    sort memory profile — per-key cardinality bounded; unbounded keys
-    take the approx-sketch path [[q_approx_quantiles]]), then one
-    partial-aggregated flag pass with the key-sized med/mad relation
-    broadcast."""
+    Scale posture: TWO-PASS EXACT ORDER STATISTIC — rank rows with
+    ``row_number() OVER (PARTITION BY key ORDER BY value)`` and keep
+    the one at the median rank, then repeat on |x - med| for the MAD.
+    No per-key array ever materializes (the r7 collect_list posture
+    held the whole key group in one executor array; a skewed key blew
+    the grouped-sort memory profile) — window sort state is
+    spill-to-disk, so a hot key degrades to disk sort instead of OOM.
+    Truly unbounded keys still take the approx-sketch path
+    [[q_approx_quantiles]]. Final flag pass is partial-aggregated with
+    the key-sized med/mad relation broadcast."""
     vals = df.where(F.col(value_col).isNotNull())
-    stats = (
-        vals.groupBy(key)
-        .agg(
-            F.array_sort(F.collect_list(value_col)).alias("vs"),
-            F.count(F.lit(1)).alias("n"),
+    w_rank = Window.partitionBy(key).orderBy(value_col)
+    w_all = Window.partitionBy(key)
+    med = (
+        vals.select(
+            key,
+            F.col(value_col),
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
         )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(key, "n", F.col(value_col).alias("med"))
+    )
+    w_dev = Window.partitionBy(key).orderBy("dev")
+    stats = (
+        vals.join(F.broadcast(med), key)
         .select(
             key,
             "n",
-            F.element_at("vs", F.expr("(n + 1) div 2").cast("int")).alias("med"),
-            F.col("vs"),
+            "med",
+            F.abs(F.col(value_col) - F.col("med")).alias("dev"),
         )
         .select(
             key,
             "n",
             "med",
-            F.element_at(
-                F.array_sort(F.expr("transform(vs, x -> abs(x - med))")),
-                F.expr("(n + 1) div 2").cast("int"),
-            ).alias("mad"),
+            "dev",
+            F.row_number().over(w_dev).alias("rn"),
         )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(key, "n", "med", F.col("dev").alias("mad"))
     )
     flagged = (
         vals.join(F.broadcast(stats), key)

@@ -76,7 +76,7 @@ def _cos_pre(a: str, na: str, b: str, nb: str):
 TOPK_SALT = 64
 
 
-def _topk_by_query(scored: DataFrame, k: int) -> DataFrame:
+def _topk_by_query(scored: DataFrame, k: int, salt: int = TOPK_SALT) -> DataFrame:
     """Exact per-query top-k over a (qid, vec_id, cos_sim) relation —
     the two-phase salted form of ``row_number() OVER (PARTITION BY
     qid)``. A single qid-partitioned window sorts the ENTIRE candidate
@@ -88,12 +88,16 @@ def _topk_by_query(scored: DataFrame, k: int) -> DataFrame:
     own bucket, so discarding bucket ranks > k is lossless — and
     phase 2 ranks the ≤ SALT·k survivors per query. Same exact output
     (the (cos_sim DESC, vec_id ASC) total order makes top-k unique),
-    same oracle, corpus-scale sorts now fan out across the cluster."""
+    same oracle, corpus-scale sorts now fan out across the cluster.
+
+    ``salt`` is output-invariant by the losslessness argument above —
+    tests/test_properties.py sweeps 1/64/256 on a corpus-scale fixture
+    so TOPK_SALT can be retuned without re-proving correctness."""
     w1 = Window.partitionBy("qid", "__b").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")
     )
     pruned = (
-        scored.withColumn("__b", F.pmod(F.hash("vec_id"), F.lit(TOPK_SALT)))
+        scored.withColumn("__b", F.pmod(F.hash("vec_id"), F.lit(salt)))
         .withColumn("__r1", F.row_number().over(w1))
         .where(F.col("__r1") <= k)
         .drop("__b", "__r1")

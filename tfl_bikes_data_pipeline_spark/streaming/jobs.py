@@ -49,6 +49,36 @@ def _fallback_stream_schema(spark: SparkSession) -> T.StructType:
 
 from ..tmputil import sweep_tmpdir as _tmpdir  # staged fixture copies are swept at exit
 
+# Scale-aware trigger sizing (VERDICT r7 item 3). The drain profile
+# (tools/stream_state_profile.py, PLANS.md) measured steady drain cost as
+# batch-COUNT-bound (~1.5-1.8 s per micro-batch at fixture state size), so a
+# trigger hard-pinned at 1 file/batch makes wall grow linearly with
+# landing-file count: the r7 10× replica staged 10 part files and drained
+# 4-7× slower purely on micro-batch count. Target a fixed batch count
+# instead — per-batch size carries the scale, batch count stays ~flat.
+# (At a true 100 TB posture the equivalent byte-denominated knob is
+# maxBytesPerTrigger; the staged fixtures here write equal-size parts, so
+# file count is the byte proxy and keeps the option portable to the file
+# source's required integer.) Floor of 1; a target of 3 preserves the
+# multi-batch state-survival semantics every streaming test pins.
+import os as _os
+
+STREAM_TARGET_BATCHES = int(
+    _os.environ.get("SPARK_GRAFT_STREAM_TARGET_BATCHES", "3")
+)
+
+
+def files_per_trigger(landing_dir: str) -> int:
+    """maxFilesPerTrigger sized so the drain takes ~STREAM_TARGET_BATCHES
+    micro-batches regardless of how many part files land."""
+    try:
+        n = sum(
+            1 for f in _os.listdir(landing_dir) if f.endswith(".parquet")
+        )
+    except OSError:
+        n = 0
+    return max(1, -(-n // STREAM_TARGET_BATCHES))
+
 
 def _copy_events_fixture(sf_dir: str, landing: str, name: str) -> None:
     """Stage the events fixture as one landing file. Supports both
@@ -108,7 +138,7 @@ def read_events_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
         schema = _fallback_stream_schema(spark)
     raw = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger(landing_dir))
         .parquet(landing_dir)
     )
     return normalize_event_ts(raw)

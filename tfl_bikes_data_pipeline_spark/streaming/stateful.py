@@ -44,7 +44,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..functions import exact_sum
 from ..tables import load_table
 from ..tmputil import sweep_tmpdir
-from .jobs import run_available_now
+from .jobs import files_per_trigger, run_available_now
 
 SESSION_GAP = "30 minutes"
 
@@ -127,9 +127,13 @@ def cumulative_user_counts(stream_df: DataFrame) -> DataFrame:
 
 def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = stage_landing_dir_split(spark, sf_dir)
+    # The staged dir is always n_files=3, so the sized trigger yields
+    # 1 file/batch here — the multi-batch state-survival semantics this
+    # query exists to exercise are preserved while the sizing stays the
+    # single scale-aware policy (jobs.files_per_trigger).
     stream = (
         spark.readStream.schema(EVENTS_MICRO_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger(landing))
         .parquet(landing)
     )
     counts = cumulative_user_counts(stream)
