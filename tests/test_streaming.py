@@ -305,3 +305,35 @@ def test_session_window_boundary_merges_exact_gap(spark):
     assert_matches_oracle(
         got, con, registry.ORACLES["q_session_window"], "session_boundary"
     )
+
+
+def test_files_per_trigger_targets_fixed_batch_count(tmp_path):
+    """Scale-aware trigger sizing (round 8): batch count must stay
+    ~STREAM_TARGET_BATCHES as the landing zone grows, with a floor of
+    1 file/batch, and an empty/missing dir must not crash the
+    stream-before-first-drop path."""
+    from tfl_bikes_data_pipeline_spark.streaming.jobs import (
+        STREAM_TARGET_BATCHES,
+        files_per_trigger,
+    )
+
+    assert STREAM_TARGET_BATCHES == 3  # the semantics the suite pins
+
+    def staged(n):
+        d = tmp_path / f"landing_{n}"
+        d.mkdir()
+        for i in range(n):
+            (d / f"part_{i}.parquet").write_bytes(b"")
+        return str(d)
+
+    # floor: tiny landing zones keep multi-batch state-survival semantics
+    assert files_per_trigger(staged(0)) == 1
+    assert files_per_trigger(staged(1)) == 1
+    assert files_per_trigger(staged(3)) == 1
+    # growth: batch count = ceil(n / fpt) stays in [target, target+1)
+    for n in (10, 30, 100, 1000):
+        fpt = files_per_trigger(staged(n))
+        batches = -(-n // fpt)
+        assert batches <= STREAM_TARGET_BATCHES, (n, fpt, batches)
+    # missing dir → floor, not crash (stream defined before first drop)
+    assert files_per_trigger(str(tmp_path / "nope")) == 1
