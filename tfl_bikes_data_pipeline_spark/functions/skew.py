@@ -22,6 +22,28 @@ explicit salting on a real cluster:
 Salts are deterministic (hash of a designated column, not rand()), so
 plans stay reproducible and re-runnable — required for the oracle gate
 and for idempotent month re-runs.
+
+MEASURED (tools/skew_ab.py, round 8 — 90%-hot single key, plain vs
+salted, best-of-2, broadcast disabled for the join):
+
+- ``salted_join`` EARNS its place: 1.24× faster than the plain
+  shuffle join at 4M rows, 1.44× at 12M (the gap grows with scale).
+  AQE's skew-join split did NOT fire on this shape — its trigger is
+  byte-sized partitions (256 MB advisory default), and a
+  row-count-bound hot key of narrow rows stays under the byte
+  threshold while still serializing one task. Explicit salting is the
+  mitigation for exactly that gap (plus the inputs AQE refuses:
+  stream-static joins, bucketed scans).
+- ``salted_group_count`` does NOT pay for algebraic aggregates: the
+  plain plan wins ~1.9× at 4M rows (0.28s vs 0.54s) and still wins at
+  12M (0.48s vs 0.56s) — hash-aggregate PARTIAL rows collapse the hot
+  key to one row per map task before the shuffle, so the salt only
+  adds a second shuffle. Even for large per-key state (collect_set of
+  a unique column) the two-stage form is a wash at these scales
+  (5.39s vs 5.87s at 12M): the explode+re-dedup merge costs what the
+  spread saves. Keep it for the documented niche — non-algebraic
+  per-key state BIG enough that one task's state OOMs — and reach for
+  it only after the plain plan has actually failed.
 """
 
 from __future__ import annotations
