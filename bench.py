@@ -41,10 +41,16 @@ from tfl_bikes_data_pipeline_spark.session import get_spark
 
 #: the driver tail-captures 2000 chars; leave headroom for the newline.
 MAX_LINE = 1900
-# Session-health gate thresholds (see main()): calibrated from the r7
-# incident — a healthy session probes sched20 ≈ 0.4s / load1 ≈ 3-4; the
-# degraded one that inflated many-tiny-job queries 1.4-5× read 1.34s / 4.7+.
-SCHED20_DEGRADED_SEC = 0.8
+# Session-health gate thresholds (see main()). Calibration note (r8):
+# sched20_BEFORE reads ~1.2s on EVERY fresh session on this host (the
+# warm-up doesn't fully JIT the scheduler path; three independent runs +
+# the committed r7 artifact all read 1.19-1.29s), so the before-probe is
+# recorded but NOT gated on. The discriminating signals are sweep-END
+# state: sched20_after (healthy ≈ 0.38-0.41s), calib_after vs
+# calib_before (compute degradation), and host load at start.
+SCHED20_AFTER_DEGRADED_SEC = 0.8
+CALIB_DEGRADED_RATIO = 2.0
+CALIB_DEGRADED_FLOOR_SEC = 0.3
 LOAD1_DEGRADED = 10.0
 
 
@@ -111,25 +117,10 @@ def main() -> None:
     heap_before = _heap_used_mb(spark)
     load_before = os.getloadavg()[0]
 
-    # Environment gate (VERDICT r7 item 6): the r7 artifacts proved
-    # cross-session absolute seconds drift ~1.4× on byte-identical code
-    # when the host scheduler is degraded (sched20 1.344s vs 0.408s
-    # healthy). Don't silently commit an artifact from a degraded
-    # session — stamp the verdict into the artifact header so a reader
-    # knows whether cross-round second-level comparison is meaningful.
-    gate_reasons = []
-    if sched_before > SCHED20_DEGRADED_SEC:
-        gate_reasons.append(
-            f"sched20_before={sched_before}s > {SCHED20_DEGRADED_SEC}s"
-        )
     if load_before > LOAD1_DEGRADED:
-        gate_reasons.append(f"load1_before={round(load_before, 2)} > {LOAD1_DEGRADED}")
-    env_gate = "ok" if not gate_reasons else "degraded: " + "; ".join(gate_reasons)
-    if gate_reasons:
         print(
-            f"bench: SESSION DEGRADED ({env_gate}) — absolute seconds in "
-            "this artifact are NOT cross-round comparable; judge scale on "
-            "within-session ratios only.",
+            f"bench: host load1={round(load_before, 2)} at sweep start — "
+            "expect inflated absolute seconds.",
             file=sys.stderr,
         )
 
@@ -147,6 +138,39 @@ def main() -> None:
     sched_after = _calibrate_scheduler(spark)
     heap_after = _heap_used_mb(spark)
     load_after = os.getloadavg()[0]
+
+    # Environment gate (VERDICT r7 item 6): the r7 artifacts proved
+    # cross-session absolute seconds drift ~1.4× on byte-identical code
+    # when the host is degraded. Don't silently commit an artifact from
+    # a degraded session — stamp the verdict into the artifact so a
+    # reader knows whether cross-round second-level comparison is
+    # meaningful. Gated on SWEEP-END state (sched20_before is ~1.2s on
+    # every fresh session here — JIT-cold, not degradation; see the
+    # threshold constants' calibration note).
+    gate_reasons = []
+    if sched_after > SCHED20_AFTER_DEGRADED_SEC:
+        gate_reasons.append(
+            f"sched20_after={sched_after}s > {SCHED20_AFTER_DEGRADED_SEC}s"
+        )
+    if (
+        calib_after > CALIB_DEGRADED_RATIO * calib_before
+        and calib_after > CALIB_DEGRADED_FLOOR_SEC
+    ):
+        gate_reasons.append(
+            f"calib_after={calib_after}s > {CALIB_DEGRADED_RATIO}x before"
+        )
+    if load_before > LOAD1_DEGRADED:
+        gate_reasons.append(
+            f"load1_before={round(load_before, 2)} > {LOAD1_DEGRADED}"
+        )
+    env_gate = "ok" if not gate_reasons else "degraded: " + "; ".join(gate_reasons)
+    if gate_reasons:
+        print(
+            f"bench: SESSION DEGRADED ({env_gate}) — absolute seconds in "
+            "this artifact are NOT cross-round comparable; judge scale on "
+            "within-session ratios only.",
+            file=sys.stderr,
+        )
 
     total = round(sum(cold.values()), 3)
     steady_total = round(sum(steady.values()), 3)
@@ -179,10 +203,13 @@ def main() -> None:
                 "`calib` is healthy, many-tiny-job queries (iterative CC, "
                 "micro-batch streaming) inflate while scan-bound queries "
                 "don't — compare WITHIN a session when possible.\n\n"
-                f"Environment gate at sweep start: **{env_gate}** "
-                f"(degraded when sched20_before > {SCHED20_DEGRADED_SEC}s "
-                f"or load1 > {LOAD1_DEGRADED}; a degraded artifact's "
-                "absolute seconds are not cross-round comparable).\n\n"
+                f"Environment gate: **{env_gate}** (degraded when "
+                f"sched20_after > {SCHED20_AFTER_DEGRADED_SEC}s, calib_after "
+                f"> {CALIB_DEGRADED_RATIO}x calib_before, or start load1 > "
+                f"{LOAD1_DEGRADED}; sched20_before ≈ 1.2s is this host's "
+                "normal JIT-cold reading and is NOT gated. A degraded "
+                "artifact's absolute seconds are not cross-round "
+                "comparable).\n\n"
                 "```json\n"
             )
             fh.write(
