@@ -144,3 +144,36 @@ def test_adaptive_filter_per_source_keep_fraction(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """Planted vocabularies: target sources (src0-3) speak only words
+    from vocabulary A, the rest only vocabulary B. A raw-corpus doc
+    written purely in A must out-rank one purely in B, and a mixed doc
+    lands between them; selection is the top-k with doc_id tie-break."""
+    from tfl_bikes_data_pipeline_spark.operators.training import dsir_select
+
+    va = "alpha beta gamma delta"
+    vb = "omega sigma theta kappa"
+    rows = [
+        # the target population defines the target LM
+        (0, va, "en", "src0", len(va)),
+        (1, va, "en", "src1", len(va)),
+        (2, va, "en", "src2", len(va)),
+        # raw-only candidates
+        (10, va, "en", "src9", len(va)),              # pure target-like
+        (11, vb, "en", "src9", len(vb)),              # pure off-target
+        (12, "alpha beta omega sigma", "en", "src9", 22),  # mixed
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    got = {r.doc_id: r.avg_lw for r in dsir_select(docs, keep_n=10).collect()}
+    assert got[10] > got[12] > got[11], got
+    # target-vocabulary docs score identically wherever they live
+    assert got[0] == got[10]
+    # top-3 selection keeps the A-speakers ahead of the B-speaker
+    top3 = [
+        r.doc_id for r in dsir_select(docs, keep_n=3).collect()
+    ]
+    assert 11 not in top3

@@ -925,3 +925,181 @@ ORACLES["q_adaptive_filter"] = f"""
     FROM documents ORDER BY doc_id
 """
 QUERIES["q_adaptive_filter"] = q_adaptive_filter
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-weighted data selection (hashed n-gram likelihood ratio)
+# ---------------------------------------------------------------------------
+
+#: hashed-feature space for the two bucket LMs — two md5 hex digits give
+#: 0..255 directly, the same portable-hash idiom as retrieval's quality
+#: model, at the dimension DSIR's hashed n-gram extractor typically uses
+#: scaled down to the fixture vocabulary.
+DSIR_BUCKETS = 256
+#: the designated target distribution: a fixed source allowlist standing
+#: in for DSIR's high-quality target corpus (e.g. Wikipedia+books).
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+#: greedy selection size (the deterministic top-k variant of DSIR's
+#: importance RESAMPLING — rank by weight instead of sampling ∝ weight,
+#: so the oracle is exactly mirrorable).
+DSIR_KEEP_N = 100
+
+
+def _dsir_bucket(term: str, engine: str) -> str:
+    """md5-derived feature bucket 0..255 (two leading hex digits),
+    portable across Spark and DuckDB via instr/strpos on the hex
+    alphabet — the same trick as retrieval._bucket_sql at dim 256."""
+    pos = "instr" if engine == "spark" else "strpos"
+    d1 = f"({pos}('0123456789abcdef', substr(md5({term}), 1, 1)) - 1)"
+    d2 = f"({pos}('0123456789abcdef', substr(md5({term}), 2, 1)) - 1)"
+    return f"(({d1}) * 16 + ({d2}))"
+
+
+def dsir_select(documents: DataFrame, keep_n: int = DSIR_KEEP_N) -> DataFrame:
+    """(doc_id, source, n_tokens, avg_lw) — the ``keep_n`` documents a
+    DSIR pass (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling") selects from the raw corpus: per document,
+    the mean hashed-unigram log importance weight
+
+        log w(x) = Σ_tokens [ ln p_target(bucket) − ln p_raw(bucket) ]
+
+    under two add-1-smoothed bucket unigram LMs — the target LM fitted
+    on the :data:`DSIR_TARGET_SOURCES` subset, the raw LM on the whole
+    corpus — length-normalized (÷ n_tokens) so long documents aren't
+    favored, ranked descending with doc_id tie-break. The deterministic
+    greedy top-k stands in for importance RESAMPLING so the result is
+    oracle-exact; the sampling variant is one `q_sample_weighted`-style
+    pass over the same weights.
+
+    Determinism discipline: both ln(p) values ride the round-6 DECIMAL
+    grid (libm ulp divergence would have to land on a rounding
+    boundary), their difference and the per-doc sum are EXACT decimal —
+    order-independent under any shuffle layout — and one final
+    string→double cast + IEEE division produces avg_lw.
+
+    Scale shape: token stream → two bucket aggregates (256-row model
+    relations, broadcast), one broadcast join back onto the stream, one
+    per-doc aggregate, TakeOrderedAndProject for the top-k — no
+    corpus-sized sort, no window over the whole corpus. The token
+    stream is retained (it feeds both model aggregates and the scoring
+    join)."""
+    from .dedup import _retain, release_cached_relations
+
+    release_cached_relations()
+    bucket = _dsir_bucket("word", "spark")
+    tokens = _retain(
+        documents.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), " ")
+            ).alias("word"),
+        ).select("doc_id", "source", F.expr(bucket).alias("b"))
+    )
+    raw = tokens.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt = (
+        tokens.where(F.col("source").isin(*DSIR_TARGET_SOURCES))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    t_r = raw.agg(F.coalesce(F.sum("c_r"), F.lit(0)).alias("t_r"))
+    t_t = tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("t_t"))
+    model = (
+        raw.join(tgt, "b", "left")
+        .na.fill({"c_t": 0})
+        .crossJoin(F.broadcast(t_r))
+        .crossJoin(F.broadcast(t_t))
+        .select(
+            "b",
+            (
+                F.round(
+                    F.log(
+                        (F.col("c_t") + 1).cast("double")
+                        / (F.col("t_t") + DSIR_BUCKETS).cast("double")
+                    ),
+                    6,
+                ).cast("decimal(18,6)")
+                - F.round(
+                    F.log(
+                        (F.col("c_r") + 1).cast("double")
+                        / (F.col("t_r") + DSIR_BUCKETS).cast("double")
+                    ),
+                    6,
+                ).cast("decimal(18,6)")
+            ).alias("delta"),
+        )
+    )
+    scored = (
+        tokens.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("delta").alias("lw_sum"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round(
+                F.col("lw_sum").cast("string").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("avg_lw"),
+        )
+    )
+    return scored.orderBy(F.desc("avg_lw"), F.asc("doc_id")).limit(keep_n)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_select(load_table(spark, sf_dir, "documents"))
+
+
+def _dsir_oracle() -> str:
+    bucket = _dsir_bucket("word", "duck")
+    srcs = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    return f"""
+        WITH tokens AS (
+            SELECT doc_id, source,
+                   {bucket} AS b
+            FROM (
+                SELECT doc_id, source,
+                       unnest(string_split(lower(trim(text)), ' ')) AS word
+                FROM documents
+            )
+        ),
+        raw AS (SELECT b, count(1)::BIGINT AS c_r FROM tokens GROUP BY b),
+        tgt AS (
+            SELECT b, count(1)::BIGINT AS c_t FROM tokens
+            WHERE source IN ({srcs}) GROUP BY b
+        ),
+        totals AS (
+            SELECT (SELECT coalesce(sum(c_r), 0) FROM raw) AS t_r,
+                   (SELECT coalesce(sum(c_t), 0) FROM tgt) AS t_t
+        ),
+        model AS (
+            SELECT r.b,
+                   CAST(round(ln((coalesce(g.c_t, 0) + 1)::DOUBLE
+                       / (t.t_t + {DSIR_BUCKETS})::DOUBLE), 6)
+                       AS DECIMAL(18,6))
+                   - CAST(round(ln((r.c_r + 1)::DOUBLE
+                       / (t.t_r + {DSIR_BUCKETS})::DOUBLE), 6)
+                       AS DECIMAL(18,6)) AS delta
+            FROM raw r LEFT JOIN tgt g USING (b), totals t
+        ),
+        scored AS (
+            SELECT tk.doc_id, tk.source, count(1)::BIGINT AS n_tokens,
+                   round(CAST(CAST(sum(m.delta) AS VARCHAR) AS DOUBLE)
+                         / count(1)::DOUBLE, 6) AS avg_lw
+            FROM tokens tk JOIN model m USING (b)
+            GROUP BY tk.doc_id, tk.source
+        )
+        SELECT doc_id, source, n_tokens, avg_lw
+        FROM scored
+        ORDER BY avg_lw DESC, doc_id ASC
+        LIMIT {DSIR_KEEP_N}
+    """
+
+
+ORACLES["q_dsir_weights"] = _dsir_oracle()
+QUERIES["q_dsir_weights"] = q_dsir_weights
+BENCH.append("q_dsir_weights")
