@@ -332,7 +332,10 @@ def test_connected_components_converges_on_deep_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], ["doc_a", "doc_b"]
     )
-    labels = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, driver_edge_cap=0).collect()
+    }
     assert set(labels.values()) == {0}, "chain fragmented across clusters"
     assert len(labels) == 41
 
@@ -502,7 +505,7 @@ def test_connected_components_reliable_checkpoint_branch(spark, tmp_path):
         )
         labels = {
             r["doc_id"]: r["cluster_id"]
-            for r in connected_components(pairs).collect()
+            for r in connected_components(pairs, driver_edge_cap=0).collect()
         }
         assert set(labels.values()) == {0}
         assert len(labels) == 41
@@ -516,3 +519,41 @@ def test_connected_components_reliable_checkpoint_branch(spark, tmp_path):
         # way to UNSET the dir (the Python wrapper rejects None)
         sc._jsc.sc().setCheckpointDir(None)
         assert sc.getCheckpointDir() is None
+
+
+def test_cc_driver_fast_path_matches_distributed_loop(spark):
+    """The small-graph union-find fast path must produce the identical
+    labeling to the distributed min-label loop on a multi-component
+    graph — numeric ids AND string ids (entity resolution runs CC over
+    text keys), including a chain, a star, a triangle-with-tail, and
+    isolated-pair components."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    num_edges = (
+        [(i, i + 1) for i in range(0, 9)]          # chain 0..9
+        + [(100, x) for x in (101, 102, 103)]       # star
+        + [(200, 201), (201, 202), (202, 200), (202, 203)]  # tri + tail
+        + [(300, 301)]                              # pair
+    )
+    str_edges = [(f"n{a}", f"n{b}") for a, b in num_edges]
+    for rows, schema in (
+        (num_edges, "doc_a LONG, doc_b LONG"),
+        (str_edges, "doc_a STRING, doc_b STRING"),
+    ):
+        pairs = spark.createDataFrame(rows, schema)
+        fast = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(pairs).collect()
+        }
+        loop = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(pairs, driver_edge_cap=0).collect()
+        }
+        assert fast == loop
+        # spot-check min-representative semantics on the numeric graph
+        if "LONG" in schema:
+            labels = dict(fast)
+            assert labels[9] == 0 and labels[103] == 100
+            assert labels[203] == 200 and labels[301] == 300
