@@ -211,13 +211,51 @@ class rocksdb_state:
 #: stream starts (state partitioning is captured at query start).
 STREAM_DRAIN_PARTITIONS = 8
 
+#: ceiling for the scale-aware drain sizing below — local[32]'s core
+#: count; on a real cluster this would be executor-cores-driven.
+STREAM_DRAIN_MAX_PARTITIONS = 32
+#: landing bytes per state partition before the drain widens past the
+#: fixture floor.
+STREAM_DRAIN_BYTES_PER_PARTITION = 8 << 20
+
+
+def drain_partitions_for(landing_dir: str) -> int:
+    """State-partition count sized to the LANDING ZONE, not a constant
+    (round 8): the fixed 8 was tuned so tiny fixture drains don't pay
+    4 state stores × 32 partitions of fsync per micro-batch, but it
+    also CAPS state parallelism — at 100× events (10M rows, 150k
+    state keys) the per-key Python work of applyInPandasWithState and
+    the per-key state-store inserts of dropDuplicates serialized onto
+    8 threads of a 32-core box (measured 156s / 49s drains). Size by
+    landing bytes: the fixture floor stays 8 (identical behavior and
+    fsync cost on small drains), large landings widen toward the core
+    count (~8 MB of input per state partition)."""
+    try:
+        total = sum(
+            e.stat().st_size
+            for e in _os.scandir(landing_dir)
+            if e.name.endswith(".parquet")
+        )
+    except OSError:
+        total = 0
+    return min(
+        STREAM_DRAIN_MAX_PARTITIONS,
+        max(
+            STREAM_DRAIN_PARTITIONS,
+            total // STREAM_DRAIN_BYTES_PER_PARTITION + 1,
+        ),
+    )
+
 
 #: the previous drain's memory-sink table, dropped on the next drain.
 _LAST_DRAIN_TABLE: str | None = None
 
 
 def run_available_now(
-    stream_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+    stream_df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "complete",
+    drain_partitions: int | None = None,
 ) -> DataFrame:
     """Drive a streaming query to completion on the currently available
     input (Trigger.AvailableNow → memory sink). Default complete mode so
@@ -246,7 +284,10 @@ def run_available_now(
     # hold the reduced setting through awaitTermination: the streaming
     # engine captures shuffle partitions when it constructs the FIRST
     # micro-batch (async after start), not at start() itself.
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_DRAIN_PARTITIONS))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(drain_partitions or STREAM_DRAIN_PARTITIONS),
+    )
     try:
         q = (
             stream_df.writeStream.outputMode(output_mode)
@@ -327,13 +368,19 @@ def sliding_window_counts(
 
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    agg = tumbling_window_counts(read_events_stream(spark, stage_landing_dir(sf_dir)))
-    return run_available_now(agg, spark).orderBy("window_start", "event_type")
+    landing = stage_landing_dir(sf_dir)
+    agg = tumbling_window_counts(read_events_stream(spark, landing))
+    return run_available_now(
+        agg, spark, drain_partitions=drain_partitions_for(landing)
+    ).orderBy("window_start", "event_type")
 
 
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    agg = sliding_window_counts(read_events_stream(spark, stage_landing_dir(sf_dir)))
-    return run_available_now(agg, spark).orderBy("window_start", "event_type")
+    landing = stage_landing_dir(sf_dir)
+    agg = sliding_window_counts(read_events_stream(spark, landing))
+    return run_available_now(
+        agg, spark, drain_partitions=drain_partitions_for(landing)
+    ).orderBy("window_start", "event_type")
 
 
 def stream_stream_conversion_join(
@@ -375,7 +422,12 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase"
     )
     joined = stream_stream_conversion_join(clicks, purchases)
-    out = run_available_now(joined, spark, output_mode="append")
+    out = run_available_now(
+        joined,
+        spark,
+        output_mode="append",
+        drain_partitions=drain_partitions_for(landing),
+    )
     return out.orderBy("purchase_id", "click_id")
 
 
@@ -452,8 +504,14 @@ def stream_exact_dedup(events: DataFrame) -> DataFrame:
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type profile of the deduplicated stream: a redelivered file
     must leave counts and value sums exactly as if delivered once."""
-    events = read_events_stream(spark, stage_landing_dir_with_redelivery(sf_dir))
-    out = run_available_now(stream_exact_dedup(events), spark, output_mode="append")
+    landing = stage_landing_dir_with_redelivery(sf_dir)
+    events = read_events_stream(spark, landing)
+    out = run_available_now(
+        stream_exact_dedup(events),
+        spark,
+        output_mode="append",
+        drain_partitions=drain_partitions_for(landing),
+    )
     return (
         out.groupBy("event_type")
         .agg(
@@ -506,9 +564,13 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     must match the single-delivery profile bit-for-bit (same oracle
     shape as [[q_stream_dedup]]; different checked column names so the
     two queries can never be silently swapped)."""
-    events = read_events_stream(spark, stage_landing_dir_with_redelivery(sf_dir))
+    landing = stage_landing_dir_with_redelivery(sf_dir)
+    events = read_events_stream(spark, landing)
     out = run_available_now(
-        stream_watermarked_dedup(events), spark, output_mode="append"
+        stream_watermarked_dedup(events),
+        spark,
+        output_mode="append",
+        drain_partitions=drain_partitions_for(landing),
     )
     return (
         out.groupBy("event_type")
@@ -545,14 +607,17 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (nation, event_type) — counts + exact value sums."""
     from ..tables import load_table
 
-    events = read_events_stream(spark, stage_landing_dir(sf_dir))
+    landing = stage_landing_dir(sf_dir)
+    events = read_events_stream(spark, landing)
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     enriched = stream_static_enrich(events, dim)
     agg = enriched.groupBy("c_nationkey", "event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("total_value"),
     )
-    return run_available_now(agg, spark).orderBy("c_nationkey", "event_type")
+    return run_available_now(
+        agg, spark, drain_partitions=drain_partitions_for(landing)
+    ).orderBy("c_nationkey", "event_type")
 
 
 ORACLES["q_stream_static_join"] = """

@@ -44,7 +44,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..functions import exact_sum
 from ..tables import load_table
 from ..tmputil import sweep_tmpdir
-from .jobs import files_per_trigger, run_available_now
+from .jobs import drain_partitions_for, files_per_trigger, run_available_now
 
 SESSION_GAP = "30 minutes"
 
@@ -139,7 +139,12 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = cumulative_user_counts(stream)
     # update-mode memory sink keeps every emission; the cumulative count
     # is monotone, so MAX per user == the final state == total events.
-    emissions = run_available_now(counts, spark, output_mode="update")
+    emissions = run_available_now(
+        counts,
+        spark,
+        output_mode="update",
+        drain_partitions=drain_partitions_for(landing),
+    )
     return (
         emissions.groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
