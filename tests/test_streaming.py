@@ -337,3 +337,39 @@ def test_files_per_trigger_targets_fixed_batch_count(tmp_path):
         assert batches <= STREAM_TARGET_BATCHES, (n, fpt, batches)
     # missing dir → floor, not crash (stream defined before first drop)
     assert files_per_trigger(str(tmp_path / "nope")) == 1
+
+
+def test_bucketed_stateful_counts_match_per_key_operator(spark, sf_dir):
+    """The bucketed custom-state operator must land on the identical
+    final per-user totals as the per-key operator (and the plain batch
+    GROUP BY), across a genuinely multi-batch drain."""
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.streaming import jobs, stateful
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    landing = stateful.stage_landing_dir_split(spark, sf_dir, 3)
+    stream = (
+        spark.readStream.schema(stateful.EVENTS_MICRO_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    emissions = jobs.run_available_now(
+        stateful.cumulative_user_counts_bucketed(stream),
+        spark,
+        output_mode="update",
+    )
+    got = {
+        r.user_id: r.n_events
+        for r in emissions.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
