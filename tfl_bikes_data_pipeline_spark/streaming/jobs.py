@@ -503,25 +503,34 @@ def stream_exact_dedup(events: DataFrame) -> DataFrame:
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type profile of the deduplicated stream: a redelivered file
-    must leave counts and value sums exactly as if delivered once."""
+    must leave counts and value sums exactly as if delivered once.
+
+    The profile aggregate runs INSIDE the stream (chained stateful
+    operators — dedup state feeding aggregation state, supported on
+    this build and exercised here on purpose), so the memory sink
+    holds 5 profile rows instead of every surviving event. Round-8
+    measurement: the drained-rows form materialized all 10M deduped
+    events into the driver sink at 100× (52s); stream-side aggregation
+    is the production shape AND removes the harness cost."""
     landing = stage_landing_dir_with_redelivery(sf_dir)
     events = read_events_stream(spark, landing)
-    out = run_available_now(
-        stream_exact_dedup(events),
-        spark,
-        output_mode="append",
-        drain_partitions=drain_partitions_for(landing),
-    )
-    return (
-        out.groupBy("event_type")
+    agg = (
+        stream_exact_dedup(events)
+        .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("total_value"),
             F.min("event_id").alias("min_event_id"),
             F.max("event_id").alias("max_event_id"),
         )
-        .orderBy("event_type")
     )
+    out = run_available_now(
+        agg,
+        spark,
+        output_mode="complete",
+        drain_partitions=drain_partitions_for(landing),
+    )
+    return out.orderBy("event_type")
 
 
 # the oracle reads the file ONCE — streaming dedup of the double
@@ -566,20 +575,23 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     two queries can never be silently swapped)."""
     landing = stage_landing_dir_with_redelivery(sf_dir)
     events = read_events_stream(spark, landing)
-    out = run_available_now(
-        stream_watermarked_dedup(events),
-        spark,
-        output_mode="append",
-        drain_partitions=drain_partitions_for(landing),
-    )
-    return (
-        out.groupBy("event_type")
+    # stream-side aggregate, same rationale as q_stream_dedup: the sink
+    # holds 5 profile rows, not every surviving event.
+    agg = (
+        stream_watermarked_dedup(events)
+        .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("sum_value"),
         )
-        .orderBy("event_type")
     )
+    out = run_available_now(
+        agg,
+        spark,
+        output_mode="complete",
+        drain_partitions=drain_partitions_for(landing),
+    )
+    return out.orderBy("event_type")
 
 
 ORACLES["q_stream_dedup_watermark"] = """
