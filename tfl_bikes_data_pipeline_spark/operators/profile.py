@@ -881,13 +881,17 @@ def dq_audit(
 
     Scale shape: every range check rides ONE aggregate over its table
     scan (conditional sums — no per-check scans WITHIN a check family);
-    each orphan check is a left-anti join against a BROADCAST key
-    dimension reduced to its join key. Nothing here shuffles a fact
-    table, but the audit is NOT single-scan overall: the range
-    aggregates and the orphan probes are separate passes, so each fact
-    table is read 2-3× (ReuseExchange dedupes only identical
-    subtrees) — size audit I/O accordingly. The tiny per-check rows
-    union at the end (driver-sized, not data-sized)."""
+    each orphan check is a left-anti join against the referenced
+    table's key projection with NO broadcast hint — the referenced
+    side of a referential-integrity check is a fact-or-SF-grown
+    relation (orders: 1.5M keys at a mere 10× replica), and a forced
+    broadcast of it measured 15.5× wall at 10× (round 8) and would OOM
+    executors at the 100 TB posture; AQE still picks BHJ whenever the
+    key projection is genuinely small. The audit is NOT single-scan
+    overall: the range aggregates and the orphan probes are separate
+    passes, so each fact table is read 2-3× (ReuseExchange dedupes
+    only identical subtrees) — size audit I/O accordingly. The tiny
+    per-check rows union at the end (driver-sized, not data-sized)."""
     li = lineitem.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
@@ -919,7 +923,7 @@ def dq_audit(
     li_orphans = (
         lineitem.select("l_orderkey")
         .join(
-            F.broadcast(orders.select("o_orderkey")),
+            orders.select("o_orderkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
             "left_anti",
         )
@@ -930,7 +934,7 @@ def dq_audit(
     ord_orphans = (
         orders.select("o_custkey")
         .join(
-            F.broadcast(customer.select("c_custkey")),
+            customer.select("c_custkey"),
             F.col("o_custkey") == F.col("c_custkey"),
             "left_anti",
         )

@@ -58,7 +58,10 @@ def q_topk_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") < F.lit("1997-01-01"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left")
+        # no broadcast hint: part grows with SF (policy per
+        # q_local_supplier_volume / the round-8 dq_audit incident) — AQE
+        # still picks BHJ at small SF
+        .join(part, F.col("l_partkey") == F.col("p_partkey"), "left")
         .groupBy("p_name")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("p_name"))
@@ -76,7 +79,8 @@ def q_filter_hour_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     return (
         events.where(F.hour("ts") == 3)
-        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"), "left")
+        # customer grows with SF — no forced broadcast (AQE decides)
+        .join(customer, F.col("user_id") == F.col("c_custkey"), "left")
         .groupBy("c_name")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("c_name"))

@@ -900,11 +900,13 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").where(
         (F.col("p_type") == "SMALL") & (F.col("p_size") < 25)
     )
-    # supplier/nation/region are the SF-fixed or sub-linear dims —
-    # broadcast them into the generated partsupp; the only shuffle is
-    # the per-part min (keyed on ps_partkey, the natural key).
+    # nation/region are SF-FIXED dims — hinted; supplier GROWS with SF
+    # (10k/SF in TPC-H), so it carries no hint (AQE broadcasts it at
+    # small SF; the round-8 dq_audit incident is why the policy is
+    # strict). The only required shuffle is the per-part min (keyed on
+    # ps_partkey, the natural key).
     eligible = (
-        ps.join(F.broadcast(supplier), ps["ps_suppkey"] == supplier["s_suppkey"])
+        ps.join(supplier, ps["ps_suppkey"] == supplier["s_suppkey"])
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("ps_partkey", "ps_supplycost_cents", "s_acctbal", "s_name", "n_name")
@@ -974,7 +976,7 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name") == "NATION_7"
     )
     natps = (
-        ps.join(F.broadcast(supplier), ps["ps_suppkey"] == supplier["s_suppkey"])
+        ps.join(supplier, ps["ps_suppkey"] == supplier["s_suppkey"])  # SF-grown: no hint
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "ps_partkey",
@@ -1029,7 +1031,8 @@ def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ps.join(
-            F.broadcast(complained),
+            # complained ⊂ supplier — SF-grown, no forced broadcast
+            complained,
             ps["ps_suppkey"] == complained["s_suppkey"],
             "left_anti",
         )
