@@ -557,3 +557,28 @@ def test_cc_driver_fast_path_matches_distributed_loop(spark):
             labels = dict(fast)
             assert labels[9] == 0 and labels[103] == 100
             assert labels[203] == 200 and labels[301] == 300
+
+
+def test_connected_components_branches_agree_on_null_edges(spark):
+    """Degenerate input discipline (r8 ADVICE): a null-keyed edge is
+    dropped by the distributed loop's join semantics, so the driver
+    union-find fast path must drop it too — not raise TypeError from
+    comparing None with '<' — and the two branches must label the
+    surviving graph identically."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rows = [(1, 2), (2, None), (None, 3), (None, None), (4, 5)]
+    pairs = spark.createDataFrame(rows, "doc_a LONG, doc_b LONG")
+    fast = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    loop = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, driver_edge_cap=0).collect()
+    }
+    assert fast == loop
+    labels = dict(fast)
+    assert labels[2] == 1 and labels[5] == 4

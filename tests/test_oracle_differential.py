@@ -36,12 +36,20 @@ def _assert_plan_clean(df, name: str) -> None:
     import contextlib
     import io
 
+    from tfl_bikes_data_pipeline_spark.lint import broadcast_policy_violations
+
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
     for node in _FORBIDDEN_NODES:
         assert node not in plan, f"{name}: forbidden plan node {node}"
+    # broadcast policy as a lint (r8 verdict item 2): no explicit
+    # broadcast hint may build from an unbounded SF-grown scan — the
+    # q_dq_audit / q_bloom_filter_probe incident class, caught at test
+    # time instead of by manual replica sweeps.
+    violations = broadcast_policy_violations(df)
+    assert not violations, f"{name}: {violations}"
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)

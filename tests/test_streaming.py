@@ -373,3 +373,18 @@ def test_bucketed_stateful_counts_match_per_key_operator(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_target_batches_env_parses_defensively(monkeypatch):
+    """A bad SPARK_GRAFT_STREAM_TARGET_BATCHES must degrade to the
+    documented behavior, not crash stream definition (r8 ADVICE): 0
+    would divide-by-zero in files_per_trigger, negatives are
+    meaningless ceilings, and junk must fall back to the default."""
+    from tfl_bikes_data_pipeline_spark.streaming import jobs
+
+    cases = {"0": 1, "-4": 1, "three": 3, "": 3, "7": 7, "3": 3}
+    for raw, expect in cases.items():
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_TARGET_BATCHES", raw)
+        assert jobs._target_batches_from_env() == expect, raw
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_TARGET_BATCHES")
+    assert jobs._target_batches_from_env() == 3

@@ -815,7 +815,9 @@ def embedding_cosine_pairs_blocked(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
     ).transform(lambda d: with_norm(d, "cv", "nv"))
-    centroids = e.where(F.col("vec_id") < num_centroids).select(
+    # limit() declares the structural centroid-count bound (vec_id <
+    # num_centroids on a unique id) for the broadcast-policy lint
+    centroids = e.where(F.col("vec_id") < num_centroids).limit(num_centroids).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("cv").alias("qv"),
         F.col("nv").alias("nq"),
@@ -921,7 +923,9 @@ def embedding_cosine_pairs_probed(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
     ).transform(lambda d: with_norm(d, "cv", "nv"))
-    centroids = e.where(F.col("vec_id") < num_centroids).select(
+    # limit() declares the structural centroid-count bound (vec_id <
+    # num_centroids on a unique id) for the broadcast-policy lint
+    centroids = e.where(F.col("vec_id") < num_centroids).limit(num_centroids).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("cv").alias("qv"),
         F.col("nv").alias("nq"),
@@ -1012,7 +1016,13 @@ def _cc_driver_unionfind(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
+    # Null-keyed edges are silently dropped by the distributed loop's
+    # join semantics; drop them here too so the two branches agree on
+    # degenerate input regardless of edge count (and so Python '<'
+    # never compares None against an id).
     for a, b in edges.collect():
+        if a is None or b is None:
+            continue
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -1077,8 +1087,17 @@ def connected_components(
     # seconds at bench scale, a full candidate-generation pass at
     # 100 TB) pairs subtree TWICE in the materialization job, doubling
     # its computation; the explode scans it once.
+    # Null-keyed pairs are dropped WHOLE before dispatch (r8 ADVICE):
+    # previously the loop's join semantics dropped the propagation but
+    # still seeded the non-null endpoint as a self-labeled singleton,
+    # while the union-find fast path raised TypeError comparing None —
+    # the branches diverged on degenerate input depending solely on
+    # edge count. One upstream filter gives both branches the same
+    # edge set (a near-dup pair with a null doc id is garbage either
+    # way; callers own their null policy).
     edges = _retain(
-        pairs.select(
+        pairs.where(F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull())
+        .select(
             F.explode(
                 F.array(
                     F.struct(

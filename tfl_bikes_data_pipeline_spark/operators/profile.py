@@ -208,7 +208,7 @@ def winsorize_profile(df: DataFrame, key: str, value_col: str) -> DataFrame:
     )
     clipped = F.least(F.greatest(F.col(value_col), F.col("lo_val")), F.col("hi_val"))
     return (
-        vals.join(F.broadcast(bounds), key)
+        vals.join(bounds, key)
         .groupBy(key, "n", "lo_val", "hi_val")
         .agg(
             exact_row_avg(value_col, "mean_raw"),
@@ -541,8 +541,12 @@ def cms_sketch(df: DataFrame, key: str) -> DataFrame:
         "k",
         "key_cnt",
     )
-    return rows.groupBy("j", _cms_bucket(F.col("j"), F.col("k"))).agg(
-        F.sum("key_cnt").alias("cnt")
+    return (
+        rows.groupBy("j", _cms_bucket(F.col("j"), F.col("k")))
+        .agg(F.sum("key_cnt").alias("cnt"))
+        # structural cap, declared for the broadcast-policy lint: the
+        # cell domain is exactly CMS_D x CMS_W by construction
+        .limit(CMS_D * CMS_W)
     )
 
 
@@ -642,6 +646,9 @@ def build_bloom(df: DataFrame, key: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.bit_or("b").alias("bits"))
+        # structural cap, declared for the broadcast-policy lint: word
+        # ids live in [0, BLOOM_BITS / BLOOM_WORD) by construction
+        .limit(BLOOM_BITS // BLOOM_WORD)
     )
 
 
@@ -684,7 +691,11 @@ def q_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum("hit") == BLOOM_K).cast("int").alias("maybe"))
     )
     return (
-        hits.join(F.broadcast(has_orders), "c_custkey", "left")
+        # No broadcast hint: has_orders is customer-cardinality (SF-grown),
+        # forbidden by the broadcast policy (PLANS.md "Broadcast-hint
+        # policy") — same class as the measured q_dq_audit 15.5x incident.
+        # AQE still picks BHJ at fixture scale on its own.
+        hits.join(has_orders, "c_custkey", "left")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("maybe").cast("long").alias("n_maybe"),
@@ -1141,7 +1152,7 @@ def mad_outliers(df: DataFrame, key: str, value_col: str) -> DataFrame:
     )
     w_dev = Window.partitionBy(key).orderBy("dev")
     stats = (
-        vals.join(F.broadcast(med), key)
+        vals.join(med, key)
         .select(
             key,
             "n",
@@ -1159,7 +1170,7 @@ def mad_outliers(df: DataFrame, key: str, value_col: str) -> DataFrame:
         .select(key, "n", "med", F.col("dev").alias("mad"))
     )
     flagged = (
-        vals.join(F.broadcast(stats), key)
+        vals.join(stats, key)
         .groupBy(key, "n", "med", "mad")
         .agg(
             F.sum(

@@ -300,16 +300,14 @@ def source_overlap(documents: DataFrame, n: int = OVERLAP_SHINGLE) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
+        # per-source sizes are keyed on a data column — unhinted per the
+        # broadcast policy; AQE BHJs the tiny relation on its own
         common.join(
-            F.broadcast(
-                sizes.select(F.col("source").alias("source_a"), F.col("n_shingles").alias("na"))
-            ),
+            sizes.select(F.col("source").alias("source_a"), F.col("n_shingles").alias("na")),
             "source_a",
         )
         .join(
-            F.broadcast(
-                sizes.select(F.col("source").alias("source_b"), F.col("n_shingles").alias("nb"))
-            ),
+            sizes.select(F.col("source").alias("source_b"), F.col("n_shingles").alias("nb")),
             "source_b",
         )
         .select(
@@ -397,7 +395,9 @@ def hybrid_rrf_topk(
     )
     corpus = _vecs(embeddings, "vec_id", "cv")
     queries = _vecs(
-        embeddings.where(F.col("vec_id") == HYBRID_QVEC), "qid", "qv"
+        embeddings.where(F.col("vec_id") == HYBRID_QVEC).limit(1),
+        "qid",
+        "qv",
     )
     vec = cosine_topk(corpus, queries, k=k).select(
         F.col("vec_id").alias("doc_id"), F.col("rank").alias("rank_vec")
@@ -503,7 +503,9 @@ def rank_biased_overlap(lex: DataFrame, vec: DataFrame, k: int = HYBRID_TOP_K) -
         [(d, _RBO_P_POW[d - 1]) for d in range(1, k + 1)],
         "depth INT, p_pow_s STRING",
     ).select("depth", F.col("p_pow_s").cast("decimal(18,9)").alias("p_pow"))
-    both = lex.join(vec, "doc_id").select("rank_lex", "rank_vec")
+    # each run is a top-k (<= k rows); limit(k) declares the bound
+    # for the broadcast-policy lint
+    both = lex.join(vec, "doc_id").select("rank_lex", "rank_vec").limit(k)
     overlaps = (
         depths.join(
             F.broadcast(both),
@@ -550,7 +552,9 @@ def q_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = _vecs(embeddings, "vec_id", "cv")
     queries = _vecs(
-        embeddings.where(F.col("vec_id") == HYBRID_QVEC), "qid", "qv"
+        embeddings.where(F.col("vec_id") == HYBRID_QVEC).limit(1),
+        "qid",
+        "qv",
     )
     vec = cosine_topk(corpus, queries, k=HYBRID_TOP_K).select(
         F.col("vec_id").alias("doc_id"), F.col("rank").alias("rank_vec")

@@ -792,12 +792,101 @@ BENCH.append("q_text_boilerplate")
 # unigram LM scoring (perplexity-style quality filter)
 # ---------------------------------------------------------------------------
 
+#: Vocabulary floor for the corpus-derived unigram LMs: words seen
+#: fewer than this many times collapse into one OOV bucket whose
+#: probability is the floored words' POOLED mass (sum of their counts /
+#: total). This is what makes the model-relation broadcast honest at
+#: web scale — raw vocabulary is every hapax and typo (Heaps-law
+#: growth, measured in q_vocab_growth); the floored vocab is the
+#: heavy-tail head and the floor is the production knob to raise. The
+#: fixture value 2 floors exactly the hapaxes, so the OOV path is
+#: exercised (and oracle-verified) at every SF.
+MODEL_MIN_COUNT = 2
+
+
+def _floored_token_logprobs(tokens: DataFrame) -> DataFrame:
+    """(doc_id, lp) — every token scored under the min-count-floored
+    unigram model. Kept words (count ≥ MODEL_MIN_COUNT) carry their own
+    ln(count/total); floored words coalesce to the shared OOV-bucket
+    ln(oov_mass/total). The OOV probability is a 1-row scalar and
+    carries a broadcast hint; the floored-vocab model is SMALL (the
+    floor cuts the Heaps-law hapax tail) but not structurally bounded,
+    so per the broadcast policy it goes unhinted — AQE picks BHJ from
+    its measured size. All lp values ride the round-6 DECIMAL grid
+    (order-independent exact sums downstream)."""
+    counts = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("total"),
+        F.sum(
+            F.when(F.col("c") < MODEL_MIN_COUNT, F.col("c")).otherwise(F.lit(0))
+        ).alias("oov_c"),
+    )
+    model = (
+        counts.where(F.col("c") >= MODEL_MIN_COUNT)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "word",
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("total").cast("double")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    # ln(0) → NULL when nothing was floored; that NULL is never read —
+    # a token misses the floored model only if its word WAS floored,
+    # which implies oov_c > 0.
+    oov = totals.select(
+        F.round(
+            F.log(F.col("oov_c").cast("double") / F.col("total").cast("double")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("oov_lp"),
+    )
+    return (
+        tokens.join(model, "word", "left")
+        .crossJoin(F.broadcast(oov))
+        .select("doc_id", F.coalesce("lp", "oov_lp").alias("lp"))
+    )
+
+
+#: Oracle twin of :func:`_floored_token_logprobs` — CTE text shared by
+#: both LM oracles so the floor can never drift between them. Assumes a
+#: ``tokens(doc_id, word)`` CTE is already in scope.
+_FLOORED_MODEL_ORACLE_CTES = f"""
+    counts AS (
+        SELECT word, count(1)::BIGINT AS c FROM tokens GROUP BY word
+    ),
+    tot AS (
+        SELECT sum(c)::DOUBLE AS total,
+               sum(CASE WHEN c < {MODEL_MIN_COUNT} THEN c ELSE 0 END)::DOUBLE
+                   AS oov_c
+        FROM counts
+    ),
+    model AS (
+        SELECT word,
+               CAST(round(ln(c::DOUBLE / (SELECT total FROM tot)), 6)
+                   AS DECIMAL(18,6)) AS lp
+        FROM counts WHERE c >= {MODEL_MIN_COUNT}
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               coalesce(m.lp,
+                        (SELECT CASE WHEN oov_c > 0 THEN
+                             CAST(round(ln(oov_c / total), 6)
+                                 AS DECIMAL(18,6)) END FROM tot)) AS lp
+        FROM tokens t LEFT JOIN model m ON t.word = m.word
+    )
+"""
+
+
 def unigram_logprob(documents: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, avg_logprob) — each document's mean token
     log-probability under the corpus's own unigram language model
-    (p(w) = count(w) / total tokens): the perplexity-style fluency
-    filter of CCNet-class pipelines, with the corpus itself standing in
-    for the external LM (no model files in this container).
+    (p(w) = count(w) / total tokens, min-count-floored with an OOV
+    bucket — :func:`_floored_token_logprobs`): the perplexity-style
+    fluency filter of CCNet-class pipelines, with the corpus itself
+    standing in for the external LM (no model files in this container).
 
     Determinism discipline: each token's ln(p) is rounded to 6 dp and
     summed as EXACT DECIMAL — the per-doc sum is order-independent, so
@@ -806,9 +895,9 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     exactly on a rounding boundary to matter).
 
     Scale shape: token stream → one word-count aggregate (the model) →
-    model joined back onto the token stream — at real scale the model
-    relation is a vocabulary table (≤ millions of rows, broadcastable
-    after a min-count floor) and the token stream never shuffles: the
+    model joined back onto the token stream. The broadcast model is the
+    FLOORED vocab (raw vocab is Heaps-law unbounded — the floor is what
+    makes the hint honest), so the token stream never shuffles: the
     join is broadcast-hash against the scan, then one per-doc
     aggregate. Total: two aggregates + one broadcast join, all linear.
     The token stream is retained — the model aggregate reads the same
@@ -821,16 +910,8 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
             F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word"),
         )
     )
-    model = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    total = model.agg(F.sum("c").alias("total"))
-    model = model.crossJoin(F.broadcast(total)).select(
-        "word",
-        F.round(F.log(F.col("c").cast("double") / F.col("total").cast("double")), 6)
-        .cast("decimal(18,6)")
-        .alias("lp"),
-    )
     return (
-        tokens.join(F.broadcast(model), "word")
+        _floored_token_logprobs(tokens)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("lp_sum"))
         .select(
@@ -850,23 +931,17 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(documents).orderBy("doc_id")
 
 
-ORACLES["q_text_unigram_logprob"] = """
+ORACLES["q_text_unigram_logprob"] = f"""
     WITH tokens AS (
         SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
         FROM documents
     ),
-    model AS (
-        SELECT word,
-               CAST(round(ln(count(1)::DOUBLE
-                   / (SELECT count(1)::DOUBLE FROM tokens)), 6)
-                   AS DECIMAL(18,6)) AS lp
-        FROM tokens GROUP BY word
-    )
-    SELECT t.doc_id, count(1)::BIGINT AS n_tokens,
+    {_FLOORED_MODEL_ORACLE_CTES}
+    SELECT doc_id, count(1)::BIGINT AS n_tokens,
            round(CAST(CAST(sum(lp) AS VARCHAR) AS DOUBLE)
                  / count(1)::DOUBLE, 6) AS avg_logprob
-    FROM tokens t JOIN model m ON t.word = m.word
-    GROUP BY t.doc_id ORDER BY t.doc_id
+    FROM scored
+    GROUP BY doc_id ORDER BY doc_id
 """
 
 QUERIES["q_text_unigram_logprob"] = q_text_unigram_logprob
@@ -894,11 +969,12 @@ def min_k_prob(documents: DataFrame, k_pct: int = MINK_PCT) -> DataFrame:
     both engines select exactly n_sel rows. lp values ride the same
     round-6 DECIMAL grid as unigram_logprob, summed exactly.
 
-    Scale shape: one vocabulary aggregate (broadcastable after a
-    min-count floor at real scale), one broadcast join onto the token
-    stream, one per-document window (per-doc cardinality = document
-    length, bounded by construction — no skew hazard), one per-doc
-    aggregate."""
+    Scale shape: one vocabulary aggregate, floored to the bounded
+    broadcast model of :func:`_floored_token_logprobs` (raw vocab is
+    Heaps-law unbounded — the floor makes the broadcast honest), one
+    broadcast join onto the token stream, one per-document window
+    (per-doc cardinality = document length, bounded by construction —
+    no skew hazard), one per-doc aggregate."""
     from .dedup import _retain
 
     tokens = _retain(
@@ -907,17 +983,9 @@ def min_k_prob(documents: DataFrame, k_pct: int = MINK_PCT) -> DataFrame:
             F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word"),
         )
     )
-    model = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    total = model.agg(F.sum("c").alias("total"))
-    model = model.crossJoin(F.broadcast(total)).select(
-        "word",
-        F.round(F.log(F.col("c").cast("double") / F.col("total").cast("double")), 6)
-        .cast("decimal(18,6)")
-        .alias("lp"),
-    )
     w = Window.partitionBy("doc_id")
     ranked = (
-        tokens.join(F.broadcast(model), "word")
+        _floored_token_logprobs(tokens)
         .select(
             "doc_id",
             "lp",
@@ -961,18 +1029,12 @@ ORACLES["q_min_k_prob"] = f"""
         SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
         FROM documents
     ),
-    model AS (
-        SELECT word,
-               CAST(round(ln(count(1)::DOUBLE
-                   / (SELECT count(1)::DOUBLE FROM tokens)), 6)
-                   AS DECIMAL(18,6)) AS lp
-        FROM tokens GROUP BY word
-    ),
+    {_FLOORED_MODEL_ORACLE_CTES},
     ranked AS (
-        SELECT t.doc_id, m.lp,
-               row_number() OVER (PARTITION BY t.doc_id ORDER BY m.lp ASC) AS rn,
-               count(1) OVER (PARTITION BY t.doc_id) AS n_tokens
-        FROM tokens t JOIN model m ON t.word = m.word
+        SELECT doc_id, lp,
+               row_number() OVER (PARTITION BY doc_id ORDER BY lp ASC) AS rn,
+               count(1) OVER (PARTITION BY doc_id) AS n_tokens
+        FROM scored
     ),
     capped AS (
         SELECT doc_id, lp, n_tokens,
@@ -1199,7 +1261,7 @@ def source_keyness(documents: DataFrame, top_k: int = KEYNESS_TOP_K) -> DataFram
     gtot = stot.agg(F.sum("c").alias("cd"))
     scored = (
         sw.join(wtot, "word")
-        .join(F.broadcast(stot), "source")
+        .join(stot, "source")  # source-keyed: unhinted per broadcast policy
         .crossJoin(F.broadcast(gtot))
         .withColumn("b", F.col("ab") - F.col("a"))
         .withColumn("d", F.col("cd") - F.col("c"))
@@ -1640,7 +1702,9 @@ def heavy_hitter_phrases(
     )
     cand = _mg_candidates(documents, n, capacity).distinct()
     counts = (
-        phrases.join(F.broadcast(cand), "word")
+        # MG candidates are <= capacity x n_partitions (not globally
+        # bounded) — unhinted per the broadcast policy; AQE BHJs it
+        phrases.join(cand, "word")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -1843,7 +1907,10 @@ def q_phrase_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), spark
     )
     phrases = (
+        # limit() declares the structural bench-set bound for the
+        # broadcast-policy lint (doc_id < PHRASE_DOCS on a unique id)
         documents.where(F.col("doc_id") < PHRASE_DOCS)
+        .limit(PHRASE_DOCS)
         .select(
             F.col("doc_id").alias("phrase_id"),
             F.split(F.lower(F.trim(F.col("text"))), " ").alias("w"),

@@ -559,7 +559,9 @@ def zscore_outliers(
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
-        events.join(F.broadcast(stats), "event_type")
+        # per-type stats are keyed on a data column — unhinted per the
+        # broadcast policy; AQE BHJs the tiny relation on its own
+        events.join(stats, "event_type")
         .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
         .where(F.abs(F.col("z")) > threshold)
     )

@@ -173,9 +173,12 @@ def decontaminate(train_docs: DataFrame, benchmark_docs: DataFrame) -> DataFrame
     survivors) is what an eval-leakage audit reads.
 
     Scale shape: the benchmark side is SMALL by definition (eval suites
-    are a few million shingles at most), so its distinct shingle set is
-    **broadcast** — the 100 TB training corpus is never shuffled before
-    the contaminated-doc aggregate. The train side's per-document
+    are a few million shingles at most), so AQE broadcast-hash-joins its
+    distinct shingle set from measured size — the 100 TB training corpus
+    is never shuffled before the contaminated-doc aggregate. No forced
+    hint: the fixture derives the benchmark from a corpus SLICE (doc_id
+    % MOD), which is SF-grown as written, and the broadcast policy
+    reserves hints for structurally bounded relations. The train side's per-document
     shingle dedup is the NARROW ``array_distinct`` (inside the shingle
     array, before explode), not a corpus-wide ``.distinct()`` — the one
     real shuffle is the per-doc count aggregate keyed on contaminated
@@ -192,7 +195,10 @@ def decontaminate(train_docs: DataFrame, benchmark_docs: DataFrame) -> DataFrame
     # requested per-shingle md5s it immediately discarded.
     train_shingles = shingle_rel(train_docs)
     return (
-        train_shingles.join(F.broadcast(bench), "shingle")
+        # bench shingles derive from a corpus slice (doc_id % MOD == 0) —
+        # SF-grown as written, so unhinted per the broadcast policy; a
+        # production benchmark is a fixed file and AQE BHJs it anyway
+        train_shingles.join(bench, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -1029,6 +1035,9 @@ def dsir_select(documents: DataFrame, keep_n: int = DSIR_KEEP_N) -> DataFrame:
             ).alias("delta"),
         )
     )
+    # model is keyed on the hashed bucket — domain is exactly
+    # DSIR_BUCKETS by construction; limit declares it for the lint
+    model = model.limit(DSIR_BUCKETS)
     scored = (
         tokens.join(F.broadcast(model), "b")
         .groupBy("doc_id", "source")

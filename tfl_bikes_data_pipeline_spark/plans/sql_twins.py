@@ -11,7 +11,8 @@ differential gate proves the SQL strings end-to-end.
 
 Catalyst compiles both styles to the same logical plan, so the scale
 posture (broadcast hints on fixed-cardinality dims, partial aggs,
-pushed predicates) carries over — hints move into ``/*+ BROADCAST */``
+pushed predicates) carries over — fixed-dim hints move into ``/*+ BROADCAST */``
+(SF-grown sides like part/customer are UNHINTED per the broadcast policy)
 comment form, the one syntactic difference.
 """
 
@@ -43,7 +44,7 @@ _TWINS: dict[str, tuple[tuple[str, ...], str, str]] = {
         ("lineitem", "part"),
         "q_topk_join_count",
         """
-        SELECT /*+ BROADCAST(p) */ p_name, CAST(count(1) AS BIGINT) AS cnt
+        SELECT p_name, CAST(count(1) AS BIGINT) AS cnt
         FROM lineitem l
         LEFT JOIN part p ON l.l_partkey = p.p_partkey
         WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
@@ -57,7 +58,7 @@ _TWINS: dict[str, tuple[tuple[str, ...], str, str]] = {
         ("events", "customer"),
         "q_filter_hour_topk",
         """
-        SELECT /*+ BROADCAST(c) */ c_name, CAST(count(1) AS BIGINT) AS cnt
+        SELECT c_name, CAST(count(1) AS BIGINT) AS cnt
         FROM events e
         LEFT JOIN customer c ON e.user_id = c.c_custkey
         WHERE hour(e.ts) = 3

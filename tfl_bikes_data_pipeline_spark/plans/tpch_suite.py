@@ -1082,7 +1082,9 @@ def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
     )
     excess = (
-        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        # part is SF-grown even after the name filter — unhinted per the
+        # broadcast policy; AQE BHJs the filtered side from measured size
+        ps.join(part, F.col("ps_partkey") == F.col("p_partkey"))
         .join(
             shipped,
             (F.col("l_partkey") == F.col("ps_partkey"))

@@ -125,6 +125,60 @@ _load_all()
 BENCH_QUERIES[:] = list(dict.fromkeys([*BENCH_QUERIES, *QUERIES]))
 
 
+#: Registry HEAD — the driver pins the FIRST ~50 entries of
+#: ``queries()`` each round, and rounds 7-8 pinned the same
+#: analyst/TPC-H head twice, leaving the four §2.13 pipeline builders
+#: and the whole dedup/ANN/text/streaming surface without a
+#: driver-green row since r6 (r8 verdict item 4). This list ROTATES
+#: the head to exactly those never-recently-pinned names; everything
+#: else keeps registration order behind it. Every name here must carry
+#: a full hash oracle (test_registry_contract enforces it for whatever
+#: the driver actually pins).
+REGISTRY_HEAD: tuple[str, ...] = (
+    # §2.13 pipeline builders — last driver-green in r6
+    "p_fact_build", "p_weather_align", "p_weather_ids",
+    "p_incremental_append",
+    # dedup surface
+    "q_dedup_exact", "q_dedup_incremental", "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard", "q_dedup_containment", "q_dedup_simhash",
+    "q_dedup_simhash_pairs", "q_dedup_clusters", "q_dedup_canonical",
+    "q_dedup_embedding", "q_dedup_incremental_lsh",
+    "q_dedup_embedding_clusters", "q_dedup_segments",
+    "q_dedup_substrings", "q_dedup_consensus", "q_quality_dup_xtab",
+    # ANN / embedding surface
+    "q_ann_brute_topk", "q_ann_ivf_assign", "q_ann_ivf_topk",
+    "q_ann_ivf_refined_topk", "q_ann_pq_topk", "q_ann_ivfpq_topk",
+    "q_ann_filtered_topk", "q_ann_quantized_topk", "q_ann_recall_eval",
+    "q_ann_incremental_index", "q_knn_classify", "q_embed_covariance",
+    # text / LM surface (incl. the r9 floored-model rebuilds)
+    "q_text_unigram_logprob", "q_min_k_prob", "q_text_keyness",
+    "q_heavy_hitters", "q_phrase_scan", "q_text_tfidf",
+    "q_doc_fingerprint", "q_text_langid",
+    # retrieval
+    "q_bm25_topk", "q_hybrid_rrf", "q_rbo_eval",
+    # training-set assembly
+    "q_decontaminate", "q_dsir_weights", "q_split_leakage_safe",
+    # streaming (availableNow drains with full value oracles)
+    "q_stream_tumbling", "q_stream_dedup", "q_stream_stateful_counts",
+    "q_session_window",
+)
+
+
+def _rotate_head() -> None:
+    missing = [n for n in REGISTRY_HEAD if n not in QUERIES]
+    assert not missing, f"REGISTRY_HEAD names not registered: {missing}"
+    unoracled = [n for n in REGISTRY_HEAD if n not in ORACLES]
+    assert not unoracled, f"REGISTRY_HEAD names without hash oracles: {unoracled}"
+    head = set(REGISTRY_HEAD)
+    reordered = {n: QUERIES[n] for n in REGISTRY_HEAD}
+    reordered.update({n: fn for n, fn in QUERIES.items() if n not in head})
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
+_rotate_head()
+
+
 #: Fallback driver-pinned set (as observed in CORRECTNESS_r04.json).
 #: Documentation only — the authoritative set is derived at import time
 #: from the latest CORRECTNESS_r{N}.json artifact (the driver re-picks

@@ -63,9 +63,19 @@ from ..tmputil import sweep_tmpdir as _tmpdir  # staged fixture copies are swept
 # multi-batch state-survival semantics every streaming test pins.
 import os as _os
 
-STREAM_TARGET_BATCHES = int(
-    _os.environ.get("SPARK_GRAFT_STREAM_TARGET_BATCHES", "3")
-)
+def _target_batches_from_env() -> int:
+    """Parse SPARK_GRAFT_STREAM_TARGET_BATCHES defensively: a
+    non-numeric value falls back to the documented default, and any
+    value < 1 clamps to 1 (0 would divide-by-zero in files_per_trigger,
+    a negative target is meaningless)."""
+    raw = _os.environ.get("SPARK_GRAFT_STREAM_TARGET_BATCHES", "3")
+    try:
+        return max(1, int(raw))
+    except ValueError:
+        return 3
+
+
+STREAM_TARGET_BATCHES = _target_batches_from_env()
 
 
 def files_per_trigger(landing_dir: str) -> int:
@@ -286,7 +296,11 @@ def run_available_now(
     # micro-batch (async after start), not at start() itself.
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(drain_partitions or STREAM_DRAIN_PARTITIONS),
+        str(
+            STREAM_DRAIN_PARTITIONS
+            if drain_partitions is None
+            else drain_partitions
+        ),
     )
     try:
         q = (
@@ -479,9 +493,14 @@ QUERIES = {
 def stage_landing_dir_with_redelivery(sf_dir: str) -> str:
     """Landing zone where the SAME weekly file arrives twice (the
     at-least-once delivery failure mode: upstream retries re-drop a
-    file it already delivered). Two files → two micro-batches, so the
-    duplicate set crosses a batch boundary and only cross-batch state
-    can catch it."""
+    file it already delivered). For the ≤3-file staging the fixtures
+    use (one part per copy), files_per_trigger keeps the two copies in
+    SEPARATE micro-batches, so the duplicate set crosses a batch
+    boundary and only cross-batch state can catch it. A multi-part
+    fixture at scale may co-batch a part with its redelivered copy
+    (files_per_trigger = ceil(n/target) groups several files per
+    trigger) — results stay correct either way; the cross-batch
+    state-survival guarantee is pinned by the small-staging tests."""
     landing = _tmpdir("events_redelivered_")
     _copy_events_fixture(sf_dir, landing, "events_a.parquet")
     _copy_events_fixture(sf_dir, landing, "events_b.parquet")
@@ -544,6 +563,93 @@ ORACLES["q_stream_dedup"] = """
 """
 
 QUERIES["q_stream_dedup"] = q_stream_dedup
+
+
+def run_available_now_to_parquet(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    out_path: str,
+    partition_by: str | None = None,
+    drain_partitions: int | None = None,
+) -> None:
+    """Production drain for ROW-LEVEL streams: foreachBatch appends each
+    micro-batch to a parquet warehouse path — rows flow executor→disk
+    and never ride the driver. The memory sink (:func:`run_available_now`)
+    is the right harness for small aggregates (5 profile rows) but
+    materializes the WHOLE result in driver heap; for a row-preserving
+    stream at 100× that is a 10M-row driver materialization (52 s
+    measured, PLANS.md r8 honesty note) that no production deployment
+    pays. A fresh checkpoint per call keeps epoch ids stable within the
+    drain; the declared-query callers write to a fresh temp warehouse,
+    so plain append is exactly-once for this one-shot shape."""
+    ckpt = _tmpdir("stream_pq_ckpt_")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        w = batch_df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(out_path)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(
+            STREAM_DRAIN_PARTITIONS
+            if drain_partitions is None
+            else drain_partitions
+        ),
+    )
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def q_stream_dedup_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-sink twin of [[q_stream_dedup]] (r8 verdict item 7):
+    the ROW-LEVEL deduped stream drains via foreachBatch into a
+    partitioned parquet warehouse (distributed executor-side writes),
+    and the profile aggregate runs in BATCH over the read-back — the
+    shape that actually ships surviving rows at 100 TB. Same redelivered
+    landing zone, same single-delivery oracle; what changes is where
+    the row volume goes: q_stream_dedup aggregates inside the stream so
+    only 5 rows cross the sink, while this twin pays the full row-level
+    sink cost in the engine (parquet) instead of the harness (driver
+    memory). tools/stream_state_profile.py measures the two sink paths
+    side by side at 100×."""
+    landing = stage_landing_dir_with_redelivery(sf_dir)
+    events = read_events_stream(spark, landing)
+    out_path = _tmpdir("stream_dedup_wh_")
+    run_available_now_to_parquet(
+        stream_exact_dedup(events),
+        spark,
+        out_path,
+        partition_by="event_type",
+        drain_partitions=drain_partitions_for(landing),
+    )
+    back = spark.read.parquet(out_path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# identical single-delivery profile contract as q_stream_dedup — the
+# warehouse round-trip must change NOTHING about the result.
+ORACLES["q_stream_dedup_warehouse"] = ORACLES["q_stream_dedup"]
+QUERIES["q_stream_dedup_warehouse"] = q_stream_dedup_warehouse
 
 
 def stream_watermarked_dedup(events: DataFrame, delay: str = "36500 days") -> DataFrame:
