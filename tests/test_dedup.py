@@ -321,6 +321,47 @@ def test_probed_two_level_recall_vs_flat(spark, sf_dir):
     assert recall >= 0.9, f"two-level probed recall vs flat {recall:.2f} < 0.9"
 
 
+def test_probed_three_level_recall_vs_exact(spark, sf_dir):
+    """The DECLARED O(n·k^(1/3)) three-level assignment behind the
+    probed blocking must recover the exact all-pairs near-dup set with
+    high recall (measured 0.985 on sf0.001 and 1.0 on sf0.01 at the
+    default 4/8 probe knobs) and stay a subset of it."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        embedding_cosine_pairs_probed,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    three = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs_probed(
+            emb, COSINE_DUP_THRESHOLD, assign_mode="three_level"
+        ).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs(emb, COSINE_DUP_THRESHOLD).collect()
+    }
+    assert three <= exact, "three-level probing must never invent pairs"
+    assert exact, "fixture should contain planted embedding near-dups"
+    recall = len(three & exact) / len(exact)
+    assert recall >= 0.95, f"three-level probed recall vs exact {recall:.2f} < 0.95"
+
+
+def test_icbrt_ceil_exact():
+    """_icbrt_ceil must be the exact integer ⌈k^(1/3)⌉ (floored at 2) —
+    including at perfect cubes and their neighbors, where float cube
+    roots straddle integer boundaries."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import _icbrt_ceil
+
+    for k in list(range(1, 2000)) + [10**6 - 1, 10**6, 10**6 + 1, 8_000_000]:
+        c = _icbrt_ceil(k)
+        assert c >= 2
+        assert c**3 >= k
+        if c > 2:
+            assert (c - 1) ** 3 < k, f"k={k}: {c} not minimal"
+
+
 def test_connected_components_converges_on_deep_chain(spark):
     """Pointer jumping must converge a chain far longer than the round
     cap (propagation distance doubles per round): a 40-link chain

@@ -242,28 +242,36 @@ def test_embedding_dedup_has_no_unbounded_cartesian(spark, sf_dir):
     )
 
 
-def test_embedding_dedup_uses_two_level_assignment(spark, sf_dir):
-    """The DECLARED plan must score the corpus only against the COARSE
-    (⌈√k⌉) centroid relation, never all k fine centroids — the flat
-    O(n·k) scorer is O(n²/50) at the corpus-scaled k and crosses over
-    past ~10⁶ vectors (VERDICT r4 item 3). Pinned via the filter
-    literals: both the fine bound (vec_id < k) and the coarse bound
-    (vec_id < k_c) must gate centroid relations in the plan."""
-    import math
+def test_embedding_dedup_uses_three_level_assignment(spark, sf_dir):
+    """The DECLARED plan must route the corpus through the balanced
+    coarse→mid→fine quantizer — never all k fine centroids (flat is
+    O(n·k) = O(n²/50) at the corpus-scaled k, VERDICT r4 item 3) and
+    never the two-level √k coarse relation alone (O(n·√k) re-acquires
+    √n growth once k = n/50, the r8 verdict's steepest corpus grower).
+    Pinned via the filter literals: the coarse (vec_id < c), mid
+    (vec_id < c²) and fine (vec_id < k) bounds must all gate centroid
+    relations in the plan."""
     import re
 
     from tfl_bikes_data_pipeline_spark import registry
     from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        _icbrt_ceil,
         embed_block_num_centroids,
     )
     from tfl_bikes_data_pipeline_spark.tables import table_row_count
 
     k = embed_block_num_centroids(table_row_count(sf_dir, "embeddings"))
-    k_c = max(2, math.isqrt(max(k - 1, 0)) + 1)
-    assert k_c < k, "fixture too small to distinguish coarse from fine"
+    c = _icbrt_ceil(k)
+    k_m = min(c * c, k)
+    assert c < k_m < k, "fixture too small to distinguish the three levels"
     plan = plan_of(registry.QUERIES["q_dedup_embedding"](spark, sf_dir))
-    assert re.search(rf"vec_id#\d+L? < {k_c}\b", plan), (
-        f"no coarse-bound filter (vec_id < {k_c}) — flat assignment is back"
+    # the fine bound pushes to the scan (vec_id); the coarse/mid bounds
+    # sit above the centroid limit boundary (centroid_id alias)
+    assert re.search(rf"(vec_id|centroid_id)#\d+L? < {c}\b", plan), (
+        f"no coarse-bound filter (< {c}) — flat assignment is back"
+    )
+    assert re.search(rf"(vec_id|centroid_id)#\d+L? < {k_m}\b", plan), (
+        f"no mid-bound filter (< {k_m}) — two-level is back"
     )
     assert re.search(rf"vec_id#\d+L? < {k}\b", plan), (
         f"no fine-bound filter (vec_id < {k}) in the plan"
@@ -416,6 +424,32 @@ def test_two_level_assign_broadcasts_all_centroid_relations(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     import re
 
+    assert not re.search(r"(?<!Broadcast)NestedLoopJoin", plan.replace("BroadcastNestedLoopJoin", "BNLJ"))
+
+
+def test_three_level_assign_broadcasts_all_centroid_relations(spark, sf_dir):
+    """The balanced coarse→mid→fine assignment must keep every
+    centroid-side relation broadcast (coarse cells, mid cells, the
+    mid→coarse and fine→mid maps, fine centroids) and never plan a
+    corpus×corpus cartesian — the property that makes it the
+    O(n·k^(1/3)) scale path."""
+    import re
+
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        COSINE_DUP_THRESHOLD,
+        embed_block_num_centroids,
+        embedding_cosine_pairs_blocked,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table, table_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = embed_block_num_centroids(table_row_count(sf_dir, "embeddings"))
+    df = embedding_cosine_pairs_blocked(
+        emb, COSINE_DUP_THRESHOLD, num_centroids=k, assign_mode="three_level"
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, "corpus-scale cartesian in three-level plan"
+    assert "BroadcastNestedLoopJoin" in plan
     assert not re.search(r"(?<!Broadcast)NestedLoopJoin", plan.replace("BroadcastNestedLoopJoin", "BNLJ"))
 
 

@@ -626,14 +626,17 @@ def q_stream_dedup_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = stage_landing_dir_with_redelivery(sf_dir)
     events = read_events_stream(spark, landing)
     out_path = _tmpdir("stream_dedup_wh_")
+    deduped = stream_exact_dedup(events)
     run_available_now_to_parquet(
-        stream_exact_dedup(events),
+        deduped,
         spark,
         out_path,
         partition_by="event_type",
         drain_partitions=drain_partitions_for(landing),
     )
-    back = spark.read.parquet(out_path)
+    # explicit schema: an empty landing zone drains ZERO files, and a
+    # schema-less read of an empty warehouse dir cannot infer one
+    back = spark.read.schema(deduped.schema).parquet(out_path)
     return (
         back.groupBy("event_type")
         .agg(
