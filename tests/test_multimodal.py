@@ -426,3 +426,70 @@ def test_dedup_canonical_collapses_exact_copies(spark):
     assert flat > len([p for p in keyed if 9 not in p]), (
         "flat listing should emit strictly more pairs than the collapsed one"
     )
+
+
+def test_quarantine_survives_planted_corrupt_payloads(spark):
+    """A corrupt payload must cost one DEAD-LETTER ROW, never the job:
+    plant a hand-built mixed corpus (valid PNG, valid WAV, truncated
+    PNG, unsniffable bytes) and check every row routes correctly."""
+    import numpy as np
+
+    from tfl_bikes_data_pipeline_spark.operators.imaging import (
+        encode_png,
+        encode_wav,
+    )
+    from tfl_bikes_data_pipeline_spark.operators.multimodal import (
+        dead_letter,
+        decode_stats_quarantine,
+    )
+
+    y, x = np.mgrid[0:8, 0:16]
+    png = encode_png(((y * 16 + x) % 256).astype("uint8"))
+    wav = encode_wav(np.arange(64, dtype="int16"), 16000)
+    rows = [
+        (1, bytearray(png)),
+        (2, bytearray(wav)),
+        (3, bytearray(png[:24])),  # sniffs as PNG, fails mid-IHDR
+        (4, bytearray(b"\x00\x01\x02garbage")),  # no magic at all
+    ]
+    wp = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_stats_quarantine(wp).collect()}
+    assert out[1].status == "ok" and out[1].media_type == "png"
+    assert out[1].value_sum == int(((y * 16 + x) % 256).sum())
+    assert out[2].status == "ok" and out[2].media_type == "wav"
+    assert out[2].value_sum == int(np.arange(64).sum())
+    assert out[3].status == "quarantined" and out[3].media_type == "png"
+    assert out[3].reason == "struct.error"
+    assert out[4].status == "quarantined" and out[4].media_type == "unknown"
+    assert out[4].reason == "builtins.NotImplementedError"
+    dl = dead_letter(decode_stats_quarantine(wp)).collect()
+    assert sorted(r.doc_id for r in dl) == [3, 4]
+    assert all(r.reason for r in dl)
+
+
+def test_quarantine_declared_query_counts(spark, sf_dir):
+    """The declared mixed-corpus query must dead-letter EXACTLY the
+    planted class-2 docs and decode everything else (counts follow the
+    (doc_id // 10) % 3 pattern over the %10 sample)."""
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.operators.multimodal import (
+        IMG_DOC_MOD,
+        QUARANTINE_CLS_MOD,
+        q_media_decode_quarantine,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % IMG_DOC_MOD == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    cls = [(i // IMG_DOC_MOD) % QUARANTINE_CLS_MOD for i in ids]
+    out = {r.media_type: r for r in q_media_decode_quarantine(spark, sf_dir).collect()}
+    assert out["png"].n_ok == cls.count(0)
+    assert out["png"].n_quarantined == cls.count(2)
+    assert out["wav"].n_ok == cls.count(1)
+    assert out["wav"].n_quarantined == 0

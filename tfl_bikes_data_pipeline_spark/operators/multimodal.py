@@ -861,3 +861,207 @@ ORACLES["q_audio_resample"] = f"""
 
 QUERIES["q_image_resize"] = q_image_resize
 QUERIES["q_audio_resample"] = q_audio_resample
+
+
+# ---------------------------------------------------------------------------
+# dead-letter decode: quarantine undecodable payloads (VERDICT r8 item 8)
+# ---------------------------------------------------------------------------
+
+#: class selector for the mixed-media corpus: (doc_id // IMG_DOC_MOD)
+#: % 3 → 0: valid PNG, 1: valid PCM WAV, 2: PLANTED-corrupt PNG
+#: (truncated mid-IHDR — sniffs as PNG, cannot decode).
+QUARANTINE_CLS_MOD = 3
+#: corrupt payloads keep the 8-byte PNG signature plus the IHDR chunk
+#: length/type but cut INSIDE the 13-byte IHDR body — the earliest
+#: truncation that still sniffs as PNG.
+CORRUPT_PNG_BYTES = 24
+
+DECODE_QUARANTINE_SCHEMA = (
+    "doc_id long, media_type string, status string, reason string, value_sum long"
+)
+
+
+def attach_mixed_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) — deterministic mixed-media corpus with
+    PLANTED corrupt payloads, the fixture for the dead-letter decode
+    path: cls 0 docs carry the [[q_image_stats]] formula image as a
+    real PNG, cls 1 docs the [[q_audio_stats]] waveform as a real PCM
+    WAV, cls 2 docs the SAME PNG truncated to its first
+    ``CORRUPT_PNG_BYTES`` bytes — it still sniffs as PNG (magic +
+    IHDR header survive) but fails decode, the 'one progressive JPEG
+    in a 100 TB corpus' stand-in."""
+    import numpy as np
+
+    from .imaging import encode_png, encode_wav
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                cls = (did // IMG_DOC_MOD) % QUARANTINE_CLS_MOD
+                if cls == 1:
+                    i = np.arange(AUDIO_N)
+                    s = ((did * 7 + i * 13) % 4096 - 2048).astype("int16")
+                    payload = encode_wav(s, AUDIO_RATE)
+                else:
+                    y, x = np.mgrid[0:IMG_H, 0:IMG_W]
+                    px = ((did * 31 + y * IMG_W + x) % 256).astype("uint8")
+                    payload = encode_png(px)
+                    if cls == 2:
+                        payload = payload[:CORRUPT_PNG_BYTES]
+                rows["doc_id"].append(doc_id)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(op, "doc_id long, payload binary")
+
+
+def decode_stats_quarantine(with_payload: DataFrame) -> DataFrame:
+    """(doc_id, media_type, status, reason, value_sum) — decode every
+    payload of a mixed corpus, QUARANTINING per-row instead of failing
+    the job: scoped codec errors (truncated streams, out-of-scope
+    variants like progressive JPEG — the exact raises the stdlib
+    codecs are bounded by, operators/jpeg.py + imaging.py) become
+    ``status='quarantined'`` rows carrying the error class as
+    ``reason``, while ok rows carry the decoded pixel/sample sum. A
+    100 TB corpus always contains undecodable payloads; one of them
+    must cost one DEAD-LETTER ROW, never the job — the binary twin of
+    [[tfl_bikes_data_pipeline_spark.sources.raw.read_csv_quarantine]].
+    ``reason`` is the qualified exception class (messages vary across
+    library versions; the class is stable and groupable).
+
+    Scale shape: one narrow mapInPandas pass — payloads never cross a
+    shuffle; the dead-letter split is a predicate on the output, so
+    clean rows and quarantine rows are one scan apart, and replay is a
+    filter on ``status``."""
+    import struct
+    import wave
+    import zlib
+
+    from .imaging import decode_png, decode_wav
+
+    scoped = (
+        NotImplementedError,
+        ValueError,
+        zlib.error,
+        struct.error,
+        wave.Error,
+        EOFError,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "media_type": [],
+                "status": [],
+                "reason": [],
+                "value_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    media = "png"
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    media = "wav"
+                else:
+                    media = "unknown"
+                try:
+                    if media == "png":
+                        value = int(decode_png(payload).astype("int64").sum())
+                    elif media == "wav":
+                        arr, _rate = decode_wav(payload)
+                        value = int(arr[:, 0].astype("int64").sum())
+                    else:
+                        raise NotImplementedError("no codec for unsniffable payload")
+                    status, reason = "ok", None
+                except scoped as exc:
+                    status, value = "quarantined", None
+                    reason = f"{type(exc).__module__}.{type(exc).__name__}"
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(media)
+                rows["status"].append(status)
+                rows["reason"].append(reason)
+                rows["value_sum"].append(value)
+            yield pd.DataFrame(rows)
+
+    return with_payload.mapInPandas(op, DECODE_QUARANTINE_SCHEMA)
+
+
+def dead_letter(decoded: DataFrame) -> DataFrame:
+    """The quarantine side output: undecodable payload rows with their
+    error class, ready for a replay queue or a quarantine warehouse
+    write — the relation a batch job inspects instead of a stack
+    trace."""
+    return decoded.where(F.col("status") == "quarantined").select(
+        "doc_id", "media_type", "reason"
+    )
+
+
+def q_media_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-corpus decode with planted corrupt payloads: per media
+    type, how many payloads decoded (``n_ok``), how many were
+    dead-lettered (``n_quarantined``), and the exact decoded value sum
+    over the ok rows — proving the job SURVIVED the corrupt payloads
+    AND still decoded everything else correctly (the oracle re-derives
+    the sums arithmetically from the generator formulas and the counts
+    from the planted class pattern)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % IMG_DOC_MOD == 0)
+        .select("doc_id")
+    )
+    decoded = decode_stats_quarantine(attach_mixed_payloads(docs))
+    return (
+        decoded.groupBy("media_type")
+        .agg(
+            F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
+            F.sum((F.col("status") == "quarantined").cast("long")).alias(
+                "n_quarantined"
+            ),
+            F.sum(
+                F.when(F.col("status") == "ok", F.col("value_sum"))
+            ).alias("value_sum"),
+        )
+        .orderBy("media_type")
+    )
+
+
+ORACLES["q_media_decode_quarantine"] = f"""
+    WITH sample AS (
+        SELECT doc_id, (doc_id // {IMG_DOC_MOD}) % {QUARANTINE_CLS_MOD} AS cls
+        FROM documents WHERE doc_id % {IMG_DOC_MOD} = 0
+    ),
+    png_ok AS (
+        SELECT d.doc_id,
+               sum((d.doc_id * 31 + y.y * {IMG_W} + x.x) % 256)::BIGINT AS v
+        FROM sample d
+        CROSS JOIN range({IMG_H}) y(y)
+        CROSS JOIN range({IMG_W}) x(x)
+        WHERE d.cls = 0 GROUP BY d.doc_id
+    ),
+    wav_ok AS (
+        SELECT d.doc_id,
+               sum((d.doc_id * 7 + i.i * 13) % 4096 - 2048)::BIGINT AS v
+        FROM sample d CROSS JOIN range({AUDIO_N}) i(i)
+        WHERE d.cls = 1 GROUP BY d.doc_id
+    ),
+    rows_ AS (
+        SELECT doc_id, 'png' AS media_type, 'ok' AS status, v FROM png_ok
+        UNION ALL
+        SELECT doc_id, 'wav' AS media_type, 'ok' AS status, v FROM wav_ok
+        UNION ALL
+        SELECT doc_id, 'png' AS media_type, 'quarantined' AS status,
+               NULL::BIGINT AS v
+        FROM sample WHERE cls = 2
+    )
+    SELECT media_type,
+           sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+           sum(CASE WHEN status = 'quarantined' THEN 1 ELSE 0 END)::BIGINT
+               AS n_quarantined,
+           sum(CASE WHEN status = 'ok' THEN v END)::BIGINT AS value_sum
+    FROM rows_ GROUP BY media_type ORDER BY media_type
+"""
+
+QUERIES["q_media_decode_quarantine"] = q_media_decode_quarantine
