@@ -102,10 +102,10 @@ def test_embedding_blocked_precision_and_recall(spark, sf_dir):
 
 def test_embedding_probed_precision_and_recall(spark, sf_dir):
     """The DECLARED q_dedup_embedding plan (asymmetric IVF probing with
-    the two-level coarse→fine assignment) must be a subset of exact
-    all-pairs with recall ≥ 0.95 at the dedup threshold — measured 1.0
-    on sf0.001 and sf0.01; the floor leaves slack for fixture
-    regeneration."""
+    the three-level coarse→mid→fine assignment) must be a subset of
+    exact all-pairs with recall ≥ 0.95 at the dedup threshold —
+    measured 0.985 on sf0.001 and 1.0 on sf0.01; the floor leaves
+    slack for fixture regeneration."""
     from tfl_bikes_data_pipeline_spark import registry
     from tfl_bikes_data_pipeline_spark.tables import load_table
 
@@ -623,3 +623,47 @@ def test_connected_components_branches_agree_on_null_edges(spark):
     assert fast == loop
     labels = dict(fast)
     assert labels[2] == 1 and labels[5] == 4
+
+
+def test_hyperplane_lsh_recall_and_subset(spark, sf_dir):
+    """Hyperplane LSH (vector SimHash) must stay a subset of exact
+    all-pairs and recover the fixture's borderline-similarity planted
+    pairs with recall ≥ 0.75 at the default band count (measured 0.83
+    on both gate SFs — the fixture's pairs all sit at cosine 0.4-0.6,
+    the hardest angle regime for this family)."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        embedding_cosine_pairs_hyperplane,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table, table_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = table_row_count(sf_dir, "embeddings")
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs_hyperplane(
+            emb, COSINE_DUP_THRESHOLD, n
+        ).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs(emb, COSINE_DUP_THRESHOLD).collect()
+    }
+    assert got <= exact, "hyperplane blocking must never invent pairs"
+    assert exact, "fixture should contain planted embedding near-dups"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.75, f"hyperplane recall vs exact {recall:.2f} < 0.75"
+
+
+def test_hyperplane_bits_scales_bucket_population():
+    """bits-per-band must track corpus size so expected bucket
+    population stays ~HYPERPLANE_TARGET_POP: 2^bits >= n/TARGET with
+    bits minimal."""
+    from tfl_bikes_data_pipeline_spark.operators.dedup import (
+        HYPERPLANE_TARGET_POP,
+        hyperplane_bits,
+    )
+
+    for n in (100, 500, 5_000, 60_000, 1_000_000):
+        b = hyperplane_bits(n)
+        assert (1 << b) >= max(n // HYPERPLANE_TARGET_POP, 2)
+        assert b == 1 or (1 << (b - 1)) < max(n // HYPERPLANE_TARGET_POP, 2)

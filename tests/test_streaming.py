@@ -388,3 +388,24 @@ def test_target_batches_env_parses_defensively(monkeypatch):
         assert jobs._target_batches_from_env() == expect, raw
     monkeypatch.delenv("SPARK_GRAFT_STREAM_TARGET_BATCHES")
     assert jobs._target_batches_from_env() == 3
+
+
+def test_stream_json_quarantine_routes_planted_lines(spark, sf_dir):
+    """The NDJSON stream must dead-letter EXACTLY the planted truncated
+    lines (event_id % JSON_CORRUPT_MOD == 0) into the _corrupt bucket
+    and aggregate every clean line under its event_type."""
+    from tfl_bikes_data_pipeline_spark.streaming.jobs import (
+        JSON_CORRUPT_MOD,
+        q_stream_json_quarantine,
+    )
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    n_corrupt = events.where(F.col("event_id") % JSON_CORRUPT_MOD == 0).count()
+    n_total = events.count()
+    out = {r.event_type: r for r in q_stream_json_quarantine(spark, sf_dir).collect()}
+    assert "_corrupt" in out, "no dead-letter bucket emitted"
+    assert out["_corrupt"].cnt == n_corrupt
+    assert out["_corrupt"].total_value is None  # corrupt rows never parse fields
+    assert out["_corrupt"].min_event_id is None
+    assert sum(r.cnt for r in out.values()) == n_total, "rows lost or duplicated"

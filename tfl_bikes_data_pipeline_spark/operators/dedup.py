@@ -2549,6 +2549,220 @@ def _finalize_composite_oracles() -> None:
     )
 
 
+# ---------------------------------------------------------------------------
+# hyperplane LSH (SimHash for vectors, Charikar 2002) — the third
+# embedding-blocking family: no codebook/centroid derivation at all
+# ---------------------------------------------------------------------------
+
+#: band count — the recall knob of the hyperplane family (a pair is a
+#: candidate when ANY band's full bit-key matches). Collision
+#: probability per band is (1 − θ/π)^bits, so recall at a FIXED band
+#: count falls with pair angle: the fixture's planted near-dups all
+#: sit at borderline cosine 0.4-0.6 (θ ≈ 55-66°, per-plane agreement
+#: ~0.63) — the hardest regime for this family — and 10 bands measure
+#: recall 0.83 there on both gate SFs (6 bands measured 0.62/0.69;
+#: floor ≥0.75 pinned in tests/test_dedup.py). Candidate + verify cost
+#: is LINEAR in bands, the cheap axis.
+HYPERPLANE_BANDS = 10
+#: target expected bucket population. bits-per-band is derived from it
+#: (2^bits ≈ n / TARGET), so buckets hold ~TARGET vectors at ANY corpus
+#: size — candidate volume stays O(n · bands · TARGET), linear, without
+#: the df-cap the token-space LSH needs (key space here is sizable by
+#: construction; a shingle vocabulary is not).
+HYPERPLANE_TARGET_POP = 32
+
+
+def _ilog2_ceil(x: int) -> int:
+    """Exact integer ⌈log2(x)⌉ with a floor of 1 — float log2 can
+    straddle integer boundaries at powers of two; the DuckDB oracle
+    mirrors the same ±2-window refinement."""
+    import math
+
+    b = max(1, round(math.log2(max(x, 2))))
+    while (1 << b) < x:
+        b += 1
+    while b > 1 and (1 << (b - 1)) >= x:
+        b -= 1
+    return b
+
+
+def hyperplane_bits(n_rows: int) -> int:
+    """bits per band for an n-row corpus: smallest b with 2^b ≥
+    n / HYPERPLANE_TARGET_POP (the formula the oracle mirrors)."""
+    return _ilog2_ceil(max(n_rows // HYPERPLANE_TARGET_POP, 2))
+
+
+def hyperplane_band_keys(
+    embeddings: DataFrame, bits: int, bands: int = HYPERPLANE_BANDS
+) -> DataFrame:
+    """(vec_id, band_id, band_key) — random-hyperplane signatures,
+    banded: plane p's bit is sign(cos(v, plane_p)) ≥ 0, packed
+    per-band into an integer key (bit i of band b is plane b·bits+i).
+    Planes are the first ``bands·bits`` corpus vectors (deterministic
+    seed-plane scheme, same idiom as the IVF seed centroids — at
+    production scale a trained/random plane matrix drops in without
+    changing the plan shape).
+
+    Scale shape: one broadcast nested-loop score of n·P plane bits
+    (P = bands·bits grows with log n), one groupBy keyed on
+    (vec_id, band_id) to pack keys — no corpus self-join until the
+    banded candidate step, whose buckets hold ~HYPERPLANE_TARGET_POP
+    vectors by construction of ``hyperplane_bits``."""
+    from ..functions.vectors import dot_expr, with_norm
+
+    n_planes = bands * bits
+    e = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
+    ).transform(lambda d: with_norm(d, "cv", "nv"))
+    planes = (
+        e.where(F.col("vec_id") < n_planes)
+        .limit(n_planes)
+        .select(
+            F.col("vec_id").alias("plane_id"),
+            F.col("cv").alias("pv"),
+            F.col("nv").alias("np_"),
+        )
+    )
+    scored = e.crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        (F.col("plane_id") / bits).cast("int").alias("band_id"),
+        (F.col("plane_id") % bits).cast("int").alias("pos"),
+        (
+            F.round(
+                F.expr(dot_expr("pv", "cv")) / (F.col("np_") * F.col("nv")), 6
+            )
+            >= 0
+        )
+        .cast("long")
+        .alias("bit"),
+    )
+    return scored.groupBy("vec_id", "band_id").agg(
+        F.expr("sum(shiftleft(bit, pos))").alias("band_key")
+    )
+
+
+def embedding_cosine_pairs_hyperplane(
+    embeddings: DataFrame,
+    threshold: float,
+    n_rows: int,
+    bands: int = HYPERPLANE_BANDS,
+) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) — embedding near-dup via hyperplane LSH:
+    candidates share at least one full band key, verified by exact
+    cosine. The third blocking family next to the probed IVF
+    ([[embedding_cosine_pairs_probed]], the DECLARED near-dup plan) and
+    exact all-pairs: NO codebook or centroid derivation — signatures
+    are data-independent given the planes, so ingest is stateless and
+    embarrassingly parallel (the property that makes this the classic
+    streaming-ingest-side index). Probability a pair collides decays
+    with angle (per-plane agreement 1 − θ/π), so recall at a fixed
+    band count FALLS as bits grow with log n — the documented
+    trade against the IVF family, whose recall knob is scale-free;
+    recall vs exact all-pairs is floor-pinned in tests/test_dedup.py."""
+    from ..functions.vectors import dot_expr, with_norm
+
+    bits = hyperplane_bits(n_rows)
+    keys = hyperplane_band_keys(embeddings, bits, bands)
+    cand = (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    e = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
+    ).transform(lambda d: with_norm(d, "cv", "nv"))
+    va = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("cv").alias("ca"),
+        F.col("nv").alias("na"),
+    )
+    vb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cv").alias("cb"),
+        F.col("nv").alias("nb"),
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                F.expr(dot_expr("ca", "cb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def q_dedup_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via hyperplane LSH (vector SimHash): the
+    codebook-free blocking family, for the ingest shapes where even a
+    seed-centroid scoring pass is unwanted state. Corpus size comes
+    from parquet footer metadata (one job, like the IVF path)."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    n = table_row_count(sf_dir, "embeddings")
+    return embedding_cosine_pairs_hyperplane(
+        embeddings, COSINE_DUP_THRESHOLD, n
+    ).orderBy("vec_a", "vec_b")
+
+
+ORACLES["q_dedup_hyperplane_lsh"] = f"""
+    WITH params AS (SELECT count(*) AS n FROM embeddings),
+    bitsq AS (
+        -- exact ⌈log2(x)⌉, x = greatest(n // {HYPERPLANE_TARGET_POP}, 2):
+        -- ±2 window around the float estimate, integer-compared
+        -- (mirrors _ilog2_ceil)
+        SELECT greatest(1, (SELECT min(cast(round(log2(greatest(n // {HYPERPLANE_TARGET_POP}, 2))) AS BIGINT) + v.d)
+                            FROM (VALUES (-2), (-1), (0), (1), (2)) v(d)
+                            WHERE (cast(round(log2(greatest(n // {HYPERPLANE_TARGET_POP}, 2))) AS BIGINT) + v.d) >= 1
+                              AND (1::BIGINT << (cast(round(log2(greatest(n // {HYPERPLANE_TARGET_POP}, 2))) AS BIGINT) + v.d))
+                                  >= greatest(n // {HYPERPLANE_TARGET_POP}, 2))) AS bits
+        FROM params
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    planes AS (
+        SELECT vec_id AS plane_id, embedding::DOUBLE[] AS pv FROM embeddings
+        WHERE vec_id < {HYPERPLANE_BANDS} * (SELECT bits FROM bitsq)
+    ),
+    bits_tbl AS (
+        SELECT c.vec_id,
+               p.plane_id // (SELECT bits FROM bitsq) AS band_id,
+               p.plane_id % (SELECT bits FROM bitsq) AS pos,
+               CASE WHEN round(list_cosine_similarity(p.pv, c.cv), 6) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM corpus c CROSS JOIN planes p
+    ),
+    keys AS (
+        SELECT vec_id, band_id, sum(bit::BIGINT << pos)::BIGINT AS band_key
+        FROM bits_tbl GROUP BY vec_id, band_id
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM keys a JOIN keys b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.vec_a
+    JOIN embeddings b ON b.vec_id = c.vec_b
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {COSINE_DUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_incremental": q_dedup_incremental,
@@ -2566,6 +2780,7 @@ QUERIES = {
     "q_dedup_substrings": q_dedup_substrings,
     "q_dedup_consensus": q_dedup_consensus,
     "q_quality_dup_xtab": q_quality_dup_xtab,
+    "q_dedup_hyperplane_lsh": q_dedup_hyperplane_lsh,
 }
 
 _finalize_composite_oracles()

@@ -962,3 +962,129 @@ ORACLES["q_stream_checkpoint_resume"] = """
     FROM events GROUP BY event_type ORDER BY event_type
 """
 QUERIES["q_stream_checkpoint_resume"] = q_stream_checkpoint_resume
+
+
+# ---------------------------------------------------------------------------
+# stream-side dead-letter: malformed NDJSON quarantined IN the stream
+# ---------------------------------------------------------------------------
+
+#: planted-corruption selector for the NDJSON landing zone: lines whose
+#: event_id % this == 0 are truncated mid-object (always unparseable —
+#: the prefix never closes the JSON object), ~1% of the feed, the
+#: steady malformed-record rate a real collector emits.
+JSON_CORRUPT_MOD = 97
+#: truncation point: inside (or just past) the event_id number of the
+#: serialized object — structurally invalid at ANY event_id width.
+JSON_CORRUPT_BYTES = 20
+
+
+def stage_ndjson_landing_with_corruption(spark: SparkSession, sf_dir: str) -> str:
+    """NDJSON landing zone with PLANTED malformed lines: every event
+    serializes to one JSON object (event_id, user_id, event_type,
+    value — event time stays out of the quarantine fixture so the
+    corruption plant, not timestamp formats, is the variable), and the
+    ``event_id % JSON_CORRUPT_MOD == 0`` lines are truncated to their
+    first ``JSON_CORRUPT_BYTES`` bytes. Deterministic, so the DuckDB
+    oracle re-derives exactly which rows dead-letter."""
+    from ..tables import load_table
+
+    landing = _tmpdir("events_json_landing_")
+    events = load_table(spark, sf_dir, "events")
+    line = F.to_json(F.struct("event_id", "user_id", "event_type", "value"))
+    (
+        events.select(
+            F.when(
+                F.col("event_id") % JSON_CORRUPT_MOD == 0,
+                F.substring(line, 1, JSON_CORRUPT_BYTES),
+            )
+            .otherwise(line)
+            .alias("value")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(landing)
+    )
+    return landing
+
+
+def read_json_stream_quarantine(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Streaming twin of
+    [[tfl_bikes_data_pipeline_spark.sources.raw.read_json_quarantine]]:
+    a file-source NDJSON stream in PERMISSIVE mode with an explicit
+    schema plus ``_corrupt_record`` — records that fail to parse ride
+    the stream as dead-letter rows (typed fields null, raw line
+    preserved) instead of killing the query. A collector feed at
+    100 TB/day ALWAYS contains malformed lines; the stream must
+    account for them, not die on batch 7,000."""
+    ensure_runtime_confs(spark)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger(landing_dir))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(landing_dir)
+    )
+
+
+def q_stream_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type profile of a streamed NDJSON feed with ~1% PLANTED
+    malformed lines: clean rows aggregate under their event_type,
+    dead-letter rows under the ``_corrupt`` bucket — so the result
+    proves in one relation that the stream (a) survived every corrupt
+    line, (b) quarantined exactly the planted ones (the oracle
+    re-derives the ``event_id % JSON_CORRUPT_MOD`` split), and (c) lost
+    nothing else (per-type counts/sums/id-ranges of the clean rows are
+    value-hashed). Aggregation runs INSIDE the stream, so the sink
+    holds |event_type|+1 rows at any scale."""
+    landing = stage_ndjson_landing_with_corruption(spark, sf_dir)
+    stream = read_json_stream_quarantine(spark, landing)
+    agg = (
+        stream.groupBy(
+            F.coalesce(F.col("event_type"), F.lit("_corrupt")).alias("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+    out = run_available_now(
+        agg,
+        spark,
+        output_mode="complete",
+        drain_partitions=drain_partitions_for(landing),
+    )
+    return out.orderBy("event_type")
+
+
+# the oracle replays the corruption plant on the parquet source: the
+# planted lines contribute a '_corrupt' bucket with null value/id
+# bounds (their typed fields never parsed), everything else aggregates
+# exactly as delivered.
+ORACLES["q_stream_json_quarantine"] = f"""
+    WITH tagged AS (
+        SELECT CASE WHEN event_id % {JSON_CORRUPT_MOD} = 0
+                    THEN '_corrupt' ELSE event_type END AS event_type,
+               CASE WHEN event_id % {JSON_CORRUPT_MOD} = 0
+                    THEN NULL ELSE value END AS value,
+               CASE WHEN event_id % {JSON_CORRUPT_MOD} = 0
+                    THEN NULL ELSE event_id END AS eid
+        FROM events
+    )
+    SELECT event_type, count(1)::BIGINT AS cnt,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value,
+           min(eid)::BIGINT AS min_event_id,
+           max(eid)::BIGINT AS max_event_id
+    FROM tagged GROUP BY event_type ORDER BY event_type
+"""
+QUERIES["q_stream_json_quarantine"] = q_stream_json_quarantine

@@ -1,5 +1,6 @@
-"""Assignment-cost scaling: flat O(n·k) vs two-level O(n·√k) centroid
-assignment, measured in isolation (VERDICT r4 item 6).
+"""Assignment-cost scaling: flat O(n·k) vs two-level O(n·√k) vs
+three-level O(n·k^(1/3)) centroid assignment, measured in isolation
+(VERDICT r4 item 6; r8 item 6 added the three-level declared path).
 
 The embedding near-dup's verify stage is linear by construction (the
 corpus-scaled centroid count pins bucket population); the ASSIGNMENT
@@ -34,6 +35,7 @@ from tfl_bikes_data_pipeline_spark.functions.vectors import norm_expr
 from tfl_bikes_data_pipeline_spark.operators.dedup import (
     EMBED_PROBE_NPROBE,
     _flat_multi_assign,
+    _three_level_multi_assign,
     _two_level_multi_assign,
     embed_block_num_centroids,
 )
@@ -66,10 +68,14 @@ def time_assign(spark, n: int, mode: str) -> float:
     )
     if mode == "flat":
         assign = _flat_multi_assign(e, centroids, EMBED_PROBE_NPROBE)
-    else:
-        # two_level carries (cv, nv) for its callers; project down to the
-        # id pairs so both modes materialize the same output volume.
+    elif mode == "two_level":
+        # hierarchical modes carry (cv, nv) for their callers; project
+        # down to the id pairs so all modes materialize the same volume.
         assign = _two_level_multi_assign(e, centroids, k, EMBED_PROBE_NPROBE).select(
+            "vec_id", "centroid_id"
+        )
+    else:
+        assign = _three_level_multi_assign(e, centroids, k, EMBED_PROBE_NPROBE).select(
             "vec_id", "centroid_id"
         )
     t0 = time.perf_counter()
@@ -90,10 +96,11 @@ def main() -> None:
     # warm codegen for both shapes at the smallest scale
     time_assign(spark, scales[0], "flat")
     time_assign(spark, scales[0], "two_level")
+    time_assign(spark, scales[0], "three_level")
 
-    out: dict[str, dict[int, float]] = {"flat": {}, "two_level": {}}
+    out: dict[str, dict[int, float]] = {"flat": {}, "two_level": {}, "three_level": {}}
     for n in scales:
-        for mode in ("flat", "two_level"):
+        for mode in ("flat", "two_level", "three_level"):
             if mode == "flat" and n > args.flat_max:
                 continue  # the point of the harness: flat stops scaling
             best = min(time_assign(spark, n, mode) for _ in range(args.repeat))
