@@ -14,6 +14,13 @@ a FRESH user population (total work grows linearly in m; per-user state
 depth unchanged — the same axis tools/scaling_bench.py replicates).
 
 Usage: python tools/stream_state_profile.py   # prints one JSON line
+       python tools/stream_state_profile.py --dedup-sinks [--m 100]
+         # sink-vs-state split for the dedup family (r8 verdict item
+         # 7): q_stream_dedup (aggregation INSIDE the stream — state
+         # cost only, sink O(5 rows)) vs q_stream_dedup_warehouse
+         # (same dedup state + row-level foreachBatch parquet sink) at
+         # 1x and mx events. Their delta isolates what shipping the
+         # surviving row volume through a production sink costs.
 """
 
 from __future__ import annotations
@@ -88,6 +95,49 @@ def time_stream_join(spark: SparkSession, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def time_query(spark: SparkSession, sf_dir: str, name: str) -> float:
+    best = float("inf")
+    for _ in range(REPEAT):
+        t0 = time.perf_counter()
+        jobs.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def dedup_sinks_main(m: int) -> None:
+    """Sink-vs-state split: the stream-side-aggregated dedup profile vs
+    its production-parquet-sink twin, 1x and mx events, same session."""
+    spark = get_spark(app_name="stream-dedup-sinks")
+    spark.range(1000).count()
+    root = tempfile.mkdtemp(prefix="dedupsink_")
+    xm = os.path.join(root, f"x{m}")
+    os.makedirs(xm, exist_ok=True)
+    replicate_events(spark, xm, m)
+
+    results: dict = {"m": m, "queries": {}}
+    for name in ("q_stream_dedup", "q_stream_dedup_warehouse"):
+        time_query(spark, BASE, name)  # warm-up
+        t1 = time_query(spark, BASE, name)
+        tm = time_query(spark, xm, name)
+        results["queries"][name] = {
+            "1x": t1,
+            f"{m}x": tm,
+            "ratio": round(tm / t1, 2),
+        }
+        print(f"  {name}: 1x={t1}s {m}x={tm}s", file=sys.stderr)
+    d1 = results["queries"]["q_stream_dedup_warehouse"]["1x"] - results[
+        "queries"
+    ]["q_stream_dedup"]["1x"]
+    dm = results["queries"]["q_stream_dedup_warehouse"][f"{m}x"] - results[
+        "queries"
+    ]["q_stream_dedup"][f"{m}x"]
+    results["sink_cost_delta"] = {"1x": round(d1, 3), f"{m}x": round(dm, 3)}
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(results))
+
+
 def main() -> None:
     spark = get_spark(app_name="stream-state-profile")
     spark.range(1000).count()
@@ -130,4 +180,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--dedup-sinks" in sys.argv:
+        m = 100
+        if "--m" in sys.argv:
+            m = int(sys.argv[sys.argv.index("--m") + 1])
+        dedup_sinks_main(m)
+    else:
+        main()
