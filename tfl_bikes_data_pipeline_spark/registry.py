@@ -80,6 +80,7 @@ def _load_all() -> None:
         dedup,
         fuzzy,
         graph,
+        layout,
         merge,
         multimodal,
         profile,
@@ -91,7 +92,7 @@ def _load_all() -> None:
         training,
     )
 
-    for mod in (dedup, similarity, text, multimodal, profile, retrieval, asof, timeseries, merge, scd, fuzzy, training, graph):
+    for mod in (dedup, similarity, text, multimodal, profile, retrieval, asof, timeseries, merge, scd, fuzzy, training, graph, layout):
         _register(
             mod.QUERIES,
             mod.ORACLES,
