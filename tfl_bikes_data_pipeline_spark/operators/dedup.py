@@ -814,8 +814,12 @@ def _three_level_multi_assign(
     """(vec_id, centroid_id, cv, nv[, rn]) — coarse→mid→fine assignment:
     decouples per-vector assignment cost from the √k growth the
     TWO-level scorer re-acquires once k itself scales with the corpus
-    (k = n/50 makes two-level O(n·√k) = O(n^1.5/√50) — the measured
-    steepest corpus-axis grower, 9.15× wall at 30× data).
+    (k = n/50 makes two-level O(n·√k) = O(n^1.5/√50)). Measured in
+    isolation (tools/assign_scaling.py, PLANS.md): 2.81× faster than
+    two-level at 1M vectors, growth 53.7× across 20× data — exactly
+    the O(n^(4/3)) model; at fixture-scale k the two shapes are within
+    noise of each other end-to-end because the query is output-bound
+    there.
 
     Level sizes are balanced thirds: c = ⌈k^(1/3)⌉ coarse cells and
     k_m = min(c², k) mid cells (both lowest-id fine seeds), so EVERY
@@ -1613,11 +1617,14 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``assign_mode="three_level"``, O(n·k^(1/3))) — with the
     corpus-scaled centroid count k = n/50, the flat scorer's O(n·k)
     term is O(n²/50) and the two-level scorer's O(n·√k) re-acquires
-    √n growth (measured 9.15× wall at 30× corpus — the r8 verdict's
-    steepest grower), so the DECLARED plan is the balanced-thirds
-    shape whose every routing hop scores O(k^(1/3)) cells, and the
-    oracle mirrors the coarse→mid→fine CTEs exactly (VERDICT r4
-    item 3; r8 item 6).
+    √n growth (isolated assignment measurement: two-level 387.5s vs
+    three-level 138.0s at 1M vectors, tools/assign_scaling.py), so
+    the DECLARED plan is the balanced-thirds shape whose every
+    routing hop scores O(k^(1/3)) cells, and the oracle mirrors the
+    coarse→mid→fine CTEs exactly (VERDICT r4 item 3; r8 item 6; the
+    end-to-end 30× corpus walls are output-bound — 243-406× pair
+    growth — so the assignment exponent is the isolated number,
+    PLANS.md round 9).
 
     The centroid count comes from parquet FOOTER metadata (the
     table-stats lookup a catalog provides at warehouse scale), not a
