@@ -92,3 +92,50 @@ def test_bounding_below_hint_but_above_scan_counts(spark, sf_dir):
     )
     df = events.join(F.broadcast(top), "user_id")
     assert broadcast_policy_violations(df) == []
+
+
+def test_literal_bound_filter_declares_bound(spark, sf_dir):
+    """A Filter carrying a literal upper bound on an attribute (the
+    seed-centroid / seed-plane idiom) declares the bound WITHOUT the
+    GlobalLimit + single-partition exchange a mid-plan .limit(n)
+    physically plans."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") < 40).select("vec_id", "embedding")
+    df = emb.crossJoin(F.broadcast(seeds.select(F.col("vec_id").alias("sid"))))
+    assert broadcast_policy_violations(df) == []
+
+
+def test_non_bound_filter_still_fires(spark, sf_dir):
+    """A filter WITHOUT a literal upper bound (null check, equality on
+    a data column) does not bound cardinality — the hint must still be
+    flagged."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    key_set = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    df = customer.join(F.broadcast(key_set), "c_custkey", "left_semi")
+    v = broadcast_policy_violations(df)
+    assert len(v) == 1 and "orders" in v[0], v
+
+
+def test_hint_inside_subquery_expression_fires(spark, sf_dir):
+    """Hints living inside scalar-subquery plans are reachable only via
+    subqueries() — children() alone never visits them."""
+    from tfl_bikes_data_pipeline_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    df = spark.sql(
+        """
+        SELECT c_custkey FROM customer
+        WHERE c_acctbal > (
+            SELECT avg(o_totalprice) FROM orders
+            JOIN (SELECT /*+ BROADCAST(lineitem) */ l_orderkey
+                  FROM lineitem) USING (o_orderkey)
+        )
+        """.replace("USING (o_orderkey)", "ON o_orderkey = l_orderkey")
+    )
+    v = broadcast_policy_violations(df)
+    assert len(v) == 1 and "lineitem" in v[0], v

@@ -116,10 +116,9 @@ def test_zorder_query_buckets_are_boxes(spark, sf_dir):
     property that makes the curve useful for skipping."""
     rows = q_zorder_layout(spark, sf_dir).collect()
     assert rows, "fixture lineitem should produce at least one bucket"
-    # a bucket fixes the top 24 of 32 interleaved bits... = the top 4
-    # bits of NEITHER dimension are free below bit 12: each dimension's
-    # extent inside one bucket is < 2^12 (the low 12 bits of a 16-bit
-    # dimension remain unconstrained only below the bucket boundary)
+    # the bucket fixes every interleaved bit from position 24 up, so
+    # each dimension is free only in its low 12 bits inside one bucket
+    # -> per-dimension extent < 2^12
     cell = 1 << 12
     for r in rows:
         assert r.max_supp - r.min_supp < cell, r

@@ -18,6 +18,22 @@ construction, never by fixture luck. Bounded means one of:
   bound with ``.limit(bound)`` right where the proof lives, the limit
   is a no-op at runtime (the bound holds by construction), and the
   broadcast can never exceed ``bound`` rows even if the proof rots.
+  Reserve this for relations that are TINY by construction (sketch
+  cells, shortlists): a mid-plan ``limit(n)`` physically plans
+  ``GlobalLimit`` over an ``Exchange SinglePartition`` — every row
+  funnels through ONE task, which on a row-heavy relation is itself
+  the scale hazard this lint exists to prevent;
+* every such path passes a Filter carrying a literal upper bound on a
+  single attribute (``vec_id < 1200`` — the seed-centroid /
+  seed-plane / query-prefix idiom): the author's structural-bound
+  declaration lives in the predicate itself, costs nothing (it pushes
+  to the scan), and mutates no plan topology. Heuristic limits,
+  documented: the attribute is not proven unique (a ``quantity < 24``
+  filter would false-pass — no measured incident has that shape: the
+  dq_audit/bloom incidents were key sets built by distinct/semi-join,
+  no literal bound anywhere), and the literal itself may be derived
+  from data (k = n/50) — which is the IVF design's own documented,
+  bounded-by-construction growth.
 
 Everything else — key sets, semi-join outputs, grouped aggregates on
 data-cardinality keys — must go unhinted and let AQE decide from
@@ -58,7 +74,26 @@ SF_GROWN_TABLES = (
 #: GlobalLimit/LocalLimit from ``df.limit(n)`` (and Sort+Limit top-k).
 _LIMIT_NODES = ("GlobalLimit", "LocalLimit")
 
-_TABLE_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)\.(?:parquet|csv)")
+_TABLE_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)\.(?:parquet|csv|json|txt|orc)")
+
+#: a Filter conjunct of the shape ``attr#123L < 4567`` — the
+#: literal-upper-bound declaration (see module docstring for the
+#: heuristic's limits). Cast wrappers are accepted; disjunctions are
+#: not (an OR branch voids the bound), checked by the caller.
+_BOUND_FILTER_RE = re.compile(
+    r"\(?(?:cast\()?[A-Za-z_][A-Za-z0-9_]*#\d+L?(?: as \w+\))?"
+    r" < (?:cast\()?(\d+)(?: as \w+\))?\)?"
+)
+#: sanity ceiling on an accepted literal bound — anything above this is
+#: not a broadcastable relation no matter what the author declared.
+_BOUND_LITERAL_CAP = 50_000_000
+
+
+def _is_bound_filter(condition_str: str) -> bool:
+    if " OR " in condition_str or " or " in condition_str:
+        return False
+    m = _BOUND_FILTER_RE.search(condition_str)
+    return bool(m) and int(m.group(1)) <= _BOUND_LITERAL_CAP
 
 
 def _children(node) -> list:
@@ -91,6 +126,8 @@ def _unbounded_sf_tables(node) -> set:
         return set()
     if name == "Aggregate" and node.groupingExpressions().isEmpty():
         return set()  # global aggregate → exactly one row
+    if name == "Filter" and _is_bound_filter(node.condition().toString()):
+        return set()  # literal upper bound on an attribute — declared
     kids = _children(node)
     if not kids:
         return _leaf_tables(node)
@@ -116,9 +153,17 @@ def broadcast_policy_violations(df: DataFrame) -> list[str]:
                         "broadcast hint over unbounded SF-grown scan(s) "
                         f"{sorted(tables)} — drop the hint (let AQE "
                         "decide) or declare the structural bound with "
-                        ".limit(bound)"
+                        "a literal-bound filter / .limit(bound)"
                     )
                     return  # children of a flagged hint: same finding
+        # hints can live inside subquery EXPRESSIONS (scalar subqueries,
+        # IN/EXISTS plans) — children() alone never reaches them
+        try:
+            subs = node.subqueries()
+            for i in range(subs.length()):
+                visit(subs.apply(i))
+        except Exception:
+            pass
         for child in _children(node):
             visit(child)
 

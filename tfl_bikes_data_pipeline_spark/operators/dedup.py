@@ -1001,9 +1001,11 @@ def embedding_cosine_pairs_blocked(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
     ).transform(lambda d: with_norm(d, "cv", "nv"))
-    # limit() declares the structural centroid-count bound (vec_id <
-    # num_centroids on a unique id) for the broadcast-policy lint
-    centroids = e.where(F.col("vec_id") < num_centroids).limit(num_centroids).select(
+    # the literal-bound filter (vec_id < num_centroids on a unique id)
+    # IS the structural-bound declaration the broadcast-policy lint
+    # recognizes — a mid-plan .limit would add a GlobalLimit +
+    # single-partition exchange, a real funnel at corpus-scaled k
+    centroids = e.where(F.col("vec_id") < num_centroids).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("cv").alias("qv"),
         F.col("nv").alias("nq"),
@@ -1113,9 +1115,11 @@ def embedding_cosine_pairs_probed(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
     ).transform(lambda d: with_norm(d, "cv", "nv"))
-    # limit() declares the structural centroid-count bound (vec_id <
-    # num_centroids on a unique id) for the broadcast-policy lint
-    centroids = e.where(F.col("vec_id") < num_centroids).limit(num_centroids).select(
+    # the literal-bound filter (vec_id < num_centroids on a unique id)
+    # IS the structural-bound declaration the broadcast-policy lint
+    # recognizes — a mid-plan .limit would add a GlobalLimit +
+    # single-partition exchange, a real funnel at corpus-scaled k
+    centroids = e.where(F.col("vec_id") < num_centroids).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("cv").alias("qv"),
         F.col("nv").alias("nq"),
@@ -2624,7 +2628,6 @@ def hyperplane_band_keys(
     ).transform(lambda d: with_norm(d, "cv", "nv"))
     planes = (
         e.where(F.col("vec_id") < n_planes)
-        .limit(n_planes)
         .select(
             F.col("vec_id").alias("plane_id"),
             F.col("cv").alias("pv"),

@@ -28,11 +28,16 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 
-#: bits interleaved per dimension. 16 bits covers key domains to 65k
-#: per dimension at fixture-to-sf1 scale; at larger domains interleave
-#: the TOP bits of each key (z-order needs only enough resolution to
-#: separate files, not to order every row uniquely).
-ZORDER_BITS = 16
+#: bits interleaved per dimension. 20 bits covers key domains to ~1M
+#: per dimension (lineitem partkey reaches 200k·SF — sf5 fits); the
+#: z-value spans 2·bits = 40 bits, well inside BIGINT. Larger domains
+#: must pre-shift to their TOP bits (z-order needs only enough
+#: resolution to separate files, not to order every row uniquely) —
+#: and silently truncating the HIGH bits would quietly destroy the
+#: locality the layout exists for, so :func:`zorder_expr` carries a
+#: hard assert_true guard: a key outside [0, 2^bits) fails the job
+#: with a message instead of producing a degenerate layout.
+ZORDER_BITS = 20
 
 
 def zorder_expr(colx: str, coly: str, bits: int = ZORDER_BITS) -> Column:
@@ -41,7 +46,13 @@ def zorder_expr(colx: str, coly: str, bits: int = ZORDER_BITS) -> Column:
     2i+1. Pure shift/and/or arithmetic — one codegen'd expression, no
     UDF, and textually mirrorable in ANSI SQL (the oracle builds the
     identical sum)."""
-    terms = []
+    guard = (
+        f"coalesce(assert_true({colx} >= 0 and {colx} < {1 << bits} "
+        f"and {coly} >= 0 and {coly} < {1 << bits}, "
+        f"'zorder: key outside [0, 2^{bits}) — pre-shift large domains "
+        f"to their top bits'), 0)"
+    )
+    terms = [guard]
     for i in range(bits):
         terms.append(f"(shiftleft(shiftright({colx}, {i}) & 1, {2 * i}))")
         terms.append(f"(shiftleft(shiftright({coly}, {i}) & 1, {2 * i + 1}))")

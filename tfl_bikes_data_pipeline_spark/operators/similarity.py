@@ -136,7 +136,7 @@ def ivf_assign(embeddings: DataFrame, num_centroids: int = NUM_CENTROIDS) -> Dat
     return assign_to_centroids(
         _vecs(embeddings, "vec_id", "cv"),
         _vecs(
-            embeddings.where(F.col("vec_id") < num_centroids).limit(num_centroids),
+            embeddings.where(F.col("vec_id") < num_centroids),
             "centroid_id",
             "qv",
         ),
@@ -155,7 +155,7 @@ def ivf_search(
     nprobe dataflow; the refined-index variant passes Lloyd-refined
     centroids instead). Output: (qid, vec_id, cos_sim, rank)."""
     seeds = _vecs(
-        embeddings.where(F.col("vec_id") < num_centroids).limit(num_centroids),
+        embeddings.where(F.col("vec_id") < num_centroids),
         "centroid_id",
         "qv",
     )
@@ -344,7 +344,7 @@ def cosine_topk_arrow(
 def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings = load_table(spark, sf_dir, "embeddings")
     corpus = _vecs(embeddings, "vec_id", "cv")
-    queries = _vecs(embeddings.where(F.col("vec_id") < NUM_QUERIES).limit(NUM_QUERIES), "qid", "qv")
+    queries = _vecs(embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv")
     return cosine_topk(corpus, queries)
 
 
@@ -356,7 +356,7 @@ def q_ann_brute_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     query_rows = [
         (r["qid"], r["qv"])
         for r in _vecs(
-            embeddings.where(F.col("vec_id") < NUM_QUERIES).limit(NUM_QUERIES), "qid", "qv"
+            embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv"
         ).collect()
     ]
     return cosine_topk_arrow(corpus, query_rows)
@@ -374,7 +374,7 @@ def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings = load_table(spark, sf_dir, "embeddings")
-    queries = _vecs(embeddings.where(F.col("vec_id") < NUM_QUERIES).limit(NUM_QUERIES), "qid", "qv")
+    queries = _vecs(embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv")
     return ivf_search(embeddings, queries)
 
 
@@ -388,7 +388,7 @@ def q_ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings = load_table(spark, sf_dir, "embeddings")
     corpus = _vecs(embeddings, "vec_id", "cv")
     seeds = _vecs(
-        embeddings.where(F.col("vec_id") < NUM_CENTROIDS).limit(NUM_CENTROIDS), "centroid_id", "qv"
+        embeddings.where(F.col("vec_id") < NUM_CENTROIDS), "centroid_id", "qv"
     )
     refined = kmeans_refine(corpus, seeds, iterations=2)
     return (
@@ -681,7 +681,7 @@ def quantized_mips_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     error (recall vs the float path pinned in tests). Same broadcast
     query-set shape as :func:`cosine_topk`."""
     q = quantize_int8(embeddings)
-    queries = q.where(F.col("vec_id") < NUM_QUERIES).limit(NUM_QUERIES).select(
+    queries = q.where(F.col("vec_id") < NUM_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("scale").alias("qscale"),
         F.col("codes").alias("qcodes"),
@@ -761,10 +761,10 @@ def q_ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings = load_table(spark, sf_dir, "embeddings")
     corpus = _vecs(embeddings, "vec_id", "cv")
     seeds = _vecs(
-        embeddings.where(F.col("vec_id") < NUM_CENTROIDS).limit(NUM_CENTROIDS), "centroid_id", "qv"
+        embeddings.where(F.col("vec_id") < NUM_CENTROIDS), "centroid_id", "qv"
     )
     refined = kmeans_refine(corpus, seeds, iterations=2)
-    queries = _vecs(embeddings.where(F.col("vec_id") < NUM_QUERIES).limit(NUM_QUERIES), "qid", "qv")
+    queries = _vecs(embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv")
     return ivf_search_with_centroids(embeddings, queries, refined)
 
 
@@ -876,7 +876,7 @@ def _pq_subcentroids(embeddings: DataFrame) -> DataFrame:
     k-means-trained codebook would drop in without changing the
     dataflow)."""
     return _pq_subcentroids_from(
-        embeddings.where(F.col("vec_id") < PQ_KSUB).limit(PQ_KSUB).select(
+        embeddings.where(F.col("vec_id") < PQ_KSUB).select(
             F.col("vec_id").alias("c"), to_double_vec("embedding", "cv")
         )
     )
@@ -993,7 +993,7 @@ def pq_adc_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     subcent = _pq_subcentroids(embeddings)
     codes = pq_encode(embeddings, subcent)
     queries = _vecs(
-        embeddings.where(F.col("vec_id") < NUM_QUERIES).limit(NUM_QUERIES), "qid", "qv"
+        embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv"
     )
     lut = _adc_lut(queries, subcent)
     scored = (
@@ -1021,6 +1021,9 @@ def pq_search(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     total cost stays linear and the heavy scoring stays integer ADC."""
     # rank <= PQ_SHORTLIST per query over <= NUM_QUERIES queries; the
     # limit declares that structural bound for the broadcast-policy lint
+    # (kept: a rank filter has no literal '<' the lint parses, and the
+    # shortlist is <= NUM_QUERIES*PQ_SHORTLIST narrow id pairs — the
+    # single-partition exchange moves a few hundred rows)
     shortlist = (
         pq_adc_topk(embeddings, k=PQ_SHORTLIST)
         .select("qid", "vec_id")
@@ -1028,7 +1031,7 @@ def pq_search(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     )
     corpus = _vecs(embeddings, "vec_id", "cv")
     queries = _vecs(
-        embeddings.where(F.col("vec_id") < NUM_QUERIES).limit(NUM_QUERIES), "qid", "qv"
+        embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv"
     )
     rerank = (
         corpus.join(F.broadcast(shortlist), "vec_id")
@@ -1170,10 +1173,10 @@ def ivfpq_search(
     idx = ivfpq_index(embeddings, n_centroids)
     corpus = _vecs(embeddings, "vec_id", "cv")
     queries = _vecs(
-        embeddings.where(F.col("vec_id") < NUM_QUERIES).limit(NUM_QUERIES), "qid", "qv"
+        embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv"
     )
     coarse = _vecs(
-        embeddings.where(F.col("vec_id") < n_centroids).limit(n_centroids),
+        embeddings.where(F.col("vec_id") < n_centroids),
         "cc",
         "ccv",
     )
@@ -1353,7 +1356,7 @@ def filtered_cosine_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
         "ncv",
     )
     qn = with_norm(
-        embeddings.where(F.col("vec_id") < NUM_QUERIES).limit(NUM_QUERIES).select(
+        embeddings.where(F.col("vec_id") < NUM_QUERIES).select(
             F.col("vec_id").alias("qid"),
             F.col("label").alias("qlabel"),
             to_double_vec("embedding", "qv"),
@@ -1552,7 +1555,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     are near-uniform, so IVF recall there is fixture-poor — the exact
     path stays the flagship)."""
     embeddings = load_table(spark, sf_dir, "embeddings")
-    held_out = embeddings.where(F.col("vec_id") < NUM_QUERIES).limit(NUM_QUERIES)
+    held_out = embeddings.where(F.col("vec_id") < NUM_QUERIES)
     rest = embeddings.where(F.col("vec_id") >= NUM_QUERIES)
     corpus = _vecs(rest, "vec_id", "cv")
     queries = _vecs(held_out, "qid", "qv")
@@ -1604,7 +1607,7 @@ def q_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall fixture-poor; on clustered real corpora the probed buckets
     capture the true neighborhood)."""
     embeddings = load_table(spark, sf_dir, "embeddings")
-    held_out = embeddings.where(F.col("vec_id") < NUM_QUERIES).limit(NUM_QUERIES)
+    held_out = embeddings.where(F.col("vec_id") < NUM_QUERIES)
     rest = embeddings.where(F.col("vec_id") >= NUM_QUERIES)
     seeds = _vecs(
         rest.where(F.col("vec_id") < NUM_QUERIES + NUM_CENTROIDS).limit(NUM_CENTROIDS),
@@ -2075,7 +2078,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-overlap query still reports recall 0.0."""
     embeddings = load_table(spark, sf_dir, "embeddings")
     corpus = _vecs(embeddings, "vec_id", "cv")
-    queries = _vecs(embeddings.where(F.col("vec_id") < NUM_QUERIES).limit(NUM_QUERIES), "qid", "qv")
+    queries = _vecs(embeddings.where(F.col("vec_id") < NUM_QUERIES), "qid", "qv")
     brute = cosine_topk(corpus, queries).select("qid", "vec_id")
     approx = ivf_search(embeddings, queries).select("qid", "vec_id")
     hits = (

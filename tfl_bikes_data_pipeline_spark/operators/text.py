@@ -1907,10 +1907,9 @@ def q_phrase_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), spark
     )
     phrases = (
-        # limit() declares the structural bench-set bound for the
-        # broadcast-policy lint (doc_id < PHRASE_DOCS on a unique id)
+        # the literal-bound filter (doc_id < PHRASE_DOCS on a unique
+        # id) IS the bench-set bound declaration the lint recognizes
         documents.where(F.col("doc_id") < PHRASE_DOCS)
-        .limit(PHRASE_DOCS)
         .select(
             F.col("doc_id").alias("phrase_id"),
             F.split(F.lower(F.trim(F.col("text"))), " ").alias("w"),

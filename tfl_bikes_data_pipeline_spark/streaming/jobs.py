@@ -78,13 +78,22 @@ def _target_batches_from_env() -> int:
 STREAM_TARGET_BATCHES = _target_batches_from_env()
 
 
+#: data-file suffixes a landing zone may hold — parquet fixture drops,
+#: NDJSON/text collector feeds. Sizing must count/weigh ALL of them or
+#: a non-parquet landing silently falls back to the 1-file-per-batch /
+#: floor-partition pathology the round-8 sizing work removed.
+LANDING_DATA_SUFFIXES = (".parquet", ".txt", ".json")
+
+
+def _is_landing_data_file(name: str) -> bool:
+    return name.endswith(LANDING_DATA_SUFFIXES) and not name.startswith(("_", "."))
+
+
 def files_per_trigger(landing_dir: str) -> int:
     """maxFilesPerTrigger sized so the drain takes ~STREAM_TARGET_BATCHES
     micro-batches regardless of how many part files land."""
     try:
-        n = sum(
-            1 for f in _os.listdir(landing_dir) if f.endswith(".parquet")
-        )
+        n = sum(1 for f in _os.listdir(landing_dir) if _is_landing_data_file(f))
     except OSError:
         n = 0
     return max(1, -(-n // STREAM_TARGET_BATCHES))
@@ -244,7 +253,7 @@ def drain_partitions_for(landing_dir: str) -> int:
         total = sum(
             e.stat().st_size
             for e in _os.scandir(landing_dir)
-            if e.name.endswith(".parquet")
+            if _is_landing_data_file(e.name)
         )
     except OSError:
         total = 0
@@ -579,16 +588,28 @@ def run_available_now_to_parquet(
     materializes the WHOLE result in driver heap; for a row-preserving
     stream at 100× that is a 10M-row driver materialization (52 s
     measured, PLANS.md r8 honesty note) that no production deployment
-    pays. A fresh checkpoint per call keeps epoch ids stable within the
-    drain; the declared-query callers write to a fresh temp warehouse,
-    so plain append is exactly-once for this one-shot shape."""
+    pays. foreachBatch is at-least-once under restarts, so each
+    committed epoch leaves the same ``_epochs/`` marker
+    [[stream_events_to_warehouse]] documents as required — a
+    re-delivered epoch is skipped instead of double-appended (the
+    declared-query callers are one-shot into a fresh temp warehouse,
+    where the guard is a no-op, but this is public API and the
+    restartable shape must be safe too)."""
+    import os
+
     ckpt = _tmpdir("stream_pq_ckpt_")
+    run_id = os.path.basename(ckpt.rstrip("/"))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(out_path, "_epochs", f"{run_id}-{epoch_id}")
+        if os.path.exists(marker):
+            return
         w = batch_df.write.mode("append")
         if partition_by:
             w = w.partitionBy(partition_by)
         w.parquet(out_path)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        open(marker, "w").close()
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
@@ -990,7 +1011,16 @@ def stage_ndjson_landing_with_corruption(spark: SparkSession, sf_dir: str) -> st
 
     landing = _tmpdir("events_json_landing_")
     events = load_table(spark, sf_dir, "events")
-    line = F.to_json(F.struct("event_id", "user_id", "event_type", "value"))
+    # ignoreNullFields=false: to_json would otherwise DROP null fields,
+    # and a row whose non-id fields are all null could serialize short
+    # enough that the truncation prefix is a complete valid object —
+    # the plant must be structurally invalid for every possible row,
+    # not by fixture luck. With explicit nulls every line starts
+    # '{"event_id":...,"user_id":' and always exceeds the cut.
+    line = F.to_json(
+        F.struct("event_id", "user_id", "event_type", "value"),
+        {"ignoreNullFields": "false"},
+    )
     (
         events.select(
             F.when(
@@ -1000,7 +1030,9 @@ def stage_ndjson_landing_with_corruption(spark: SparkSession, sf_dir: str) -> st
             .otherwise(line)
             .alias("value")
         )
-        .coalesce(1)
+        # multiple part files so trigger sizing and multi-batch state
+        # survival are exercised, not a single-batch degenerate drain
+        .coalesce(4)
         .write.mode("overwrite")
         .text(landing)
     )

@@ -181,9 +181,14 @@ def main() -> None:
 
 if __name__ == "__main__":
     if "--dedup-sinks" in sys.argv:
-        m = 100
-        if "--m" in sys.argv:
-            m = int(sys.argv[sys.argv.index("--m") + 1])
-        dedup_sinks_main(m)
+        import argparse
+
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--dedup-sinks", action="store_true")
+        ap.add_argument("--m", type=int, default=100)
+        args = ap.parse_args()
+        if args.m < 2:
+            ap.error("--m must be >= 2 (1x is always measured as the base)")
+        dedup_sinks_main(args.m)
     else:
         main()
