@@ -139,3 +139,79 @@ def test_hint_inside_subquery_expression_fires(spark, sf_dir):
     )
     v = broadcast_policy_violations(df)
     assert len(v) == 1 and "lineitem" in v[0], v
+
+
+def test_date_timestamp_fraction_literals_are_not_bounds(spark, sf_dir):
+    """r9 ADVICE: '(event_date < DATE'2020-01-01')' etc. must NOT count
+    as a literal row bound — the digit prefix of a date/timestamp/
+    fractional literal bounds nothing. Each shape must still fire."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    for pred in (
+        F.col("ts") < F.lit("2020-01-01").cast("timestamp"),
+        F.to_date("ts") < F.lit("2020-01-01").cast("date"),
+        F.col("value") < F.lit(0.5),
+    ):
+        key_set = events.where(pred).select(
+            F.col("user_id").alias("c_custkey")
+        ).distinct()
+        df = customer.join(F.broadcast(key_set), "c_custkey", "left_semi")
+        v = broadcast_policy_violations(df)
+        assert len(v) == 1 and "events" in v[0], (pred, v)
+
+
+def test_bound_filter_above_join_does_not_silence(spark, sf_dir):
+    """r9 ADVICE: a literal bound filter is honored only directly over
+    a leaf scan — sitting ABOVE a join of SF-grown scans it bounds one
+    attribute's range, not the subtree's cardinality."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = customer.join(orders, customer.c_custkey == orders.o_custkey)
+    bounded_late = joined.where(F.col("o_orderkey") < 1000).select(
+        F.col("c_custkey").alias("k")
+    )
+    df = customer.crossJoin(F.broadcast(bounded_late.distinct()))
+    v = broadcast_policy_violations(df)
+    assert v, "bound filter above a join must not silence the lint"
+
+
+def test_bound_literal_cap_tightened(spark, sf_dir):
+    """A declared bound of 50M rows is an OOM, not a bound — the cap is
+    now 1M (r9 verdict finding 3)."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    huge = events.where(F.col("event_id") < 2_000_000).select(
+        F.col("user_id").alias("c_custkey")
+    )
+    df = customer.join(F.broadcast(huge.distinct()), "c_custkey", "left_semi")
+    v = broadcast_policy_violations(df)
+    assert len(v) == 1 and "events" in v[0], v
+
+
+def test_planted_bnlj_violation_fires(spark, sf_dir):
+    """A forced BNLJ (non-equi join, broadcastable-looking side actually
+    SF-grown) must be reported by the physical-plan walk even though no
+    explicit hint exists for the logical walk to see."""
+    from tfl_bikes_data_pipeline_spark.lint import bnlj_policy_violations
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    df = customer.join(
+        F.broadcast(orders.select("o_custkey", "o_totalprice")),
+        customer.c_acctbal < orders.o_totalprice,
+    )
+    v = bnlj_policy_violations(df)
+    assert len(v) == 1 and "orders" in v[0], v
+
+
+def test_bounded_bnlj_passes(spark, sf_dir):
+    """The sanctioned BNLJ shape — a bounded-build scalar/centroid merge
+    (global aggregate or literal-bound build side) — stays clean."""
+    from tfl_bikes_data_pipeline_spark.lint import bnlj_policy_violations
+
+    orders = load_table(spark, sf_dir, "orders")
+    emb = load_table(spark, sf_dir, "embeddings")
+    scalar = orders.agg(F.avg("o_totalprice").alias("avg_price"))
+    assert bnlj_policy_violations(orders.crossJoin(F.broadcast(scalar))) == []
+    seeds = emb.where(F.col("vec_id") < 40).select(F.col("vec_id").alias("sid"))
+    assert bnlj_policy_violations(emb.crossJoin(F.broadcast(seeds))) == []

@@ -36,7 +36,10 @@ def _assert_plan_clean(df, name: str) -> None:
     import contextlib
     import io
 
-    from tfl_bikes_data_pipeline_spark.lint import broadcast_policy_violations
+    from tfl_bikes_data_pipeline_spark.lint import (
+        bnlj_policy_violations,
+        broadcast_policy_violations,
+    )
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -49,6 +52,11 @@ def _assert_plan_clean(df, name: str) -> None:
     # q_dq_audit / q_bloom_filter_probe incident class, caught at test
     # time instead of by manual replica sweeps.
     violations = broadcast_policy_violations(df)
+    assert not violations, f"{name}: {violations}"
+    # same policy on the physical plan: a forced BNLJ (non-equi join)
+    # with an unbounded SF-grown build side is an OOM at scale even
+    # without a hint, and AQE cannot demote it (r9 verdict task 4).
+    violations = bnlj_policy_violations(df)
     assert not violations, f"{name}: {violations}"
 
 

@@ -343,3 +343,67 @@ def test_current_version_degrades_on_corrupt_marker(spark, tmp_path):
     assert read_versioned(spark, table).count() == 5
 
     assert vacuum_versions(str(tmp_path / "never_written")) == []
+
+
+def test_quantile_rank_beats_raw_interleave_on_skew(spark, tmp_path):
+    """Skewed-domain A/B (r9 verdict task 8): x heavy-tailed (u^8 maps
+    half the mass into ~0.4% of a 2^20 domain), y uniform. Raw-domain
+    interleave spends almost all of its x-resolution on the empty tail,
+    so the curve degenerates toward an x-only sort — most files span
+    the ENTIRE y domain and y-skipping dies (measured: 5/8 files at
+    100% y-mass). Equal-mass quantile ranks give every bucket ~equal
+    rows regardless of the data's shape, keeping per-file mass boxes
+    tight on BOTH dimensions. Footer min/max stats are the judge."""
+    import bisect
+
+    N = 40_000
+    df = spark.range(N).select(
+        F.col("id"),
+        F.floor(
+            F.pow((F.col("id") % 9973) / 9973.0, 8) * ((1 << 20) - 1)
+        ).cast("long").alias("x"),
+        ((F.col("id") * 2654435761) % 1024).cast("long").alias("y"),
+    )
+    raw_path, qt_path = str(tmp_path / "raw"), str(tmp_path / "qt")
+    write_zordered(df, raw_path, "x", "y", n_files=N_FILES, rank="raw")
+    write_zordered(df, qt_path, "x", "y", n_files=N_FILES, rank="quantile")
+
+    xs = sorted(r.x for r in df.select("x").collect())
+    ys = sorted(r.y for r in df.select("y").collect())
+
+    def mass_spans(path, col, vals):
+        """Per-file fraction of the TOTAL row mass inside the file's
+        footer [min, max] for col — the probability a point probe on
+        col cannot skip the file."""
+        spans = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            spans.append(
+                (bisect.bisect_right(vals, hi) - bisect.bisect_left(vals, lo))
+                / len(vals)
+            )
+        return spans
+
+    raw_y = mass_spans(raw_path, "y", ys)
+    qt_y = mass_spans(qt_path, "y", ys)
+    # raw: the curve degenerated — at least half the files span (nearly)
+    # all of y, so a y-probe reads them regardless of its value
+    assert sum(1 for m in raw_y if m >= 0.99) >= N_FILES // 2, raw_y
+    # quantile: at most one boundary file may span y broadly
+    assert sum(1 for m in qt_y if m >= 0.99) <= 1, qt_y
+
+    # balance across BOTH dims: the quantile layout's worst-dimension
+    # average mass-span must beat raw's by a clear margin
+    raw_x = mass_spans(raw_path, "x", xs)
+    qt_x = mass_spans(qt_path, "x", xs)
+    raw_worst = max(sum(raw_x) / len(raw_x), sum(raw_y) / len(raw_y))
+    qt_worst = max(sum(qt_x) / len(qt_x), sum(qt_y) / len(qt_y))
+    assert qt_worst <= raw_worst - 0.1, (raw_worst, qt_worst)

@@ -93,24 +93,88 @@ def z_column(df: DataFrame, col_a: str, col_b: str, bits: int = Z_BITS):
     )
 
 
+#: bits interleaved per dimension in ``rank="raw"`` mode. 20 bits
+#: covers key domains to ~1M per dimension (lineitem partkey reaches
+#: 200k·SF — sf5 fits); the z-value spans 2·bits = 40 bits, well
+#: inside BIGINT. Larger domains must pre-shift to their TOP bits
+#: (z-order needs only enough resolution to separate files, not to
+#: order every row uniquely) — and silently truncating the HIGH bits
+#: would quietly destroy the locality the layout exists for, so
+#: :func:`zorder_expr` carries a hard assert_true guard: a key outside
+#: [0, 2^bits) fails the job with a message instead of producing a
+#: degenerate layout.
+ZORDER_BITS = 20
+
+
+def zorder_expr(colx: str, coly: str, bits: int = ZORDER_BITS) -> Column:
+    """Morton interleave of the low ``bits`` bits of two non-negative
+    integer columns in their RAW domain: bit i of x lands at position
+    2i, bit i of y at 2i+1. Pure shift/and/or arithmetic — one
+    codegen'd expression, no UDF, and textually mirrorable in ANSI SQL
+    (the oracle builds the identical sum). Exact and oracle-hashable,
+    but skew-blind: a zipfian key concentrates the curve (use
+    ``rank="quantile"`` / :func:`z_column` for equal-mass buckets)."""
+    guard = (
+        f"coalesce(assert_true({colx} >= 0 and {colx} < {1 << bits} "
+        f"and {coly} >= 0 and {coly} < {1 << bits}, "
+        f"'zorder: key outside [0, 2^{bits}) — pre-shift large domains "
+        f"to their top bits'), 0)"
+    )
+    terms = [guard]
+    for i in range(bits):
+        terms.append(f"(shiftleft(shiftright({colx}, {i}) & 1, {2 * i}))")
+        terms.append(f"(shiftleft(shiftright({coly}, {i}) & 1, {2 * i + 1}))")
+    return F.expr(" + ".join(terms))
+
+
+def zorder_sql(colx: str, coly: str, bits: int = ZORDER_BITS) -> str:
+    """The DuckDB mirror of :func:`zorder_expr` — same bit arithmetic,
+    same term order."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({colx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({coly} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
     col_a: str,
     col_b: str,
     n_files: int = 8,
-    bits: int = Z_BITS,
+    bits: int | None = None,
+    rank: str = "quantile",
 ) -> None:
     """Write ``df`` as parquet clustered on the Z-curve of (col_a,
-    col_b): scale both to equal-mass rank space (quantile sketch),
-    range-partition + sort by z-value, drop the helper column. Each
-    output file (and row group) then covers a tight hyper-rectangle in
-    (a, b) space, so predicates on EITHER column skip most files via
-    min/max stats. Both columns' boundaries come from ONE sketch scan."""
+    col_b) — THE single Morton write engine (r9 verdict finding 1
+    unified the two parallel implementations that lived here and in
+    ``operators/layout.py``). Two rank modes select how values map to
+    curve coordinates; the layout machinery (one range exchange on the
+    z-value + in-partition sort, helper column dropped) is identical:
+
+    * ``rank="quantile"`` (default, ``bits=Z_BITS``): both columns are
+      scaled to equal-mass rank space via ONE ``percentile_approx``
+      sketch scan — skew-robust (a zipfian key still fills buckets
+      evenly), works for any orderable type, costs one extra scan.
+    * ``rank="raw"`` (``bits=ZORDER_BITS``): the columns' raw integer
+      domains are interleaved directly — zero extra scans, exact and
+      SQL-mirrorable (:func:`zorder_sql`), guarded against domain
+      overflow, but skew concentrates the curve.
+
+    Each output file (and row group) then covers a tight
+    hyper-rectangle in (a, b) space, so predicates on EITHER column
+    skip most files via min/max stats."""
     if "__z" in df.columns:
         raise ValueError("input already has a '__z' column (reserved)")
+    if rank == "quantile":
+        z = z_column(df, col_a, col_b, Z_BITS if bits is None else bits)
+    elif rank == "raw":
+        z = zorder_expr(col_a, col_b, ZORDER_BITS if bits is None else bits)
+    else:
+        raise ValueError(f"rank must be 'quantile' or 'raw', got {rank!r}")
     (
-        df.withColumn("__z", z_column(df, col_a, col_b, bits))
+        df.withColumn("__z", z)
         .repartitionByRange(n_files, F.col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")

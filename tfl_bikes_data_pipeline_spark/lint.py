@@ -79,14 +79,22 @@ _TABLE_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)\.(?:parquet|csv|json|txt|orc)"
 #: a Filter conjunct of the shape ``attr#123L < 4567`` — the
 #: literal-upper-bound declaration (see module docstring for the
 #: heuristic's limits). Cast wrappers are accepted; disjunctions are
-#: not (an OR branch voids the bound), checked by the caller.
+#: not (an OR branch voids the bound), checked by the caller. The
+#: literal must be a WHOLE integer: the trailing negative lookahead
+#: rejects date (``2020-01-01``), timestamp (``00:00:00``) and
+#: fractional (``0.5``) literals whose digit prefix would otherwise
+#: parse as a row bound (a ``ts < 2026-01-01`` filter bounds nothing).
 _BOUND_FILTER_RE = re.compile(
     r"\(?(?:cast\()?[A-Za-z_][A-Za-z0-9_]*#\d+L?(?: as \w+\))?"
-    r" < (?:cast\()?(\d+)(?: as \w+\))?\)?"
+    r" < (?:cast\()?(\d+)(?![\d.:\-])(?: as \w+\))?\)?"
 )
 #: sanity ceiling on an accepted literal bound — anything above this is
 #: not a broadcastable relation no matter what the author declared.
-_BOUND_LITERAL_CAP = 50_000_000
+#: 1M rows ≈ tens of MB for a narrow key relation, the upper edge of a
+#: sane broadcast; the real uses are 40-5000 (seed centroids, planes,
+#: query prefixes). Was 50M through r9 — an accepted 50M-row build side
+#: is an executor OOM, not a bound (r9 verdict finding 3).
+_BOUND_LITERAL_CAP = 1_000_000
 
 
 def _is_bound_filter(condition_str: str) -> bool:
@@ -94,6 +102,40 @@ def _is_bound_filter(condition_str: str) -> bool:
         return False
     m = _BOUND_FILTER_RE.search(condition_str)
     return bool(m) and int(m.group(1)) <= _BOUND_LITERAL_CAP
+
+
+#: nodes that may sit between a bound Filter and the leaf scan it
+#: bounds without voiding the declaration: row-wise, cardinality-
+#: preserving-or-shrinking, single-child shapes only (Repartition
+#: covers the fixture-scale _ensure_scan_parallelism round-robin).
+_NARROW_CHAIN_NODES = (
+    "Project",
+    "SubqueryAlias",
+    "Filter",
+    "Sort",
+    "Repartition",
+    "RepartitionByExpression",
+    "Deduplicate",
+)
+
+
+def _filter_sits_on_leaf(node) -> bool:
+    """True iff the subtree under a bound Filter is a single-child
+    chain of narrow nodes ending at a leaf. A literal bound declared
+    ABOVE a join/aggregate/union bounds only one attribute's range,
+    not the subtree's row count (``o_custkey < 1000`` over a join of
+    SF-grown scans can still be millions of rows) — honoring it there
+    silenced the lint for whole subtrees through r9 (ADVICE r9)."""
+    cur = node
+    while True:
+        kids = _children(cur)
+        if not kids:
+            return True  # reached the leaf: the chain was narrow
+        if len(kids) != 1:
+            return False  # join/union below the filter: bound voided
+        cur = kids[0]
+        if _children(cur) and cur.getClass().getSimpleName() not in _NARROW_CHAIN_NODES:
+            return False  # wide/unknown intermediate node
 
 
 def _children(node) -> list:
@@ -126,8 +168,12 @@ def _unbounded_sf_tables(node) -> set:
         return set()
     if name == "Aggregate" and node.groupingExpressions().isEmpty():
         return set()  # global aggregate → exactly one row
-    if name == "Filter" and _is_bound_filter(node.condition().toString()):
-        return set()  # literal upper bound on an attribute — declared
+    if (
+        name == "Filter"
+        and _is_bound_filter(node.condition().toString())
+        and _filter_sits_on_leaf(node)
+    ):
+        return set()  # literal upper bound directly over a leaf scan
     kids = _children(node)
     if not kids:
         return _leaf_tables(node)
@@ -168,4 +214,84 @@ def broadcast_policy_violations(df: DataFrame) -> list[str]:
             visit(child)
 
     visit(df._jdf.queryExecution().analyzed())
+    return violations
+
+
+#: physical nodes that cap the row count of everything above them.
+_PHYS_LIMIT_NODES = (
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "TakeOrderedAndProjectExec",
+    "CollectLimitExec",
+)
+_PHYS_AGG_NODES = ("HashAggregateExec", "SortAggregateExec", "ObjectHashAggregateExec")
+
+
+def _phys_leaf_tables(node) -> set:
+    """SF-grown tables scanned by a physical leaf, unless the scan
+    itself carries a pushed literal-bound data filter (the bound filter
+    of the logical walk usually pushes INTO the FileSourceScan by the
+    time the physical plan exists)."""
+    try:
+        filters = node.dataFilters()
+        for i in range(filters.length()):
+            if _is_bound_filter(filters.apply(i).toString()):
+                return set()
+    except Exception:
+        pass
+    return _leaf_tables(node)
+
+
+def _phys_unbounded_sf_tables(node) -> set:
+    name = node.getClass().getSimpleName()
+    if name in _PHYS_LIMIT_NODES:
+        return set()
+    if name in _PHYS_AGG_NODES and node.groupingExpressions().isEmpty():
+        return set()  # global (partial or final) aggregate → one row
+    if name == "FilterExec" and _is_bound_filter(node.condition().toString()):
+        return set()  # post-optimization the bound filter sits on the scan
+    kids = _children(node)
+    if not kids:
+        return _phys_leaf_tables(node)
+    out: set = set()
+    for child in kids:
+        out |= _phys_unbounded_sf_tables(child)
+    return out
+
+
+def bnlj_policy_violations(df: DataFrame) -> list[str]:
+    """Every ``BroadcastNestedLoopJoin`` in ``df``'s physical plan whose
+    BUILD side is unbounded-SF-grown. Complements
+    :func:`broadcast_policy_violations`: the logical walk only sees
+    explicit hints, but Spark FORCES a BNLJ for any non-equi join it
+    cannot plan otherwise — and AQE cannot demote a BNLJ whose build
+    side turns out huge at runtime, so an unbounded build is an
+    executor OOM at scale regardless of hints (r9 verdict task 4).
+    Walks the pre-AQE ``sparkPlan`` (deterministic, never executes)."""
+    violations: list[str] = []
+
+    def visit(node) -> None:
+        if node.getClass().getSimpleName() == "BroadcastNestedLoopJoinExec":
+            side = node.buildSide().toString()
+            kids = _children(node)
+            build = kids[0] if side == "BuildLeft" else kids[1]
+            tables = _phys_unbounded_sf_tables(build)
+            if tables:
+                violations.append(
+                    f"BroadcastNestedLoopJoin ({side}) builds from "
+                    f"unbounded SF-grown scan(s) {sorted(tables)} — "
+                    "bound the build side (literal-bound filter, "
+                    ".limit, global aggregate) or restructure to an "
+                    "equi-join"
+                )
+        try:
+            subs = node.subqueries()
+            for i in range(subs.length()):
+                visit(subs.apply(i))
+        except Exception:
+            pass
+        for child in _children(node):
+            visit(child)
+
+    visit(df._jdf.queryExecution().sparkPlan())
     return violations

@@ -127,41 +127,62 @@ BENCH_QUERIES[:] = list(dict.fromkeys([*BENCH_QUERIES, *QUERIES]))
 
 
 #: Registry HEAD — the driver pins the FIRST ~50 entries of
-#: ``queries()`` each round, and rounds 7-8 pinned the same
-#: analyst/TPC-H head twice, leaving the four §2.13 pipeline builders
-#: and the whole dedup/ANN/text/streaming surface without a
-#: driver-green row since r6 (r8 verdict item 4). This list ROTATES
-#: the head to exactly those never-recently-pinned names; everything
+#: ``queries()`` each round. Rounds 8-9 drove the analyst/TPC-H head,
+#: the §2.13 pipeline builders, and the dedup/ANN/text/retrieval/
+#: streaming slice to driver-green, leaving 85 registry queries that
+#: have NEVER appeared in a CORRECTNESS artifact (r9 verdict task 1:
+#: multimodal, profile/sketch, merge/SCD/CDC, sampling, graph,
+#: timeseries, training-assembly, roundtrips, and the remaining
+#: q_stream_* variants). This list ROTATES the head to exactly the 83
+#: of those 85 that carry full hash oracles (the two q_approx_*
+#: sketches are bound-oracle by design and stay behind); everything
 #: else keeps registration order behind it. Every name here must carry
 #: a full hash oracle (test_registry_contract enforces it for whatever
 #: the driver actually pins).
 REGISTRY_HEAD: tuple[str, ...] = (
-    # §2.13 pipeline builders — last driver-green in r6
-    "p_fact_build", "p_weather_align", "p_weather_ids",
-    "p_incremental_append",
-    # dedup surface
-    "q_dedup_exact", "q_dedup_incremental", "q_dedup_minhash_lsh",
-    "q_dedup_ngram_jaccard", "q_dedup_containment", "q_dedup_simhash",
-    "q_dedup_simhash_pairs", "q_dedup_clusters", "q_dedup_canonical",
-    "q_dedup_embedding", "q_dedup_incremental_lsh",
-    "q_dedup_embedding_clusters", "q_dedup_segments",
-    "q_dedup_substrings", "q_dedup_consensus", "q_quality_dup_xtab",
-    # ANN / embedding surface
-    "q_ann_brute_topk", "q_ann_ivf_assign", "q_ann_ivf_topk",
-    "q_ann_ivf_refined_topk", "q_ann_pq_topk", "q_ann_ivfpq_topk",
-    "q_ann_filtered_topk", "q_ann_quantized_topk", "q_ann_recall_eval",
-    "q_ann_incremental_index", "q_knn_classify", "q_embed_covariance",
-    # text / LM surface (incl. the r9 floored-model rebuilds)
-    "q_text_unigram_logprob", "q_min_k_prob", "q_text_keyness",
-    "q_heavy_hitters", "q_phrase_scan", "q_text_tfidf",
-    "q_doc_fingerprint", "q_text_langid",
-    # retrieval
-    "q_bm25_topk", "q_hybrid_rrf", "q_rbo_eval",
-    # training-set assembly
-    "q_decontaminate", "q_dsir_weights", "q_split_leakage_safe",
-    # streaming (availableNow drains with full value oracles)
-    "q_stream_tumbling", "q_stream_dedup", "q_stream_stateful_counts",
-    "q_session_window",
+    # profile / sketch / data-quality surface
+    "q_profile_nulls", "q_minmax_bounds", "q_stats_moments",
+    "q_winsorized_means", "q_drift_psi", "q_bloom_filter_probe",
+    "q_cms_counts", "q_cms_join_estimate", "q_dq_audit",
+    "q_table_stats", "q_mad_outliers", "q_quality_model",
+    "q_source_overlap",
+    # merge / SCD / CDC warehouse maintenance
+    "q_merge_upsert", "q_incremental_agg", "q_snapshot_diff",
+    "q_latest_snapshot", "q_scd2_history", "q_scd2_point_lookup",
+    "q_cdc_chunks",
+    # sampling / training-set assembly
+    "q_sample_hash", "q_sample_stratified", "q_split_assign",
+    "q_mixture_sample", "q_mixture_plan", "q_pack_sequences",
+    "q_sample_weighted", "q_training_examples", "q_curation_pipeline",
+    "q_source_caps", "q_budget_select", "q_adaptive_filter",
+    # timeseries / sessionization
+    "q_asof_join", "q_range_join", "q_gap_fill", "q_histogram",
+    "q_ts_similarity", "q_sessionize", "q_ewma", "q_anomaly_zscore",
+    "q_rolling_actives",
+    # graph + layout + fuzzy
+    "q_graph_degrees", "q_graph_triangles", "q_zorder_layout",
+    "q_fuzzy_pairs", "q_entity_resolution",
+    # multimodal (never driver-pinned; aHash/decode paths)
+    "q_multimodal_meta", "q_multimodal_framesample",
+    "q_multimodal_phash_pairs", "q_multimodal_dedup_canonical",
+    "q_image_stats", "q_audio_stats", "q_image_resize",
+    "q_audio_resample", "q_media_decode_quarantine",
+    # text long tail
+    "q_token_count", "q_pii_scrub", "q_text_bigram_quality",
+    "q_text_repetition", "q_text_chunks", "q_corpus_report",
+    "q_text_boilerplate", "q_textrank_keywords", "q_bpe_merges",
+    "q_vocab_growth",
+    # embedding long tail
+    "q_dedup_hyperplane_lsh", "q_knn_classify_ivf",
+    "q_embed_pca_project",
+    # source formats / roundtrips
+    "q_csv_roundtrip", "q_orc_roundtrip", "q_json_roundtrip",
+    "q_spatial_nearest", "q_netcdf_weather", "q_xlsx_roundtrip",
+    "q_xml_stations", "q_skew_salted_join",
+    # streaming variants never driver-drained
+    "q_stream_sliding", "q_stream_join", "q_stream_dedup_warehouse",
+    "q_stream_dedup_watermark", "q_stream_static_join",
+    "q_stream_checkpoint_resume", "q_stream_json_quarantine",
 )
 
 
