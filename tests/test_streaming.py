@@ -409,3 +409,53 @@ def test_stream_json_quarantine_routes_planted_lines(spark, sf_dir):
     assert out["_corrupt"].total_value is None  # corrupt rows never parse fields
     assert out["_corrupt"].min_event_id is None
     assert sum(r.cnt for r in out.values()) == n_total, "rows lost or duplicated"
+
+
+def test_epoch_marker_guard_is_live_with_stable_checkpoint(spark, sf_dir):
+    """ADVICE r9: the epoch idempotency guard was dead code while every
+    call minted a fresh checkpoint (run_id never matched a prior run's
+    markers). With a caller-supplied stable checkpoint the guard must
+    actually skip a pre-committed epoch — proven by planting epoch 0's
+    marker up front and observing that batch's rows never land."""
+    import shutil
+
+    # multi-file landing (3 copies of the fixture) => multi-epoch drain
+    landing = tempfile.mkdtemp(prefix="stream_guard_landing_")
+    for i in range(3):
+        shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events_{i}.parquet")
+    out = tempfile.mkdtemp(prefix="stream_guard_wh_")
+    ckpt = tempfile.mkdtemp(prefix="stream_guard_ckpt_")
+    run_id = os.path.basename(ckpt.rstrip("/"))
+    os.makedirs(os.path.join(out, "_epochs"), exist_ok=True)
+    open(os.path.join(out, "_epochs", f"{run_id}-0"), "w").close()
+
+    stream_events_to_warehouse(spark, sf_dir, out, checkpoint=ckpt, landing=landing)
+
+    n_single = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    ym_dirs = [p for p in os.listdir(out) if p.startswith("ym=")]
+    landed = spark.read.parquet(out).count() if ym_dirs else 0
+    assert 0 < landed < 3 * n_single, (
+        f"epoch-0 skip not visible: landed={landed}, single-file={n_single}"
+    )
+    # the later epochs of the SAME run committed markers next to ours
+    markers = os.listdir(os.path.join(out, "_epochs"))
+    assert any(m != f"{run_id}-0" and m.startswith(run_id) for m in markers), (
+        "no later epoch committed — the drain did not run multi-batch, "
+        f"markers={markers}"
+    )
+
+
+def test_epoch_marker_guard_restart_appends_nothing(spark, sf_dir):
+    """Restart with the SAME checkpoint and landing zone must not
+    duplicate rows: the source offsets are already committed, and any
+    re-delivered epoch hits its marker."""
+    import shutil
+
+    landing = tempfile.mkdtemp(prefix="stream_restart_landing_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
+    out = tempfile.mkdtemp(prefix="stream_restart_wh_")
+    ckpt = tempfile.mkdtemp(prefix="stream_restart_ckpt_")
+    stream_events_to_warehouse(spark, sf_dir, out, checkpoint=ckpt, landing=landing)
+    n1 = spark.read.parquet(out).count()
+    stream_events_to_warehouse(spark, sf_dir, out, checkpoint=ckpt, landing=landing)
+    assert spark.read.parquet(out).count() == n1

@@ -833,7 +833,8 @@ def _three_level_multi_assign(
     never the O(k^(5/3)) of exact fine×mid scoring — the map stays
     buildable when k reaches the tens of millions a 100 TB corpus
     implies. All centroid-side relations are broadcast (≤ k rows,
-    bounded by the centroids `.limit`); the corpus joins once and its
+    bounded by the literal ``vec_id < k`` filter the seed selection
+    declares — the lint-recognized bound); the corpus joins once and its
     arrays ride the mid/fine rank windows, so it is never re-scanned.
     Recall vs the flat (exact) assignment is pinned in
     tests/test_dedup.py."""

@@ -325,8 +325,37 @@ def run_available_now(
     return spark.table(name)
 
 
+def _epoch_marker_path(out_path: str, run_id: str, epoch_id: int) -> str:
+    # plain string join, NOT os.path: out_path may be a URI (s3a://,
+    # hdfs://) and the marker must live in the SAME filesystem as the
+    # warehouse it guards.
+    return f"{out_path.rstrip('/')}/_epochs/{run_id}-{epoch_id}"
+
+
+def _epoch_committed(spark: SparkSession, marker: str) -> bool:
+    """Marker existence via the Hadoop FS API — works for any warehouse
+    scheme, not just local paths (ADVICE r9: driver-local os.path checks
+    silently broke the restart guard for object-store warehouses)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(marker)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
+
+
+def _commit_epoch(spark: SparkSession, marker: str) -> None:
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(marker)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    # create() makes parent dirs and truncates if present — idempotent
+    fs.create(path, True).close()
+
+
 def stream_events_to_warehouse(
-    spark: SparkSession, sf_dir: str, out_path: str
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint: str | None = None,
+    landing: str | None = None,
 ) -> None:
     """foreachBatch append sink into the month-partitioned warehouse —
     the streaming twin of the batch incremental-append path.
@@ -337,23 +366,33 @@ def stream_events_to_warehouse(
     mode, so it cannot save this shape. Each committed epoch therefore
     leaves a marker under ``_epochs/``; a re-delivered epoch is skipped.
     A checkpoint keeps epoch ids stable across restarts (without it a
-    restarted query renumbers from 0 and the markers are meaningless).
-    The marker commits AFTER the append, so the one remaining failure
-    window (crash between append and marker) re-appends a single batch
+    restarted query renumbers from 0 and the markers are meaningless)
+    — so restart safety requires the CALLER to pass a stable
+    ``checkpoint``: a restarted job that reuses its checkpoint resumes
+    the same run_id and skips every already-marked epoch. Calls that
+    omit it get a fresh checkpoint (one-shot semantics: the guard only
+    protects against re-delivery WITHIN that single run). Marker I/O
+    goes through the Hadoop FS API so the guard holds for object-store
+    warehouse paths, not just local disk (ADVICE r9). The marker
+    commits AFTER the append, so the one remaining failure window
+    (crash between append and marker) re-appends a single batch
     — at-least-once, converged by the MERGE sink variant
     ([[stream_upsert_to_warehouse]]) when duplicates are unacceptable."""
     import os
 
-    events = read_events_stream(spark, stage_landing_dir(sf_dir))
-    ckpt = _tmpdir("events_wh_ckpt_")
+    # a restartable caller must also pin the LANDING zone: the source
+    # path is baked into the checkpoint, so a restart that re-staged a
+    # fresh landing dir could never resume its offsets.
+    events = read_events_stream(spark, landing or stage_landing_dir(sf_dir))
+    ckpt = checkpoint or _tmpdir("events_wh_ckpt_")
     # markers are scoped to the checkpoint generation: epoch ids are
     # only stable WITHIN one checkpoint, so a fresh query (new ckpt)
     # must not collide with a previous generation's epoch 0.
     run_id = os.path.basename(ckpt.rstrip("/"))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        marker = os.path.join(out_path, "_epochs", f"{run_id}-{epoch_id}")
-        if os.path.exists(marker):
+        marker = _epoch_marker_path(out_path, run_id, epoch_id)
+        if _epoch_committed(spark, marker):
             return
         (
             batch_df.withColumn("ym", month_partition("ts"))
@@ -361,8 +400,7 @@ def stream_events_to_warehouse(
             .partitionBy("ym")
             .parquet(out_path)
         )
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        open(marker, "w").close()
+        _commit_epoch(spark, marker)
 
     q = (
         events.writeStream.foreachBatch(sink)
@@ -580,6 +618,7 @@ def run_available_now_to_parquet(
     out_path: str,
     partition_by: str | None = None,
     drain_partitions: int | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """Production drain for ROW-LEVEL streams: foreachBatch appends each
     micro-batch to a parquet warehouse path — rows flow executor→disk
@@ -591,25 +630,29 @@ def run_available_now_to_parquet(
     pays. foreachBatch is at-least-once under restarts, so each
     committed epoch leaves the same ``_epochs/`` marker
     [[stream_events_to_warehouse]] documents as required — a
-    re-delivered epoch is skipped instead of double-appended (the
-    declared-query callers are one-shot into a fresh temp warehouse,
-    where the guard is a no-op, but this is public API and the
-    restartable shape must be safe too)."""
+    re-delivered epoch is skipped instead of double-appended. Restart
+    safety requires the CALLER to pass a stable ``checkpoint``: epoch
+    ids (and this guard's run_id) are only stable within one checkpoint
+    generation, so a restart that minted a fresh checkpoint could never
+    match a prior run's markers (ADVICE r9 — the guard was dead code
+    for every caller until this parameter existed). The declared-query
+    callers stay one-shot into fresh temp warehouses, where the guard
+    only covers re-delivery within the single run. Marker I/O uses the
+    Hadoop FS API so the guard holds for object-store paths."""
     import os
 
-    ckpt = _tmpdir("stream_pq_ckpt_")
+    ckpt = checkpoint or _tmpdir("stream_pq_ckpt_")
     run_id = os.path.basename(ckpt.rstrip("/"))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        marker = os.path.join(out_path, "_epochs", f"{run_id}-{epoch_id}")
-        if os.path.exists(marker):
+        marker = _epoch_marker_path(out_path, run_id, epoch_id)
+        if _epoch_committed(spark, marker):
             return
         w = batch_df.write.mode("append")
         if partition_by:
             w = w.partitionBy(partition_by)
         w.parquet(out_path)
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        open(marker, "w").close()
+        _commit_epoch(spark, marker)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
@@ -1017,6 +1060,21 @@ def stage_ndjson_landing_with_corruption(spark: SparkSession, sf_dir: str) -> st
     # the plant must be structurally invalid for every possible row,
     # not by fixture luck. With explicit nulls every line starts
     # '{"event_id":...,"user_id":' and always exceeds the cut.
+    # fixture invariant the oracle's equivalence rests on: a NaN/Inf
+    # value would serialize as an unparseable JSON token and dead-letter
+    # on the Spark side only, while the oracle (which replays the plant
+    # on the parquet source) would count the row clean. Assert it here
+    # so a regenerated fixture breaks LOUDLY at staging, not as an
+    # inscrutable hash mismatch (ADVICE r9).
+    n_unserializable = events.where(
+        F.isnan(F.col("value")) | (F.abs(F.col("value")) == float("inf"))
+    ).count()
+    if n_unserializable:
+        raise ValueError(
+            f"events fixture has {n_unserializable} NaN/Inf value rows — "
+            "these cannot round-trip NDJSON and would silently diverge "
+            "from the quarantine oracle"
+        )
     line = F.to_json(
         F.struct("event_id", "user_id", "event_type", "value"),
         {"ignoreNullFields": "false"},
@@ -1079,9 +1137,15 @@ def q_stream_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds |event_type|+1 rows at any scale."""
     landing = stage_ndjson_landing_with_corruption(spark, sf_dir)
     stream = read_json_stream_quarantine(spark, landing)
+    # bucket on the PERMISSIVE parser's own dead-letter signal, not on
+    # event_type nullness: a clean row with a null event_type must
+    # aggregate under its (null) type key exactly as the oracle does,
+    # not get folded into the quarantine bucket (ADVICE r9).
     agg = (
         stream.groupBy(
-            F.coalesce(F.col("event_type"), F.lit("_corrupt")).alias("event_type")
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("_corrupt"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type")
         )
         .agg(
             F.count(F.lit(1)).alias("cnt"),
