@@ -245,3 +245,45 @@ def test_rbo_hand_computed_curve(spark):
     assert rows[0].rbo_at_depth == pytest.approx(0.0, abs=0)
     assert rows[1].rbo_at_depth == pytest.approx(0.09, abs=1e-12)
     assert rows[2].rbo_at_depth == pytest.approx(0.144000027, abs=1e-12)
+
+
+def test_source_overlap_prune_is_lossless_and_single_shuffles_postings(spark):
+    """r9 verdict task 5: the rebuilt source-overlap must (a) drop
+    single-source shingles from pair generation WITHOUT changing any
+    output (they still count toward per-source vocabulary sizes — the
+    jaccard denominators prove it), and (b) shuffle the postings once
+    (groupBy shingle), not three times (the old distinct + self-join)."""
+    from tfl_bikes_data_pipeline_spark.operators.retrieval import source_overlap
+
+    # 3-word docs = exactly one 3-gram shingle per doc.
+    # "u v w" appears ONLY in src_a (single-source: prunable, but it
+    # must still inflate src_a's vocabulary size); "x y z" is shared by
+    # all three; "p q r" by (a, b) only.
+    docs = spark.createDataFrame(
+        [
+            (1, "src_a", "x y z"),
+            (2, "src_a", "u v w"),
+            (3, "src_a", "p q r"),
+            (4, "src_b", "x y z"),
+            (5, "src_b", "p q r"),
+            (6, "src_c", "x y z"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    rows = {
+        (r.source_a, r.source_b): (r.common, r.jaccard)
+        for r in source_overlap(docs).collect()
+    }
+    # sizes: a=3, b=2, c=1. common: (a,b)=2, (a,c)=1, (b,c)=1.
+    assert rows[("src_a", "src_b")] == (2, 2 / (3 + 2 - 2))
+    assert rows[("src_a", "src_c")] == (1, 1 / (3 + 1 - 1))  # u v w counted in |a|
+    assert rows[("src_b", "src_c")] == (1, 1 / (2 + 1 - 1))
+    assert len(rows) == 3
+
+    # plan shape: no join keyed on the shingle column anywhere (the
+    # postings self-join is gone); the only joins left are the two
+    # bounded size-lookup joins on source_a / source_b
+    plan = plan_of(source_overlap(docs))
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert join_lines, plan  # the size lookups are still joins
+    assert all("shingle" not in l for l in join_lines), plan

@@ -274,28 +274,50 @@ def source_overlap(documents: DataFrame, n: int = OVERLAP_SHINGLE) -> DataFrame:
     forensics view: two feeds scraping the same upstream show up as a
     high-overlap pair before any per-document dedup runs.
 
-    Scale shape: distinct (source, shingle) [one shuffle keyed by the
-    pair], self-join keyed by shingle with per-shingle fan-out bounded
-    by |sources|² (sources are a small dimension by construction),
-    then two bounded aggregates. Output ≤ |sources|² rows. The
-    jaccard is one division of exact integers — engine-identical.
+    Scale shape (rebuilt r10 — the r9 self-join shape shuffled the
+    (source, shingle) postings THREE times [distinct + both join
+    sides] and grew 18.1× at a 30× replica): the postings shuffle
+    exactly ONCE, into ``groupBy(shingle).collect_set(source)`` (the
+    per-shingle source set is bounded by |sources|, a small dimension
+    by construction, and map-side partial collect_set dedups like
+    distinct did). Single-source shingles — the vast majority of any
+    diverse corpus's vocabulary — contribute no pairs and are pruned
+    LOSSLESSLY before pair generation (they still count toward the
+    per-source sizes, taken from the same grouped relation). Pair
+    expansion is a narrow per-row combination explode (≤ C(|sources|,2)
+    per shingle), and every exchange after the one postings shuffle
+    carries at most |sources|² grouped rows per task thanks to partial
+    aggregation. Output ≤ |sources|² rows. The jaccard is one division
+    of exact integers — engine-identical.
     """
     grams_expr = (
         f"CASE WHEN size(w) >= {n} THEN "
         f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', slice(w, i + 1, {n}))) "
         f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
-    vocab = (
+    per_shingle = (
         _with_words(documents)
         .select("source", F.explode(F.expr(grams_expr)).alias("shingle"))
-        .distinct()
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
     )
-    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = vocab.select(F.col("source").alias("source_a"), "shingle")
-    b = vocab.select(F.col("source").alias("source_b"), "shingle")
+    sizes = (
+        per_shingle.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    # unordered source pairs per shingle, from the sorted set — the
+    # (a < b) ordering the join's where-clause produced now falls out
+    # of the array_sort for free
+    pairs_expr = (
+        "flatten(transform(srcs, (x, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs)), "
+        "y -> struct(x AS source_a, y AS source_b))))"
+    )
     common = (
-        a.join(b, "shingle")
-        .where(F.col("source_a") < F.col("source_b"))
+        per_shingle.where(F.size("srcs") >= 2)  # lossless prune
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )

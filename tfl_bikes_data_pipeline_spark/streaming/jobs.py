@@ -619,6 +619,7 @@ def run_available_now_to_parquet(
     partition_by: str | None = None,
     drain_partitions: int | None = None,
     checkpoint: str | None = None,
+    output_mode: str = "append",
 ) -> None:
     """Production drain for ROW-LEVEL streams: foreachBatch appends each
     micro-batch to a parquet warehouse path — rows flow executor→disk
@@ -665,7 +666,12 @@ def run_available_now_to_parquet(
     )
     try:
         q = (
-            stream_df.writeStream.foreachBatch(sink)
+            # output_mode must match the stream's stateful operator
+            # declaration (update for applyInPandasWithState update
+            # emissions); the sink itself always parquet-APPENDS each
+            # batch's emitted rows.
+            stream_df.writeStream.outputMode(output_mode)
+            .foreachBatch(sink)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()

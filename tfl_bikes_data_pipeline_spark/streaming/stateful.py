@@ -157,9 +157,52 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stateful_counts_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-sink twin of [[q_stream_stateful_counts]] (r9 verdict
+    task 7, completing the pattern [[q_stream_dedup_warehouse]] proved
+    for the dedup path): the bucketed stateful counter's update-mode
+    emissions drain via foreachBatch into a parquet warehouse
+    (executor-side appends — the driver never holds the emission
+    volume), and the final per-user totals come from a BATCH
+    MAX-per-user over the read-back. The cumulative count is monotone,
+    so max(n_events) across all appended emissions equals the final
+    state — the identical reduction the memory-sink form applies to its
+    drained emissions, and the identical oracle. The emission volume a
+    production sink must absorb here is |seen users| per micro-batch
+    (every bucket re-emits its full dict), which is exactly what
+    tools/stream_state_profile.py --stateful-sinks prices against the
+    memory-sink form."""
+    from .jobs import run_available_now_to_parquet
+
+    landing = stage_landing_dir_split(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_MICRO_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger(landing))
+        .parquet(landing)
+    )
+    counts = cumulative_user_counts_bucketed(stream)
+    out_path = sweep_tmpdir("stream_counts_wh_")
+    run_available_now_to_parquet(
+        counts,
+        spark,
+        out_path,
+        drain_partitions=drain_partitions_for(landing),
+        output_mode="update",
+    )
+    # explicit schema: an empty landing zone drains zero files and a
+    # schema-less read of the empty warehouse cannot infer one
+    back = spark.read.schema(counts.schema).parquet(out_path)
+    return (
+        back.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "q_session_window": q_session_window,
     "q_stream_stateful_counts": q_stream_stateful_counts,
+    "q_stream_stateful_counts_warehouse": q_stream_stateful_counts_warehouse,
 }
 
 ORACLES: dict[str, str] = {
@@ -191,6 +234,11 @@ ORACLES: dict[str, str] = {
         GROUP BY user_id, session_id
     """,
     "q_stream_stateful_counts": """
+        SELECT user_id, count(1)::BIGINT AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    # the warehouse round-trip must change NOTHING about the result
+    "q_stream_stateful_counts_warehouse": """
         SELECT user_id, count(1)::BIGINT AS n_events
         FROM events GROUP BY user_id ORDER BY user_id
     """,

@@ -96,28 +96,29 @@ def time_stream_join(spark: SparkSession, sf_dir: str) -> float:
 
 
 def time_query(spark: SparkSession, sf_dir: str, name: str) -> float:
+    fn = {**jobs.QUERIES, **stateful.QUERIES}[name]
     best = float("inf")
     for _ in range(REPEAT):
         t0 = time.perf_counter()
-        jobs.QUERIES[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)
 
 
-def dedup_sinks_main(m: int) -> None:
-    """Sink-vs-state split: the stream-side-aggregated dedup profile vs
-    its production-parquet-sink twin, 1x and mx events, same session."""
-    spark = get_spark(app_name="stream-dedup-sinks")
+def sink_pair_main(m: int, base_name: str, twin_name: str, tag: str) -> None:
+    """Sink-vs-state split for any (memory-sink form, parquet-warehouse
+    twin) pair at 1x and mx events, same session: their delta isolates
+    what shipping the emission volume through a production sink costs
+    on top of the state-store work both forms share."""
+    spark = get_spark(app_name=f"stream-{tag}-sinks")
     spark.range(1000).count()
-    root = tempfile.mkdtemp(prefix="dedupsink_")
+    root = tempfile.mkdtemp(prefix=f"{tag}sink_")
     xm = os.path.join(root, f"x{m}")
     os.makedirs(xm, exist_ok=True)
     replicate_events(spark, xm, m)
 
     results: dict = {"m": m, "queries": {}}
-    for name in ("q_stream_dedup", "q_stream_dedup_warehouse"):
+    for name in (base_name, twin_name):
         time_query(spark, BASE, name)  # warm-up
         t1 = time_query(spark, BASE, name)
         tm = time_query(spark, xm, name)
@@ -127,15 +128,32 @@ def dedup_sinks_main(m: int) -> None:
             "ratio": round(tm / t1, 2),
         }
         print(f"  {name}: 1x={t1}s {m}x={tm}s", file=sys.stderr)
-    d1 = results["queries"]["q_stream_dedup_warehouse"]["1x"] - results[
-        "queries"
-    ]["q_stream_dedup"]["1x"]
-    dm = results["queries"]["q_stream_dedup_warehouse"][f"{m}x"] - results[
-        "queries"
-    ]["q_stream_dedup"][f"{m}x"]
+    d1 = results["queries"][twin_name]["1x"] - results["queries"][base_name]["1x"]
+    dm = results["queries"][twin_name][f"{m}x"] - results["queries"][base_name][f"{m}x"]
     results["sink_cost_delta"] = {"1x": round(d1, 3), f"{m}x": round(dm, 3)}
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(results))
+
+
+def dedup_sinks_main(m: int) -> None:
+    """Sink-vs-state split: the stream-side-aggregated dedup profile vs
+    its production-parquet-sink twin, 1x and mx events, same session."""
+    sink_pair_main(m, "q_stream_dedup", "q_stream_dedup_warehouse", "dedup")
+
+
+def stateful_sinks_main(m: int) -> None:
+    """Same split for the applyInPandasWithState bucketed counter (r9
+    verdict task 7): its update-mode emission volume is |seen users|
+    per micro-batch — a much heavier sink payload per batch than the
+    dedup path's surviving-row stream, so the parquet-twin delta prices
+    exactly the cost a production deployment pays to persist running
+    state snapshots."""
+    sink_pair_main(
+        m,
+        "q_stream_stateful_counts",
+        "q_stream_stateful_counts_warehouse",
+        "stateful",
+    )
 
 
 def main() -> None:
@@ -180,15 +198,19 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--dedup-sinks" in sys.argv:
+    if "--dedup-sinks" in sys.argv or "--stateful-sinks" in sys.argv:
         import argparse
 
         ap = argparse.ArgumentParser()
         ap.add_argument("--dedup-sinks", action="store_true")
+        ap.add_argument("--stateful-sinks", action="store_true")
         ap.add_argument("--m", type=int, default=100)
         args = ap.parse_args()
         if args.m < 2:
             ap.error("--m must be >= 2 (1x is always measured as the base)")
-        dedup_sinks_main(args.m)
+        if args.dedup_sinks:
+            dedup_sinks_main(args.m)
+        if args.stateful_sinks:
+            stateful_sinks_main(args.m)
     else:
         main()
