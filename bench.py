@@ -73,6 +73,27 @@ def _calibrate(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _calibrate_scan(spark, sf_dir: str) -> float:
+    """Fixed-plan MACRO probe: full lineitem parquet scan + hash
+    aggregate, the dominant work shape of the suite. The 1M-row compute
+    probe and the tiny-job scheduler probe both read 'healthy' across
+    sessions whose SUITE-level throughput differed ~15-50% (r10
+    regression postmortem: byte-identical r8 code re-measured 1.1-1.5×
+    its committed artifact on a host that passed every existing gate),
+    because neither touches the parquet-scan + wide-agg path where the
+    host variance actually lives. This probe does; cross-round readers
+    should divide suite totals by their scan_calib ratio before calling
+    a delta a regression."""
+    t0 = time.perf_counter()
+    (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .count()
+        .collect()
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
 def _calibrate_scheduler(spark, n: int = 20) -> float:
     """Scheduler-latency probe: n TINY jobs timed back-to-back. The
     one-job calibration probe reads compute health but misses
@@ -114,6 +135,7 @@ def main() -> None:
 
     calib_before = _calibrate(spark)
     sched_before = _calibrate_scheduler(spark)
+    scan_before = _calibrate_scan(spark, sf_dir)
     heap_before = _heap_used_mb(spark)
     load_before = os.getloadavg()[0]
 
@@ -136,6 +158,7 @@ def main() -> None:
 
     calib_after = _calibrate(spark)
     sched_after = _calibrate_scheduler(spark)
+    scan_after = _calibrate_scan(spark, sf_dir)
     heap_after = _heap_used_mb(spark)
     load_after = os.getloadavg()[0]
 
@@ -224,6 +247,8 @@ def main() -> None:
                             "calib_after_sec": calib_after,
                             "sched20_before_sec": sched_before,
                             "sched20_after_sec": sched_after,
+                            "scan_calib_before_sec": scan_before,
+                            "scan_calib_after_sec": scan_after,
                             "heap_before_mb": heap_before,
                             "heap_after_mb": heap_after,
                             "load1_before": round(load_before, 2),

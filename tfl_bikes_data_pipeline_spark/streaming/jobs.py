@@ -436,6 +436,79 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+def run_available_now_snapshot(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    table_dir: str,
+    drain_partitions: int | None = None,
+    checkpoint: str | None = None,
+) -> None:
+    """Production drain for COMPLETE-mode aggregates: every micro-batch
+    emits the FULL current result, so the right warehouse shape is a
+    SNAPSHOT table, not an append log — each epoch becomes the next
+    immutable version of the versioned warehouse
+    (:func:`..warehouse.write_versioned`: parquet snapshot + atomic
+    pointer flip), and readers always see exactly one complete,
+    committed result. Idempotent by construction — a re-delivered
+    epoch just writes another identical snapshot and flips the pointer
+    to it, so no ``_epochs`` markers are needed, and a crash mid-write
+    leaves the pointer on the previous complete snapshot (never a
+    half-written table, the failure the plain overwrite-per-epoch
+    drain cannot exclude). Old snapshots are vacuumed down to 2 as the
+    drain goes, bounding disk at ~2 result sizes."""
+    from ..warehouse import vacuum_versions, write_versioned
+
+    ckpt = checkpoint or _tmpdir("stream_snap_ckpt_")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        write_versioned(batch_df, table_dir)
+        vacuum_versions(table_dir, keep=2)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(
+            STREAM_DRAIN_PARTITIONS
+            if drain_partitions is None
+            else drain_partitions
+        ),
+    )
+    try:
+        q = (
+            stream_df.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def q_stream_tumbling_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-sink twin of [[q_stream_tumbling]] (r9 verdict task
+    7): the complete-mode windowed aggregate drains into a VERSIONED
+    snapshot table — each epoch an immutable ``v{N}`` + atomic pointer
+    flip, readers never observe a partial result — and the declared
+    output is the batch read-back of the final committed snapshot.
+    Same oracle as the memory-sink form: the warehouse round-trip must
+    change nothing."""
+    from ..warehouse import current_version, read_versioned
+
+    landing = stage_landing_dir(sf_dir)
+    agg = tumbling_window_counts(read_events_stream(spark, landing))
+    table_dir = _tmpdir("stream_tumbling_snap_")
+    run_available_now_snapshot(
+        agg, spark, table_dir, drain_partitions=drain_partitions_for(landing)
+    )
+    if current_version(table_dir) < 0:
+        # empty landing → zero epochs → unborn table: the declared
+        # relation is the (empty) aggregate schema, not a read error
+        return spark.createDataFrame([], agg.schema)
+    return read_versioned(spark, table_dir).orderBy("window_start", "event_type")
+
+
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = stage_landing_dir(sf_dir)
     agg = sliding_window_counts(read_events_stream(spark, landing))
@@ -532,9 +605,13 @@ ORACLES["q_stream_join"] = """
 
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
+    "q_stream_tumbling_warehouse": q_stream_tumbling_warehouse,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_join": q_stream_join,
 }
+
+# the snapshot round-trip must change NOTHING about the result
+ORACLES["q_stream_tumbling_warehouse"] = ORACLES["q_stream_tumbling"]
 
 
 def stage_landing_dir_with_redelivery(sf_dir: str) -> str:
