@@ -218,9 +218,20 @@ def main() -> None:
                 "of the warm plan; the number that scales with data). The "
                 "stdout line carries the driver-pinned cold subset only "
                 "(2000-char tail-capture budget).\n\n"
-                "Session health — a fixed 1M-row calibration query and a "
-                "20-tiny-job scheduler-latency probe timed before/after the "
-                "sweep, plus driver-heap and host load: if `calib_after` ≫ "
+                "Session health — a fixed 1M-row calibration query, a "
+                "20-tiny-job scheduler-latency probe, and (r10+) a "
+                "fixed-plan lineitem scan+agg macro probe (`scan_calib`), "
+                "each timed before/after the sweep, plus driver-heap and "
+                "host load. Cross-round comparability note: the scan probe "
+                "runs BEFORE the cold pass, so r10+ cold totals are "
+                "measured with the lineitem scan path warmed one extra "
+                "time vs rounds ≤9 (marginal here — the pre-existing "
+                "table-count warm-up already touches every fixture file "
+                "and sf0.1 fits the page cache — but documented so a "
+                "cold-delta reader knows the protocol changed; steady "
+                "numbers are unaffected). Normalize cross-round totals by "
+                "the scan_calib ratio before calling a delta a "
+                "regression. If `calib_after` ≫ "
                 "`calib_before`, artifact-level inflation is session/host "
                 "compute degradation; if `sched20` is inflated while "
                 "`calib` is healthy, many-tiny-job queries (iterative CC, "

@@ -411,31 +411,38 @@ def test_stream_json_quarantine_routes_planted_lines(spark, sf_dir):
     assert sum(r.cnt for r in out.values()) == n_total, "rows lost or duplicated"
 
 
-def test_epoch_marker_guard_is_live_with_stable_checkpoint(spark, sf_dir):
+def test_epoch_marker_guard_is_live_with_stable_checkpoint(
+    spark, sf_dir, monkeypatch
+):
     """ADVICE r9: the epoch idempotency guard was dead code while every
     call minted a fresh checkpoint (run_id never matched a prior run's
     markers). With a caller-supplied stable checkpoint the guard must
     actually skip a pre-committed epoch — proven by planting epoch 0's
     marker up front and observing that batch's rows never land."""
-    import shutil
+    from tfl_bikes_data_pipeline_spark.streaming import jobs
 
-    # multi-file landing (3 copies of the fixture) => multi-epoch drain
+    # pin the trigger policy: the test stages 3 fixture copies and
+    # needs 3 micro-batches regardless of SPARK_GRAFT_STREAM_TARGET_BATCHES
+    monkeypatch.setattr(jobs, "STREAM_TARGET_BATCHES", 3)
+    # multi-file landing (3 copies of the fixture) => multi-epoch drain;
+    # _copy_events_fixture handles both fixture layouts (single file or
+    # directory of part files)
     landing = tempfile.mkdtemp(prefix="stream_guard_landing_")
     for i in range(3):
-        shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events_{i}.parquet")
+        jobs._copy_events_fixture(sf_dir, landing, f"events_{i}.parquet")
     out = tempfile.mkdtemp(prefix="stream_guard_wh_")
     ckpt = tempfile.mkdtemp(prefix="stream_guard_ckpt_")
-    run_id = os.path.basename(ckpt.rstrip("/"))
+    run_id = jobs._marker_run_id(ckpt)
     os.makedirs(os.path.join(out, "_epochs"), exist_ok=True)
     open(os.path.join(out, "_epochs", f"{run_id}-0"), "w").close()
 
     stream_events_to_warehouse(spark, sf_dir, out, checkpoint=ckpt, landing=landing)
 
-    n_single = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_total = spark.read.parquet(landing).count()
     ym_dirs = [p for p in os.listdir(out) if p.startswith("ym=")]
     landed = spark.read.parquet(out).count() if ym_dirs else 0
-    assert 0 < landed < 3 * n_single, (
-        f"epoch-0 skip not visible: landed={landed}, single-file={n_single}"
+    assert 0 < landed < n_total, (
+        f"epoch-0 skip not visible: landed={landed}, staged={n_total}"
     )
     # the later epochs of the SAME run committed markers next to ours
     markers = os.listdir(os.path.join(out, "_epochs"))
@@ -449,13 +456,26 @@ def test_epoch_marker_guard_restart_appends_nothing(spark, sf_dir):
     """Restart with the SAME checkpoint and landing zone must not
     duplicate rows: the source offsets are already committed, and any
     re-delivered epoch hits its marker."""
-    import shutil
+    from tfl_bikes_data_pipeline_spark.streaming import jobs
 
     landing = tempfile.mkdtemp(prefix="stream_restart_landing_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
+    jobs._copy_events_fixture(sf_dir, landing, "events.parquet")
     out = tempfile.mkdtemp(prefix="stream_restart_wh_")
     ckpt = tempfile.mkdtemp(prefix="stream_restart_ckpt_")
     stream_events_to_warehouse(spark, sf_dir, out, checkpoint=ckpt, landing=landing)
     n1 = spark.read.parquet(out).count()
     stream_events_to_warehouse(spark, sf_dir, out, checkpoint=ckpt, landing=landing)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_marker_run_id_distinguishes_same_basename_checkpoints():
+    """r10 review: two jobs with checkpoints .../events/ckpt and
+    .../dedup/ckpt sharing one warehouse must NOT share a marker
+    namespace (the old basename-derived run_id made them skip each
+    other's epochs)."""
+    from tfl_bikes_data_pipeline_spark.streaming.jobs import _marker_run_id
+
+    a = _marker_run_id("/srv/ckpts/events/ckpt")
+    b = _marker_run_id("/srv/ckpts/dedup/ckpt")
+    assert a != b
+    assert _marker_run_id("/srv/ckpts/events/ckpt/") == a  # slash-insensitive

@@ -332,6 +332,21 @@ def _epoch_marker_path(out_path: str, run_id: str, epoch_id: int) -> str:
     return f"{out_path.rstrip('/')}/_epochs/{run_id}-{epoch_id}"
 
 
+def _marker_run_id(checkpoint: str) -> str:
+    """Marker namespace for one checkpoint GENERATION: a hash of the
+    FULL checkpoint path. The basename alone collides — two jobs with
+    checkpoints .../events/ckpt and .../dedup/ckpt appending to the
+    same warehouse would share run_id 'ckpt' and silently skip each
+    other's epochs (r10 review finding). Epoch ids are only stable
+    within one checkpoint generation, so a caller who WIPES a
+    checkpoint dir but reuses its path must also clear the warehouse's
+    ``_epochs/`` namespace (wiping the checkpoint already forfeits the
+    source offsets, so the warehouse needs reconciliation anyway)."""
+    import hashlib
+
+    return hashlib.sha256(checkpoint.rstrip("/").encode()).hexdigest()[:12]
+
+
 def _epoch_committed(spark: SparkSession, marker: str) -> bool:
     """Marker existence via the Hadoop FS API — works for any warehouse
     scheme, not just local paths (ADVICE r9: driver-local os.path checks
@@ -388,7 +403,7 @@ def stream_events_to_warehouse(
     # markers are scoped to the checkpoint generation: epoch ids are
     # only stable WITHIN one checkpoint, so a fresh query (new ckpt)
     # must not collide with a previous generation's epoch 0.
-    run_id = os.path.basename(ckpt.rstrip("/"))
+    run_id = _marker_run_id(ckpt)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         marker = _epoch_marker_path(out_path, run_id, epoch_id)
@@ -454,15 +469,32 @@ def run_available_now_snapshot(
     to it, so no ``_epochs`` markers are needed, and a crash mid-write
     leaves the pointer on the previous complete snapshot (never a
     half-written table, the failure the plain overwrite-per-epoch
-    drain cannot exclude). Old snapshots are vacuumed down to 2 as the
-    drain goes, bounding disk at ~2 result sizes."""
+    drain cannot exclude).
+
+    Scope limits (r10 review): the versioned-warehouse helpers are
+    driver-local-filesystem implementations (``os.listdir`` /
+    ``os.replace`` pointer flips), so a URI ``table_dir`` is rejected
+    up front instead of silently writing the pointer to a bogus local
+    path — porting the pointer flip to the Hadoop FS create-and-rename
+    API is what an object-store deployment needs. Vacuuming runs ONCE
+    after the drain completes (keep=2), not per epoch: a per-epoch
+    vacuum gave concurrent readers a retention window of only ~2
+    micro-batch intervals before their resolved snapshot was deleted
+    under them. Disk during the drain is bounded by result size ×
+    epochs — small by definition for the complete-mode aggregates this
+    sink exists for."""
     from ..warehouse import vacuum_versions, write_versioned
 
+    if "://" in table_dir:
+        raise ValueError(
+            f"run_available_now_snapshot: versioned snapshot tables are "
+            f"local-filesystem only (got {table_dir!r}); the pointer flip "
+            "uses os.replace — see the docstring's scope note"
+        )
     ckpt = checkpoint or _tmpdir("stream_snap_ckpt_")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         write_versioned(batch_df, table_dir)
-        vacuum_versions(table_dir, keep=2)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
@@ -484,6 +516,7 @@ def run_available_now_snapshot(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    vacuum_versions(table_dir, keep=2)
 
 
 def q_stream_tumbling_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,7 +753,7 @@ def run_available_now_to_parquet(
     import os
 
     ckpt = checkpoint or _tmpdir("stream_pq_ckpt_")
-    run_id = os.path.basename(ckpt.rstrip("/"))
+    run_id = _marker_run_id(ckpt)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         marker = _epoch_marker_path(out_path, run_id, epoch_id)
