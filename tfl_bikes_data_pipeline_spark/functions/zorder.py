@@ -93,17 +93,19 @@ def z_column(df: DataFrame, col_a: str, col_b: str, bits: int = Z_BITS):
     )
 
 
-#: bits interleaved per dimension in ``rank="raw"`` mode. 20 bits
-#: covers key domains to ~1M per dimension (lineitem partkey reaches
-#: 200k·SF — sf5 fits); the z-value spans 2·bits = 40 bits, well
-#: inside BIGINT. Larger domains must pre-shift to their TOP bits
+#: bits interleaved per dimension in ``rank="raw"`` mode. 24 bits
+#: covers key domains to ~16.7M per dimension (lineitem partkey
+#: reaches 200k·SF — sf83 fits; the r10 100× databound sweep's 2M-part
+#: fixture tripped the old 20-bit guard, which is exactly the loud
+#: failure the guard exists for); the z-value spans 2·bits = 48 bits,
+#: well inside BIGINT. Larger domains must pre-shift to their TOP bits
 #: (z-order needs only enough resolution to separate files, not to
 #: order every row uniquely) — and silently truncating the HIGH bits
 #: would quietly destroy the locality the layout exists for, so
 #: :func:`zorder_expr` carries a hard assert_true guard: a key outside
 #: [0, 2^bits) fails the job with a message instead of producing a
 #: degenerate layout.
-ZORDER_BITS = 20
+ZORDER_BITS = 24
 
 
 def zorder_expr(colx: str, coly: str, bits: int = ZORDER_BITS) -> Column:
@@ -114,26 +116,32 @@ def zorder_expr(colx: str, coly: str, bits: int = ZORDER_BITS) -> Column:
     (the oracle builds the identical sum). Exact and oracle-hashable,
     but skew-blind: a zipfian key concentrates the curve (use
     ``rank="quantile"`` / :func:`z_column` for equal-mass buckets)."""
+    # operate on BIGINT regardless of the column's physical width: an
+    # INT key column would overflow shiftleft past bit 31 (hit by the
+    # r10 100× sweep, whose generated keys are 32-bit) — shiftleft
+    # returns its input's type, so the cast must be INSIDE the terms.
+    x, y = f"CAST({colx} AS BIGINT)", f"CAST({coly} AS BIGINT)"
     guard = (
-        f"coalesce(assert_true({colx} >= 0 and {colx} < {1 << bits} "
-        f"and {coly} >= 0 and {coly} < {1 << bits}, "
+        f"coalesce(assert_true({x} >= 0 and {x} < {1 << bits} "
+        f"and {y} >= 0 and {y} < {1 << bits}, "
         f"'zorder: key outside [0, 2^{bits}) — pre-shift large domains "
         f"to their top bits'), 0)"
     )
     terms = [guard]
     for i in range(bits):
-        terms.append(f"(shiftleft(shiftright({colx}, {i}) & 1, {2 * i}))")
-        terms.append(f"(shiftleft(shiftright({coly}, {i}) & 1, {2 * i + 1}))")
+        terms.append(f"(shiftleft(shiftright({x}, {i}) & 1, {2 * i}))")
+        terms.append(f"(shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1}))")
     return F.expr(" + ".join(terms))
 
 
 def zorder_sql(colx: str, coly: str, bits: int = ZORDER_BITS) -> str:
     """The DuckDB mirror of :func:`zorder_expr` — same bit arithmetic,
-    same term order."""
+    same term order, same BIGINT widening."""
+    x, y = f"CAST({colx} AS BIGINT)", f"CAST({coly} AS BIGINT)"
     terms = []
     for i in range(bits):
-        terms.append(f"((({colx} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({coly} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
     return " + ".join(terms)
 
 

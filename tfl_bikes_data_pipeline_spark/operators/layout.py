@@ -50,9 +50,12 @@ def write_zordered(
     _write_zordered(df, path, colx, coly, n_files, bits=bits, rank="raw")
 
 
-#: z-bucket granularity for the declared query: top SHIFT bits of the
-#: z-value form the bucket (a 2^(SHIFT/2) × 2^(SHIFT/2) grid cell).
-ZBUCKET_SHIFT = 24
+#: z-bucket granularity for the declared query: dropping the low SHIFT
+#: bits of the 2·ZORDER_BITS-bit z-value leaves a 16-bit bucket grid
+#: (256 × 256 cells), the same granularity at any ZORDER_BITS — the
+#: r10 bits widening (20 → 24) moved the shift with it so the bucket
+#: relation's cardinality didn't 256× under the reader's feet.
+ZBUCKET_SHIFT = 2 * ZORDER_BITS - 16
 
 
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
