@@ -594,6 +594,46 @@ def banded_hamming_pairs(
     )
 
 
+def banded_bucket_profile(
+    hashes: DataFrame, hash_col: str, bits: int, bands: int, top: int = 20
+) -> DataFrame:
+    """(band_id, band_key, n_docs, pair_bound) — the ``top`` heaviest
+    band buckets of a banded-hamming index, with the exact candidate
+    budget each implies (n·(n−1)/2). The PRE-FLIGHT for any banded
+    pair join: the join's cost is the sum of per-bucket pair bounds,
+    so a handful of hot buckets IS the early warning that the pair
+    listing will be output-explosive (the r10 100× databound sweep
+    found exactly that shape — a zipf text corpus aliases byte-cell
+    aHashes into hot buckets whose pair volume runs to billions; a
+    profile like this costs one linear pass and tells the operator
+    BEFORE the join does). One aggregation over the same banding
+    expression the join itself uses (so the profile can never drift
+    from the join), then a bounded top-k — TakeOrderedAndProject, no
+    full sort."""
+    width = bits // bands
+    banded = hashes.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(hash_col), b * width)
+                    .bitwiseAND(2**width - 1)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    return (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "pair_bound",
+            (F.col("n_docs") * (F.col("n_docs") - 1) / F.lit(2)).cast("long"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("band_id"), F.asc("band_key"))
+        .limit(top)
+    )
+
+
 def simhash_pairs(
     hashes: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
 ) -> DataFrame:

@@ -525,6 +525,53 @@ ORACLES["q_multimodal_phash_pairs"] = f"""
 QUERIES["q_multimodal_phash_pairs"] = q_multimodal_phash_pairs
 
 
+#: top-N band buckets the profile reports
+BUCKET_PROFILE_TOP = 20
+
+
+def q_ahash_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight for [[q_multimodal_phash_pairs]]: the heaviest band
+    buckets of the aHash banded index with their exact pair budgets
+    (n·(n−1)/2 per bucket). A banded pair join's cost IS the sum of
+    these bounds, so this one linear pass is how an operator decides
+    whether the pair listing is safe to run — the r10 100× sweep hit a
+    corpus whose hot buckets implied billions of candidates, and the
+    profile would have said so up front for the cost of a scan."""
+    from .dedup import banded_bucket_profile
+
+    documents = load_table(spark, sf_dir, "documents")
+    hashes = ahash(attach_payload(documents))
+    return banded_bucket_profile(
+        hashes, "ahash", 64, AHASH_BANDS, BUCKET_PROFILE_TOP
+    )
+
+
+ORACLES["q_ahash_bucket_profile"] = f"""
+    WITH payloads AS (
+        SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS blen
+        FROM documents WHERE text IS NOT NULL
+    ),
+    means AS (
+        SELECT doc_id, hx, blen,
+               ({_AHASH_SUM}) / {AHASH_CELLS}.0 AS cell_mean
+        FROM payloads
+    ),
+    hashes AS (
+        SELECT doc_id, ({_AHASH_BITS})::BIGINT AS ahash FROM means
+    ),
+    bands AS (
+        SELECT b.band_id, (ahash >> (b.band_id * 8)) & 255 AS band_key
+        FROM hashes,
+             (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) b(band_id)
+    )
+    SELECT band_id, band_key, count(1)::BIGINT AS n_docs,
+           (count(1) * (count(1) - 1) // 2)::BIGINT AS pair_bound
+    FROM bands GROUP BY band_id, band_key
+    ORDER BY n_docs DESC, band_id, band_key LIMIT {BUCKET_PROFILE_TOP}
+"""
+QUERIES["q_ahash_bucket_profile"] = q_ahash_bucket_profile
+
+
 def q_multimodal_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-collapse-then-near-dup for the binary modality — the
     image-side mirror of the text curation pipeline's discipline
