@@ -475,3 +475,46 @@ def test_topk_salt_invariance_corpus_scale(spark, salt):
     ]
     assert len(got) == 8 * 25
     assert got == want
+
+
+def test_distributed_ranks_equal_window_functions(spark, sf_dir):
+    """The scale-out rank path (range exchange + offset pass) must be
+    row-identical to the window-function form it replaced in
+    q_ntile_window — ntile bucket boundaries, percent_rank and
+    cume_dist ratios, all of it (r10: the windowed form funnels each
+    group through one task; this pin keeps the semantics while the
+    plan scales out)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.functions.ranks import distribution_ranks
+    from tfl_bikes_data_pipeline_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    windowed = events.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+    scaled = distribution_ranks(
+        events, "event_type", ["value", "event_id"], 4
+    ).select(
+        "event_id",
+        "event_type",
+        F.col("bucket").cast("int").alias("quartile"),
+        "pct_rank",
+        "cume",
+    )
+    # collect-and-compare, NOT exceptAll: Spark marks mapInPandas
+    # non-deterministic, and set-op planning over a non-deterministic
+    # source re-evaluates the subtree inconsistently between branches
+    key = ["event_type", "event_id"]
+    w_rows = [tuple(r) for r in windowed.orderBy(*key).collect()]
+    s_rows = [tuple(r) for r in scaled.orderBy(*key).collect()]
+    assert len(w_rows) == len(s_rows) > 0
+    for wr, sr in zip(w_rows, s_rows):
+        assert wr[:3] == sr[:3], (wr, sr)  # ids + ntile bucket exact
+        assert abs(wr[3] - sr[3]) < 1e-12 and abs(wr[4] - sr[4]) < 1e-12, (wr, sr)

@@ -599,15 +599,29 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_ntile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank family with the SCALE-OUT plan (r10): the
+    natural ``Window.partitionBy(event_type)`` funnels each of the 5
+    type groups through ONE task — 20 TB per task at the 100 TB
+    posture (the 100× sweep measured the windowed form at 22.7s/10M
+    rows on exactly that shape). ``functions.ranks`` computes the
+    identical exact ranks with one range exchange + an Arrow-batched
+    offset pass, parallelism independent of the group cardinality;
+    the window-function form is pinned equal in
+    tests/test_properties.py so the semantics cannot drift."""
+    from ..functions.ranks import distribution_ranks
+
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return events.select(
-        "event_id",
-        "event_type",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-    ).orderBy("event_type", "event_id")
+    return (
+        distribution_ranks(events, "event_type", ["value", "event_id"], 4)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("bucket").cast("int").alias("quartile"),
+            "pct_rank",
+            "cume",
+        )
+        .orderBy("event_type", "event_id")
+    )
 
 
 # ---------------------------------------------------------------------------
