@@ -68,13 +68,26 @@ def ranked_by_group(
     )
     # metadata pass: #partitions × #keys rows — driver-bounded by
     # construction (the partition count and the key cardinality, never
-    # the data volume)
-    pid_counts = (
+    # the data volume). Guarded: this recipe exists for LOW-cardinality
+    # keys (where the plain window is the pathology); a high-cardinality
+    # key must fail loudly here, BEFORE the collect, not OOM the driver
+    # — and the caller should just use Window.partitionBy, which is
+    # already scale-correct when groups are small.
+    grouped = (
         d.select(F.spark_partition_id().alias("pid"), part_col)
         .groupBy("pid", part_col)
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
     )
+    n_cells = grouped.count()
+    if n_cells > 2_000_000:
+        raise ValueError(
+            f"ranked_by_group: {n_cells} (partition, {part_col}) cells — "
+            "this distributed-rank recipe is for low-cardinality group "
+            "keys; a high-cardinality key is exactly the case where "
+            "Window.partitionBy already scales (small groups, no "
+            "single-task funnel)"
+        )
+    pid_counts = grouped.collect()
     per_key: dict = defaultdict(list)
     for r in pid_counts:
         per_key[r[part_col]].append((r["pid"], r["n"]))
@@ -126,7 +139,11 @@ def ranked_by_group(
 def _totals_expr(part_col: str, totals: dict) -> Column:
     """Per-key group size as a LITERAL map expression — #keys is small
     by the caller's contract, so no join (not even a broadcast one) is
-    needed to attach N."""
+    needed to attach N. Empty input → a typed NULL (an argless
+    create_map() is map<void,void> and fails analysis against a real
+    key column; there are no rows for the value to matter anyway)."""
+    if not totals:
+        return F.lit(None).cast("long")
     pairs: list[Column] = []
     for key, n in totals.items():
         pairs.append(F.lit(key))
