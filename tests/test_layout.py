@@ -114,12 +114,42 @@ def test_zorder_query_buckets_are_boxes(spark, sf_dir):
     BOTH dimensions: the bucket's (max-min) extent in each column is at
     most the grid-cell width implied by the bucket shift — the locality
     property that makes the curve useful for skipping."""
+    from tfl_bikes_data_pipeline_spark.operators.layout import ZBUCKET_SHIFT
+
     rows = q_zorder_layout(spark, sf_dir).collect()
     assert rows, "fixture lineitem should produce at least one bucket"
-    # the bucket fixes every interleaved bit from position 24 up, so
-    # each dimension is free only in its low 12 bits inside one bucket
-    # -> per-dimension extent < 2^12
-    cell = 1 << 12
+    # the bucket fixes every interleaved bit from position ZBUCKET_SHIFT
+    # up, so each dimension is free only in its low SHIFT/2 bits inside
+    # one bucket — derive the bound from the constant, never hardcode it
+    # (the r10 24-bit widening moved the shift and a hardcoded 2^12
+    # silently stopped testing the invariant; r10 review finding)
+    cell = 1 << (ZBUCKET_SHIFT // 2)
     for r in rows:
         assert r.max_supp - r.min_supp < cell, r
         assert r.max_part - r.min_part < cell, r
+
+    # the fixture's key domains are far smaller than one grid cell, so
+    # the assertion above is satisfied degenerately there; exercise the
+    # box invariant for real on a synthetic pair spanning the full
+    # 24-bit domain (multiple buckets, extents near the cell width)
+    import pyspark.sql.functions as F
+
+    from tfl_bikes_data_pipeline_spark.functions.zorder import zorder_expr
+
+    wide = spark.range(20_000).select(
+        (F.abs(F.hash(F.col("id"), F.lit("zx"))) % (1 << 24)).alias("x"),
+        (F.abs(F.hash(F.col("id"), F.lit("zy"))) % (1 << 24)).alias("y"),
+    )
+    boxes = (
+        wide.withColumn("z", zorder_expr("x", "y"))
+        .groupBy(F.expr(f"shiftright(z, {ZBUCKET_SHIFT})").alias("b"))
+        .agg(
+            F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+        )
+        .collect()
+    )
+    assert len(boxes) > 8, "wide domain must split into many buckets"
+    for r in boxes:
+        assert r.max_x - r.min_x < cell, r
+        assert r.max_y - r.min_y < cell, r

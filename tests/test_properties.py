@@ -518,3 +518,44 @@ def test_distributed_ranks_equal_window_functions(spark, sf_dir):
     for wr, sr in zip(w_rows, s_rows):
         assert wr[:3] == sr[:3], (wr, sr)  # ids + ntile bucket exact
         assert abs(wr[3] - sr[3]) < 1e-12 and abs(wr[4] - sr[4]) < 1e-12, (wr, sr)
+
+
+def test_distributed_ranks_handle_null_group_key(spark):
+    """r10 review: a NULL group key crashed the literal-map lookup
+    (NULL_MAP_KEY) and pandas' default dropna silently emitted NULL
+    ranks — while the window form ranks the NULL group like any other.
+    Pin window parity on a null-bearing frame."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.functions.ranks import distribution_ranks
+
+    df = spark.range(300).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 2).cast("string")))
+        .alias("event_type"),
+        (F.col("id") * 37 % 101).cast("double").alias("value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    windowed = df.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+    scaled = distribution_ranks(df, "event_type", ["value", "event_id"], 4).select(
+        "event_id",
+        "event_type",
+        F.col("bucket").cast("int").alias("quartile"),
+        "pct_rank",
+        "cume",
+    )
+    key = ["event_id"]
+    w_rows = [tuple(r) for r in windowed.orderBy(*key).collect()]
+    s_rows = [tuple(r) for r in scaled.orderBy(*key).collect()]
+    assert len(w_rows) == len(s_rows) == 300
+    for wr, sr in zip(w_rows, s_rows):
+        assert wr[:3] == sr[:3], (wr, sr)
+        assert abs(wr[3] - sr[3]) < 1e-12 and abs(wr[4] - sr[4]) < 1e-12, (wr, sr)

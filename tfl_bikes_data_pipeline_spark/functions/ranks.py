@@ -46,6 +46,28 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: driver-collect ceiling on (partition, key) metadata cells, and the
+#: literal-map ceiling on distinct keys (a create_map with ~1M literal
+#: children is a driver-side analysis blowup even when the cell count
+#: passes — r10 review finding).
+_MAX_CELLS = 2_000_000
+_MAX_KEYS = 10_000
+
+#: persisted relations/broadcasts of the CURRENT rank computation —
+#: released at the next ranked_by_group call (the dedup module's
+#: _retain discipline): repeated invocations in one long session must
+#: not accumulate MEMORY_AND_DISK copies of the sorted input
+#: (r10 review finding).
+_RETAINED: list[DataFrame] = []
+_RETAINED_BROADCASTS: list = []
+
+
+def release_rank_relations() -> None:
+    while _RETAINED:
+        _RETAINED.pop().unpersist()
+    while _RETAINED_BROADCASTS:
+        _RETAINED_BROADCASTS.pop().destroy()
+
 
 def ranked_by_group(
     df: DataFrame, part_col: str, order_cols: list[str], num_partitions: int | None = None
@@ -53,10 +75,17 @@ def ranked_by_group(
     """(df + ``rn`` column, {key: group row count}) — exact 1-based row
     number of every row within its ``part_col`` group under
     ``order_cols``, distributed per the module recipe. ``order_cols``
-    must end in a unique tie-break for deterministic ranks. The
-    returned frame is UNPERSISTED lazily by Spark's LRU; callers that
-    chain further passes may re-persist."""
+    must end in a unique tie-break for deterministic ranks. A NULL
+    group key is ranked like any other group (window-form parity).
+
+    Eagerness note: construction runs the range exchange + the
+    metadata aggregation as real Spark jobs BEFORE any action on the
+    returned frame (the offsets must exist to build the plan), so
+    plan-only tooling pays that cost at build time. The persisted
+    sorted relation and the offsets broadcast are released at the
+    NEXT call (release_rank_relations) — one retained copy maximum."""
     spark = df.sparkSession
+    release_rank_relations()
     n_parts = num_partitions or max(
         df.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
     )
@@ -66,31 +95,39 @@ def ranked_by_group(
         .sortWithinPartitions(part_col, *order_cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _RETAINED.append(d)
     # metadata pass: #partitions × #keys rows — driver-bounded by
     # construction (the partition count and the key cardinality, never
     # the data volume). Guarded: this recipe exists for LOW-cardinality
     # keys (where the plain window is the pathology); a high-cardinality
-    # key must fail loudly here, BEFORE the collect, not OOM the driver
-    # — and the caller should just use Window.partitionBy, which is
-    # already scale-correct when groups are small.
-    grouped = (
+    # key must fail loudly, not OOM the driver — and the caller should
+    # just use Window.partitionBy, which is already scale-correct when
+    # groups are small. ONE bounded job: limit(cap+1) + collect (a
+    # separate count() would run the identical aggregation twice).
+    pid_counts = (
         d.select(F.spark_partition_id().alias("pid"), part_col)
         .groupBy("pid", part_col)
         .agg(F.count(F.lit(1)).alias("n"))
+        .limit(_MAX_CELLS + 1)
+        .collect()
     )
-    n_cells = grouped.count()
-    if n_cells > 2_000_000:
+    if len(pid_counts) > _MAX_CELLS:
         raise ValueError(
-            f"ranked_by_group: {n_cells} (partition, {part_col}) cells — "
-            "this distributed-rank recipe is for low-cardinality group "
-            "keys; a high-cardinality key is exactly the case where "
-            "Window.partitionBy already scales (small groups, no "
-            "single-task funnel)"
+            f"ranked_by_group: more than {_MAX_CELLS} (partition, "
+            f"{part_col}) cells — this distributed-rank recipe is for "
+            "low-cardinality group keys; a high-cardinality key is "
+            "exactly the case where Window.partitionBy already scales "
+            "(small groups, no single-task funnel)"
         )
-    pid_counts = grouped.collect()
     per_key: dict = defaultdict(list)
     for r in pid_counts:
         per_key[r[part_col]].append((r["pid"], r["n"]))
+    if len(per_key) > _MAX_KEYS:
+        raise ValueError(
+            f"ranked_by_group: {len(per_key)} distinct {part_col} keys — "
+            f"the literal per-key-N map caps at {_MAX_KEYS} entries; use "
+            "Window.partitionBy for high-cardinality keys"
+        )
     offsets: dict = {}
     totals: dict = {}
     for key, lst in per_key.items():
@@ -101,6 +138,7 @@ def ranked_by_group(
             acc += n
         totals[key] = acc
     bc = spark.sparkContext.broadcast(offsets)
+    _RETAINED_BROADCASTS.append(bc)
 
     # fresh StructType: StructType.add MUTATES the receiver, and
     # d.schema is the live schema object of d itself
@@ -119,18 +157,30 @@ def ranked_by_group(
             if len(pdf) == 0:
                 continue
             # vectorized local rank: rows arrive key-sorted, so per-key
-            # cumcount + the running start carried across batches is rn
-            local = pdf.groupby(part_col, sort=False).cumcount() + 1
-            starts = []
-            for key, n in pdf[part_col].value_counts(sort=False).items():
+            # cumcount + the running start carried across batches is rn.
+            # dropna=False everywhere: a NULL group key is a real group
+            # (the window form ranks it; pandas drops NaN groups by
+            # default and would emit NULL ranks — r10 review finding).
+            local = (
+                pdf.groupby(part_col, sort=False, dropna=False).cumcount() + 1
+            )
+            counts = pdf[part_col].value_counts(sort=False, dropna=False)
+            starts = {}
+            for key_raw, n in counts.items():
+                key = None if pd.isna(key_raw) else key_raw
                 base = seen.get(key)
                 if base is None:
                     base = bc.value.get((pid, key), 0)
-                starts.append((key, base))
+                starts[key] = base
                 seen[key] = base + int(n)
-            base_map = dict(starts)
+            # fast dict-map for real keys; pandas treats None/NaN as
+            # missing (no dict lookup), so the NULL group's base is
+            # patched in with a vectorized where
+            bases = pdf[part_col].map(starts)
+            if None in starts:
+                bases = bases.where(pdf[part_col].notna(), starts[None])
             out = pdf.copy()
-            out["rn"] = local.values + pdf[part_col].map(base_map).values
+            out["rn"] = local.values + bases.astype("int64").values
             yield out
 
     return d.mapInPandas(op, schema=out_schema), totals
@@ -138,17 +188,25 @@ def ranked_by_group(
 
 def _totals_expr(part_col: str, totals: dict) -> Column:
     """Per-key group size as a LITERAL map expression — #keys is small
-    by the caller's contract, so no join (not even a broadcast one) is
-    needed to attach N. Empty input → a typed NULL (an argless
-    create_map() is map<void,void> and fails analysis against a real
-    key column; there are no rows for the value to matter anyway)."""
-    if not totals:
-        return F.lit(None).cast("long")
-    pairs: list[Column] = []
-    for key, n in totals.items():
-        pairs.append(F.lit(key))
-        pairs.append(F.lit(n))
-    return F.create_map(*pairs)[F.col(part_col)]
+    by the guarded contract, so no join (not even a broadcast one) is
+    needed to attach N. A NULL key cannot live in a map, so its total
+    rides a separate isNull branch (the window form ranks the NULL
+    group; so must this path — r10 review finding). Empty input → a
+    typed NULL (an argless create_map() is map<void,void> and fails
+    analysis against a real key column)."""
+    null_total = totals.get(None)
+    nonnull = {k: n for k, n in totals.items() if k is not None}
+    if not nonnull:
+        mapped = F.lit(None).cast("long")
+    else:
+        pairs: list[Column] = []
+        for key, n in nonnull.items():
+            pairs.append(F.lit(key))
+            pairs.append(F.lit(n))
+        mapped = F.create_map(*pairs)[F.col(part_col)]
+    if null_total is None:
+        return mapped
+    return F.when(F.col(part_col).isNull(), F.lit(null_total)).otherwise(mapped)
 
 
 def distribution_ranks(

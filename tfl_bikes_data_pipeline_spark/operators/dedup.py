@@ -552,6 +552,25 @@ SIMHASH_BANDS = 4  # pigeonhole: hamming ≤ bands-1 ⇒ ≥1 band identical
 SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 1
 
 
+def _band_key_cols(hash_col: str, bits: int, bands: int) -> list:
+    """The ONE banding expression (posexplode of per-band unsigned-
+    shift-and-mask keys) shared by the pair join AND its pre-flight
+    bucket profile — extracted so the profile can never silently price
+    a different banding than the join runs (r10 review finding)."""
+    width = bits // bands
+    return [
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(hash_col), b * width)
+                    .bitwiseAND(2**width - 1)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_key")
+    ]
+
+
 def banded_hamming_pairs(
     hashes: DataFrame, hash_col: str, bits: int, bands: int, max_hamming: int
 ) -> DataFrame:
@@ -566,19 +585,8 @@ def banded_hamming_pairs(
     returns the signed value, and % follows the sign in Spark while the
     oracles' ``(h >> k) & mask`` is always the unsigned low bits —
     bitwiseAND matches them for every band and every hash width."""
-    width = bits // bands
     banded = hashes.select(
-        "doc_id",
-        hash_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col(hash_col), b * width)
-                    .bitwiseAND(2**width - 1)
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_key"),
+        "doc_id", hash_col, *_band_key_cols(hash_col, bits, bands)
     )
     x, y = banded.alias("x"), banded.alias("y")
     return (
@@ -610,18 +618,7 @@ def banded_bucket_profile(
     expression the join itself uses (so the profile can never drift
     from the join), then a bounded top-k — TakeOrderedAndProject, no
     full sort."""
-    width = bits // bands
-    banded = hashes.select(
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col(hash_col), b * width)
-                    .bitwiseAND(2**width - 1)
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_key"),
-    )
+    banded = hashes.select(*_band_key_cols(hash_col, bits, bands))
     return (
         banded.groupBy("band_id", "band_key")
         .agg(F.count(F.lit(1)).alias("n_docs"))
