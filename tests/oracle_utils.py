@@ -82,7 +82,19 @@ def assert_matches_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str, na
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
-        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+        # Driver-faithful dtype parity: the driver's value hash renders
+        # 1 != 1.0, so a DuckDB float64 paired with a Spark int/decimal
+        # column is a FUTURE red driver row even though values coerce
+        # equal here (exactly how r10's q_sessionize/q_cms_join_estimate
+        # shipped green locally). Fail loudly instead of coercing.
+        g_float = pd.api.types.is_float_dtype(g)
+        w_float = pd.api.types.is_float_dtype(w)
+        assert g_float == w_float, (
+            f"{name}: col {c} dtype parity: spark={g.dtype} vs oracle={w.dtype} "
+            "— driver hash treats 1 != 1.0; pin BOTH sides to one type "
+            "(CAST ... AS BIGINT, or decimal→string→double house style)"
+        )
+        if g_float or w_float:
             ga = g.astype(float).to_numpy()
             wa = w.astype(float).to_numpy()
             both_nan = np.isnan(ga) & np.isnan(wa)

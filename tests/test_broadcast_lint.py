@@ -204,6 +204,26 @@ def test_planted_bnlj_violation_fires(spark, sf_dir):
     assert len(v) == 1 and "orders" in v[0], v
 
 
+def test_planted_bnlj_bound_filter_above_aggregate_fires(spark, sf_dir):
+    """ADVICE r10: a bound-LOOKING FilterExec (``cnt#L < 1000``) sitting
+    ABOVE a grouped aggregate bounds an attribute's range, not the
+    subtree's row count — the physical walk must apply the same
+    sits-on-leaf discipline as the logical walk instead of silencing
+    the whole SF-grown subtree."""
+    from tfl_bikes_data_pipeline_spark.lint import bnlj_policy_violations
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") < 1000)  # range bound, NOT a row bound
+    )
+    df = customer.join(F.broadcast(per_cust), customer.c_acctbal < per_cust.cnt)
+    v = bnlj_policy_violations(df)
+    assert len(v) == 1 and "orders" in v[0], v
+
+
 def test_bounded_bnlj_passes(spark, sf_dir):
     """The sanctioned BNLJ shape — a bounded-build scalar/centroid merge
     (global aggregate or literal-bound build side) — stays clean."""

@@ -136,9 +136,12 @@ def test_zorder_query_buckets_are_boxes(spark, sf_dir):
 
     from tfl_bikes_data_pipeline_spark.functions.zorder import zorder_expr
 
+    # pmod, not abs-then-%: abs(Integer.MIN_VALUE) stays negative in
+    # Spark, and a negative key would trip zorder_expr's domain guard on
+    # an unlucky hash (r10 advisor finding)
     wide = spark.range(20_000).select(
-        (F.abs(F.hash(F.col("id"), F.lit("zx"))) % (1 << 24)).alias("x"),
-        (F.abs(F.hash(F.col("id"), F.lit("zy"))) % (1 << 24)).alias("y"),
+        F.pmod(F.hash(F.col("id"), F.lit("zx")), F.lit(1 << 24)).alias("x"),
+        F.pmod(F.hash(F.col("id"), F.lit("zy")), F.lit(1 << 24)).alias("y"),
     )
     boxes = (
         wide.withColumn("z", zorder_expr("x", "y"))

@@ -87,6 +87,24 @@ def test_all_queries_return_rows(spark, sf_dir):
         assert df.columns, name
 
 
+def test_gate_rejects_int_vs_float_dtype_mismatch(spark, con):
+    # driver-faithfulness canary (r10 verdict task 2): the driver's value
+    # hash renders 1 != 1.0, so the local gate must FAIL a value-equal
+    # int-vs-float pairing instead of coercing — this exact laxness is
+    # how r10's two red rows shipped green locally.
+    df = spark.sql("SELECT CAST(1 AS BIGINT) AS x")
+    with pytest.raises(AssertionError, match="dtype parity"):
+        assert_matches_oracle(df, con, "SELECT 1.0::DOUBLE AS x", "planted")
+    # and the matched-type twins still pass
+    assert_matches_oracle(df, con, "SELECT 1::BIGINT AS x", "planted_int")
+    assert_matches_oracle(
+        spark.sql("SELECT CAST(1.5 AS DOUBLE) AS x"),
+        con,
+        "SELECT 1.5::DOUBLE AS x",
+        "planted_float",
+    )
+
+
 def test_every_query_is_value_checked():
     # every registered query carries a value-level check in
     # this gate — a hash oracle or a bounded-error oracle, never both.

@@ -559,3 +559,53 @@ def test_distributed_ranks_handle_null_group_key(spark):
     for wr, sr in zip(w_rows, s_rows):
         assert wr[:3] == sr[:3], (wr, sr)
         assert abs(wr[3] - sr[3]) < 1e-12 and abs(wr[4] - sr[4]) < 1e-12, (wr, sr)
+
+
+def test_distributed_ranks_survive_interleaved_construction(spark):
+    """ADVICE r10: the old module-global released-on-next-call
+    discipline destroyed the FIRST frame's offsets broadcast when a
+    second rank frame was built before the first was evaluated — an
+    A/B comparison pattern. Lifecycle is now per-frame (unpersist-only,
+    never destroy), so both frames must evaluate correctly in either
+    order, and so must a frame evaluated again after explicit release."""
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.functions.ranks import (
+        distribution_ranks,
+        release_rank_relations,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("event_type"),
+        (F.col("id") * 37 % 101).cast("double").alias("value"),
+    )
+    a = distribution_ranks(df, "event_type", ["value", "event_id"], 4)
+    b = distribution_ranks(df, "event_type", ["value", "event_id"], 2)
+    # evaluate the FIRST frame after the second was constructed
+    a_rows = a.orderBy("event_id").collect()
+    b_rows = b.orderBy("event_id").collect()
+    assert len(a_rows) == len(b_rows) == 200
+    assert {r.bucket for r in a_rows} == {1, 2, 3, 4}
+    assert {r.bucket for r in b_rows} == {1, 2}
+    # explicit release never bricks a frame — it re-evaluates (with a
+    # recomputed range exchange) instead of raising on a dead broadcast
+    release_rank_relations()
+    assert len(a.orderBy("event_id").collect()) == 200
+
+
+def test_distributed_ranks_reject_float_group_key(spark):
+    """ADVICE r10: pandas folds a NaN float key into the NULL group
+    while Spark ranks NaN as a distinct non-null value — float keys
+    must fail loudly instead of silently diverging from window parity."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.functions.ranks import ranked_by_group
+
+    df = spark.range(10).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).cast("double").alias("key_f"),
+    )
+    with pytest.raises(ValueError, match="floating-point group keys"):
+        ranked_by_group(df, "key_f", ["event_id"])

@@ -53,39 +53,89 @@ from pyspark.sql import functions as F
 _MAX_CELLS = 2_000_000
 _MAX_KEYS = 10_000
 
-#: persisted relations/broadcasts of the CURRENT rank computation —
-#: released at the next ranked_by_group call (the dedup module's
-#: _retain discipline): repeated invocations in one long session must
-#: not accumulate MEMORY_AND_DISK copies of the sorted input
-#: (r10 review finding).
-_RETAINED: list[DataFrame] = []
-_RETAINED_BROADCASTS: list = []
+class RankResources:
+    """Pins the persisted sorted relation + offsets broadcast backing
+    ONE ranked frame (lifecycle tied to the frame, not to module-global
+    call order — ADVICE r10: the old released-on-next-call discipline
+    destroyed the broadcast under interleaved construction, so a frame
+    built before another call failed at evaluation). ``release()`` is
+    idempotent and SAFE: it unpersists (never ``destroy()``s), so an
+    already-built frame stays evaluable afterwards — the only cost is a
+    silent recompute of its range exchange if it is acted on again."""
+
+    def __init__(self, relation: DataFrame, broadcast) -> None:
+        self._relation = relation
+        self._broadcast = broadcast
+        self.released = False
+
+    def release(self) -> None:
+        if self.released:
+            return
+        self.released = True
+        self._relation.unpersist()
+        # executor copies only: the mapInPandas closure holds the
+        # broadcast object, so a later evaluation re-ships the value
+        # instead of raising on a destroyed broadcast.
+        self._broadcast.unpersist(False)
+
+    def __enter__(self) -> "RankResources":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+#: live (unreleased) rank computations, oldest first. Bounded eviction
+#: keeps long sessions from accumulating MEMORY_AND_DISK copies of the
+#: sorted input (r10 review finding) without breaking interleaved
+#: frames: eviction releases, and release never destroys.
+_LIVE: list[RankResources] = []
+_MAX_LIVE = 4
 
 
 def release_rank_relations() -> None:
-    while _RETAINED:
-        _RETAINED.pop().unpersist()
-    while _RETAINED_BROADCASTS:
-        _RETAINED_BROADCASTS.pop().destroy()
+    """Release ALL live rank computations (explicit global cleanup for
+    tests / session teardown). Safe: released frames remain evaluable,
+    they just recompute their range exchange."""
+    while _LIVE:
+        _LIVE.pop().release()
 
 
 def ranked_by_group(
     df: DataFrame, part_col: str, order_cols: list[str], num_partitions: int | None = None
-) -> tuple[DataFrame, dict]:
-    """(df + ``rn`` column, {key: group row count}) — exact 1-based row
-    number of every row within its ``part_col`` group under
-    ``order_cols``, distributed per the module recipe. ``order_cols``
-    must end in a unique tie-break for deterministic ranks. A NULL
-    group key is ranked like any other group (window-form parity).
+) -> tuple[DataFrame, dict, RankResources]:
+    """(df + ``rn`` column, {key: group row count}, resources handle) —
+    exact 1-based row number of every row within its ``part_col`` group
+    under ``order_cols``, distributed per the module recipe.
+    ``order_cols`` must end in a unique tie-break for deterministic
+    ranks. A NULL group key is ranked like any other group (window-form
+    parity). ``part_col`` must NOT be a floating-point column: pandas
+    ``dropna=False`` folds NaN into the NULL group while Spark's
+    window/groupBy ranks NaN as a distinct non-null value, so float-key
+    parity would silently break on NaN (ADVICE r10) — guarded loudly.
 
     Eagerness note: construction runs the range exchange + the
     metadata aggregation as real Spark jobs BEFORE any action on the
     returned frame (the offsets must exist to build the plan), so
     plan-only tooling pays that cost at build time. The persisted
-    sorted relation and the offsets broadcast are released at the
-    NEXT call (release_rank_relations) — one retained copy maximum."""
+    sorted relation + offsets broadcast belong to the returned handle;
+    they auto-evict (oldest first, unpersist-only — always safe) once
+    more than ``_MAX_LIVE`` computations are live, or sooner via
+    ``handle.release()`` / ``release_rank_relations()``."""
     spark = df.sparkSession
-    release_rank_relations()
+    from pyspark.sql import types as T
+
+    key_type = df.schema[part_col].dataType
+    if isinstance(key_type, (T.FloatType, T.DoubleType)):
+        raise ValueError(
+            f"ranked_by_group: {part_col} is {key_type.simpleString()} — "
+            "floating-point group keys are unsupported (pandas folds NaN "
+            "into the NULL group while Spark ranks NaN as a distinct "
+            "value); cast the key to string/decimal or use "
+            "Window.partitionBy"
+        )
+    while len(_LIVE) >= _MAX_LIVE:
+        _LIVE.pop(0).release()
     n_parts = num_partitions or max(
         df.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
     )
@@ -95,7 +145,6 @@ def ranked_by_group(
         .sortWithinPartitions(part_col, *order_cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _RETAINED.append(d)
     # metadata pass: #partitions × #keys rows — driver-bounded by
     # construction (the partition count and the key cardinality, never
     # the data volume). Guarded: this recipe exists for LOW-cardinality
@@ -138,7 +187,8 @@ def ranked_by_group(
             acc += n
         totals[key] = acc
     bc = spark.sparkContext.broadcast(offsets)
-    _RETAINED_BROADCASTS.append(bc)
+    resources = RankResources(d, bc)
+    _LIVE.append(resources)
 
     # fresh StructType: StructType.add MUTATES the receiver, and
     # d.schema is the live schema object of d itself
@@ -183,7 +233,7 @@ def ranked_by_group(
             out["rn"] = local.values + bases.astype("int64").values
             yield out
 
-    return d.mapInPandas(op, schema=out_schema), totals
+    return d.mapInPandas(op, schema=out_schema), totals, resources
 
 
 def _totals_expr(part_col: str, totals: dict) -> Column:
@@ -216,7 +266,7 @@ def distribution_ranks(
     ``cume``) with EXACT SQL window semantics (ntile / percent_rank /
     cume_dist over ``partition by part_col order by order_cols``),
     computed scale-out per the module recipe."""
-    ranked, totals = ranked_by_group(df, part_col, order_cols)
+    ranked, totals, _resources = ranked_by_group(df, part_col, order_cols)
     n = F.lit(n_buckets)
     N = _totals_expr(part_col, totals)
     s = (N / n).cast("long")  # base bucket size (floor)

@@ -119,7 +119,7 @@ _NARROW_CHAIN_NODES = (
 )
 
 
-def _filter_sits_on_leaf(node) -> bool:
+def _filter_sits_on_leaf(node, narrow_nodes: tuple = _NARROW_CHAIN_NODES) -> bool:
     """True iff the subtree under a bound Filter is a single-child
     chain of narrow nodes ending at a leaf. A literal bound declared
     ABOVE a join/aggregate/union bounds only one attribute's range,
@@ -134,7 +134,7 @@ def _filter_sits_on_leaf(node) -> bool:
         if len(kids) != 1:
             return False  # join/union below the filter: bound voided
         cur = kids[0]
-        if _children(cur) and cur.getClass().getSimpleName() not in _NARROW_CHAIN_NODES:
+        if _children(cur) and cur.getClass().getSimpleName() not in narrow_nodes:
             return False  # wide/unknown intermediate node
 
 
@@ -226,6 +226,20 @@ _PHYS_LIMIT_NODES = (
 )
 _PHYS_AGG_NODES = ("HashAggregateExec", "SortAggregateExec", "ObjectHashAggregateExec")
 
+#: physical counterparts of _NARROW_CHAIN_NODES: row-wise, cardinality-
+#: preserving-or-shrinking, single-child shapes that may sit between a
+#: bound FilterExec and the leaf scan it bounds. (The pre-AQE sparkPlan
+#: carries no Exchange/WholeStageCodegen wrappers.) Anything unknown
+#: voids the bound — the recursion then relies on the scan's own pushed
+#: dataFilters, the common case.
+_PHYS_NARROW_CHAIN_NODES = (
+    "ProjectExec",
+    "FilterExec",
+    "SortExec",
+    "CoalesceExec",
+    "ColumnarToRowExec",
+)
+
 
 def _phys_leaf_tables(node) -> set:
     """SF-grown tables scanned by a physical leaf, unless the scan
@@ -248,8 +262,18 @@ def _phys_unbounded_sf_tables(node) -> set:
         return set()
     if name in _PHYS_AGG_NODES and node.groupingExpressions().isEmpty():
         return set()  # global (partial or final) aggregate → one row
-    if name == "FilterExec" and _is_bound_filter(node.condition().toString()):
-        return set()  # post-optimization the bound filter sits on the scan
+    if (
+        name == "FilterExec"
+        and _is_bound_filter(node.condition().toString())
+        and _filter_sits_on_leaf(node, _PHYS_NARROW_CHAIN_NODES)
+    ):
+        # same sits-on-leaf discipline as the logical walk (ADVICE r10):
+        # a bound-looking FilterExec ABOVE a join/aggregate bounds an
+        # attribute's range, not the subtree's row count. The common
+        # pushed-down case is already honored via _phys_leaf_tables'
+        # dataFilters; this branch only covers a residual FilterExec
+        # sitting in a narrow chain directly over its scan.
+        return set()
     kids = _children(node)
     if not kids:
         return _phys_leaf_tables(node)

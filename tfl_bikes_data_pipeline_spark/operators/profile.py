@@ -828,10 +828,19 @@ def q_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey")).agg(
         F.count(F.lit(1)).alias("exact_join_n")
     )
+    # Final rendering: internal math stays DECIMAL(38,0) (overflow-proof
+    # at 100 TB), but the OUTPUT columns go decimal→string→double (house
+    # style, see operators/timeseries.py total_value): DuckDB ships
+    # DECIMAL(38,0)/HUGEINT to pandas as float64 while Spark returns
+    # decimal objects — value-equal but hash-unstable (r10 red row).
+    # Exact as long as the estimate fits 2^53 (far beyond sf1).
     return est.join(exact).select(
-        "cms_join_est",
+        F.col("cms_join_est").cast("string").cast("double").alias("cms_join_est"),
         "exact_join_n",
-        (F.col("cms_join_est") - F.col("exact_join_n")).alias("overestimate"),
+        (F.col("cms_join_est") - F.col("exact_join_n"))
+        .cast("string")
+        .cast("double")
+        .alias("overestimate"),
     )
 
 
@@ -860,8 +869,12 @@ ORACLES["q_cms_join_estimate"] = f"""
         SELECT count(1)::BIGINT AS exact_join_n
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     )
-    SELECT cms_join_est, exact_join_n,
-           (cms_join_est - exact_join_n)::DECIMAL(38,0) AS overestimate
+    -- decimal→VARCHAR→DOUBLE mirrors the Spark side's final rendering
+    -- (hash-stable across engines; exact below 2^53)
+    SELECT CAST(CAST(cms_join_est AS VARCHAR) AS DOUBLE) AS cms_join_est,
+           exact_join_n,
+           CAST(CAST((cms_join_est - exact_join_n)::DECIMAL(38,0) AS VARCHAR) AS DOUBLE)
+               AS overestimate
     FROM est, exact
 """
 

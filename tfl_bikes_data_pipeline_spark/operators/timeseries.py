@@ -426,12 +426,15 @@ ORACLES["q_sessionize"] = f"""
     ),
     sessed AS (
         SELECT user_id, es, value,
-               sum(is_new) OVER (
+               -- CAST: DuckDB types a window sum of integers HUGEINT,
+               -- which pandas renders float64 while Spark's running sum
+               -- is long — value-equal but hash-unstable (r10 red row).
+               CAST(sum(is_new) OVER (
                    -- order by RAW ts (not the truncated es): sub-second
                    -- ordering must match the Spark window exactly
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_id
+               ) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, count(1)::BIGINT AS n_events,

@@ -127,62 +127,51 @@ BENCH_QUERIES[:] = list(dict.fromkeys([*BENCH_QUERIES, *QUERIES]))
 
 
 #: Registry HEAD — the driver pins the FIRST ~50 entries of
-#: ``queries()`` each round. Rounds 8-9 drove the analyst/TPC-H head,
-#: the §2.13 pipeline builders, and the dedup/ANN/text/retrieval/
-#: streaming slice to driver-green, leaving 85 registry queries that
-#: have NEVER appeared in a CORRECTNESS artifact (r9 verdict task 1:
-#: multimodal, profile/sketch, merge/SCD/CDC, sampling, graph,
-#: timeseries, training-assembly, roundtrips, and the remaining
-#: q_stream_* variants). This list ROTATES the head to exactly the 83
-#: of those 85 that carry full hash oracles (the two q_approx_*
-#: sketches are bound-oracle by design and stay behind); everything
-#: else keeps registration order behind it. Every name here must carry
-#: a full hash oracle (test_registry_contract enforces it for whatever
+#: ``queries()`` each round. Rounds 8-10 drove everything else to
+#: driver-green; this r11 rotation is the CLOSING one: positions 1-2
+#: re-pin the two r10 red rows (value-equal type-rendering gaps, fixed
+#: at the oracle/output-cast level this round — they must re-appear
+#: green), positions 3-38 are the final 36 hash-oracled queries that
+#: have NEVER appeared in a CORRECTNESS artifact (roundtrip/spatial
+#: sources first per r10 verdict task 7 — their correctness previously
+#: rested solely on the pre-r11, laxer local gate), and the tail
+#: backfills with the 14 §2.13 reference queries (oldest driver rows,
+#: r8). After this lands, cumulative driver coverage is 202/204 —
+#: everything except the two bound-oracle ``q_approx_*`` sketches,
+#: which are hash-unpinnable by design. Every name here must carry a
+#: full hash oracle (test_registry_contract enforces it for whatever
 #: the driver actually pins).
 REGISTRY_HEAD: tuple[str, ...] = (
-    # profile / sketch / data-quality surface
-    "q_profile_nulls", "q_minmax_bounds", "q_stats_moments",
-    "q_winsorized_means", "q_drift_psi", "q_bloom_filter_probe",
-    "q_cms_counts", "q_cms_join_estimate", "q_dq_audit",
-    "q_table_stats", "q_mad_outliers", "q_quality_model",
-    "q_source_overlap",
-    # merge / SCD / CDC warehouse maintenance
-    "q_merge_upsert", "q_incremental_agg", "q_snapshot_diff",
-    "q_latest_snapshot", "q_scd2_history", "q_scd2_point_lookup",
-    "q_cdc_chunks",
-    # sampling / training-set assembly
-    "q_sample_hash", "q_sample_stratified", "q_split_assign",
-    "q_mixture_sample", "q_mixture_plan", "q_pack_sequences",
-    "q_sample_weighted", "q_training_examples", "q_curation_pipeline",
-    "q_source_caps", "q_budget_select", "q_adaptive_filter",
-    # timeseries / sessionization
-    "q_asof_join", "q_range_join", "q_gap_fill", "q_histogram",
-    "q_ts_similarity", "q_sessionize", "q_ewma", "q_anomaly_zscore",
-    "q_rolling_actives",
-    # graph + layout + fuzzy
-    "q_graph_degrees", "q_graph_triangles", "q_zorder_layout",
-    "q_fuzzy_pairs", "q_entity_resolution",
-    # multimodal (never driver-pinned; aHash/decode paths)
-    "q_multimodal_meta", "q_multimodal_framesample",
-    "q_multimodal_phash_pairs", "q_multimodal_dedup_canonical",
+    # 1) the two r10 reds, re-pinned first (r10 verdict task 4)
+    "q_cms_join_estimate", "q_sessionize",
+    # 2) source-format roundtrips + spatial/netCDF (reference S6-S9)
+    "q_csv_roundtrip", "q_orc_roundtrip", "q_json_roundtrip",
+    "q_xlsx_roundtrip", "q_xml_stations", "q_netcdf_weather",
+    "q_spatial_nearest",
+    # 3) multimodal decode/profile tail
     "q_image_stats", "q_audio_stats", "q_image_resize",
     "q_audio_resample", "q_media_decode_quarantine",
-    # text long tail
+    "q_ahash_bucket_profile",
+    # 4) text long tail
     "q_token_count", "q_pii_scrub", "q_text_bigram_quality",
     "q_text_repetition", "q_text_chunks", "q_corpus_report",
     "q_text_boilerplate", "q_textrank_keywords", "q_bpe_merges",
     "q_vocab_growth",
-    # embedding long tail
+    # 5) embedding long tail + skew
     "q_dedup_hyperplane_lsh", "q_knn_classify_ivf",
-    "q_embed_pca_project",
-    # source formats / roundtrips
-    "q_csv_roundtrip", "q_orc_roundtrip", "q_json_roundtrip",
-    "q_spatial_nearest", "q_netcdf_weather", "q_xlsx_roundtrip",
-    "q_xml_stations", "q_skew_salted_join",
-    # streaming variants never driver-drained
+    "q_embed_pca_project", "q_skew_salted_join",
+    # 6) streaming variants never driver-drained
     "q_stream_sliding", "q_stream_join", "q_stream_dedup_warehouse",
     "q_stream_dedup_watermark", "q_stream_static_join",
     "q_stream_checkpoint_resume", "q_stream_json_quarantine",
+    "q_stream_tumbling_warehouse", "q_stream_stateful_counts_warehouse",
+    # 7) §2.13 backfill to ~50 (already driver-green in r8; if the
+    #    driver pins exactly 50, the overflow drops from THIS group)
+    "q_topk_count", "q_topk_join_count", "q_filter_hour_topk",
+    "q_group_by_hour", "q_moving_avg", "q_case_bucket_count",
+    "q_bucket_by_location", "q_join_cte_inner", "q_star_view",
+    "p_dim_time", "p_fact_build", "p_weather_align",
+    "p_weather_ids", "p_incremental_append",
 )
 
 
