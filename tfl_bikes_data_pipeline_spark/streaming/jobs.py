@@ -643,7 +643,11 @@ QUERIES = {
     "q_stream_join": q_stream_join,
 }
 
-# the snapshot round-trip must change NOTHING about the result
+# SHARED-ORACLE PIN: the snapshot round-trip must change NOTHING about
+# the result, so the twins deliberately reference ONE oracle string —
+# an edit to q_stream_tumbling's oracle applies to BOTH twins by
+# construction. If the twins' semantics ever diverge, give each its own
+# string; do not edit the shared one for a single twin.
 ORACLES["q_stream_tumbling_warehouse"] = ORACLES["q_stream_tumbling"]
 
 
@@ -829,8 +833,11 @@ def q_stream_dedup_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# identical single-delivery profile contract as q_stream_dedup — the
-# warehouse round-trip must change NOTHING about the result.
+# SHARED-ORACLE PIN: identical single-delivery profile contract as
+# q_stream_dedup — the warehouse round-trip must change NOTHING about
+# the result, so an edit to q_stream_dedup's oracle applies to BOTH
+# twins by construction. If the twins' semantics ever diverge, give
+# each its own string; do not edit the shared one for a single twin.
 ORACLES["q_stream_dedup_warehouse"] = ORACLES["q_stream_dedup"]
 QUERIES["q_stream_dedup_warehouse"] = q_stream_dedup_warehouse
 

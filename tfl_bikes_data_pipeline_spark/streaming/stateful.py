@@ -237,7 +237,9 @@ ORACLES: dict[str, str] = {
         SELECT user_id, count(1)::BIGINT AS n_events
         FROM events GROUP BY user_id ORDER BY user_id
     """,
-    # the warehouse round-trip must change NOTHING about the result
+    # TWIN-ORACLE PIN: byte-identical to q_stream_stateful_counts above
+    # — the warehouse round-trip must change NOTHING about the result.
+    # Edit the two strings TOGETHER or split their semantics explicitly.
     "q_stream_stateful_counts_warehouse": """
         SELECT user_id, count(1)::BIGINT AS n_events
         FROM events GROUP BY user_id ORDER BY user_id
