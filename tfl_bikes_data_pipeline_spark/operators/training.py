@@ -1112,3 +1112,118 @@ def _dsir_oracle() -> str:
 ORACLES["q_dsir_weights"] = _dsir_oracle()
 QUERIES["q_dsir_weights"] = q_dsir_weights
 BENCH.append("q_dsir_weights")
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split: near-dup clusters never straddle a split boundary
+# ---------------------------------------------------------------------------
+
+def leakproof_split_audit(documents: DataFrame, cc: DataFrame) -> DataFrame:
+    """(split, n_docs, n_clusters, total_chars, naive_leaky_clusters) —
+    train/val/test assignment keyed on the near-dup CLUSTER id instead
+    of the document id, so every near-duplicate copy of a document
+    lands on the same side of the split. The ``naive_leaky_clusters``
+    column counts how many clusters the doc-id-keyed rule
+    (:func:`split_assign`, the naive baseline) would have split across
+    ≥2 partitions — the train→test contamination a cluster-keyed split
+    exists to prevent (the eval-leakage twin of
+    :func:`decontaminate`'s benchmark overlap audit).
+
+    Scale shape: ONE corpus-wide shuffle — the per-cluster aggregate on
+    ``cluster_id`` (docs ⟕ the tiny CC label relation is
+    broadcast-able at real dup rates; singletons coalesce to their own
+    id, no second pass). Everything after is cluster-cardinality-sized:
+    the safe split is a hash of the cluster id on the AGGREGATED
+    relation, and both output aggregates (per-split rollup + the
+    one-row leak count) reduce the same post-shuffle relation. At
+    100 TB the fact scan dominates; no all-pairs, no window."""
+    clustered = (
+        documents.select("doc_id", "n_chars")
+        .join(cc, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    naive = split_assign(clustered, "doc_id").withColumnRenamed(
+        "split", "naive_split"
+    )
+    per_cluster = naive.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("naive_split").alias("n_naive_splits"),
+    )
+    safe = split_assign(per_cluster, "cluster_id")
+    per_split = safe.groupBy("split").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("total_chars").alias("total_chars"),
+    )
+    leaky = safe.agg(
+        F.sum((F.col("n_naive_splits") > 1).cast("long")).alias(
+            "naive_leaky_clusters"
+        )
+    )
+    # one-row global aggregate: broadcast-legal by the lint's own rule
+    return (
+        per_split.crossJoin(F.broadcast(leaky))
+        .select(
+            "split", "n_docs", "n_clusters", "total_chars",
+            "naive_leaky_clusters",
+        )
+        .orderBy("split")
+    )
+
+
+def q_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split audit over the MinHash-LSH near-dup clusters
+    — the assignment table a pretraining run reads INSTEAD of
+    [[q_split_assign]] once dedup has found cross-copy structure."""
+    from .dedup import _lsh_pairs_unordered, connected_components
+
+    documents = load_table(spark, sf_dir, "documents")
+    cc = connected_components(_lsh_pairs_unordered(spark, sf_dir))
+    return leakproof_split_audit(documents, cc)
+
+
+from .dedup import ORACLES as _DEDUP_ORACLES  # noqa: E402 - oracle fragment
+
+_SPLIT_CASE_TMPL = f"""CASE WHEN substr(md5({{k}}::VARCHAR), 1, 2) < '{SPLIT_TRAIN_HEX}' THEN 'train'
+                    WHEN substr(md5({{k}}::VARCHAR), 1, 2) < '{SPLIT_VAL_HEX}' THEN 'val'
+                    ELSE 'test' END"""
+# d.doc_id: full_docs joins two relations that both carry doc_id
+_SPLIT_CASE_DOC = _SPLIT_CASE_TMPL.format(k="d.doc_id")
+_SPLIT_CASE_CLUSTER = _SPLIT_CASE_TMPL.format(k="cluster_id")
+
+# the recursive-CTE cluster body is the clusters oracle minus its
+# presentation ORDER BY (same splice as q_dedup_canonical)
+ORACLES["q_split_leakproof"] = f"""
+    WITH cc AS ({_DEDUP_ORACLES["q_dedup_clusters"].rsplit("ORDER BY", 1)[0]}),
+    full_docs AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+               d.n_chars,
+               {_SPLIT_CASE_DOC} AS naive_split
+        FROM documents d LEFT JOIN cc c ON c.doc_id = d.doc_id
+    ),
+    per_cluster AS (
+        SELECT cluster_id, count(1)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS total_chars,
+               count(DISTINCT naive_split)::BIGINT AS n_naive_splits
+        FROM full_docs GROUP BY cluster_id
+    ),
+    safe AS (
+        SELECT *, {_SPLIT_CASE_CLUSTER} AS split FROM per_cluster
+    ),
+    leaky AS (
+        SELECT sum((n_naive_splits > 1)::INT)::BIGINT AS naive_leaky_clusters
+        FROM safe
+    ),
+    per_split AS (
+        SELECT split, sum(n_docs)::BIGINT AS n_docs,
+               count(1)::BIGINT AS n_clusters,
+               sum(total_chars)::BIGINT AS total_chars
+        FROM safe GROUP BY split
+    )
+    SELECT split, n_docs, n_clusters, total_chars, naive_leaky_clusters
+    FROM per_split, leaky ORDER BY split
+"""
+
+QUERIES["q_split_leakproof"] = q_split_leakproof
+BENCH.append("q_split_leakproof")
