@@ -177,3 +177,63 @@ def test_dsir_ranks_target_like_docs_first(spark):
         r.doc_id for r in dsir_select(docs, keep_n=3).collect()
     ]
     assert 11 not in top3
+
+
+def test_leakproof_split_keeps_clusters_whole(spark):
+    """Planted graph: two multi-doc near-dup clusters plus singletons.
+    The cluster-keyed split must put every member of a cluster in ONE
+    split (zero straddle by construction), and the naive-leak audit
+    must count exactly the clusters whose members' doc-id hashes land
+    in different splits — hand-derivable from split_assign's md5 rule."""
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.operators.dedup import connected_components
+    from tfl_bikes_data_pipeline_spark.operators.training import (
+        leakproof_split_audit,
+        split_assign,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 100 + i) for i in range(20)], "doc_id LONG, n_chars LONG"
+    )
+    # clusters: {0,1,2} and {10,11}; the rest are singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc_a LONG, doc_b LONG"
+    )
+    cc = connected_components(pairs)
+    out = {r.split: r for r in leakproof_split_audit(docs, cc).collect()}
+
+    # exhaustive + conserved: every doc and every char lands somewhere
+    assert sum(r.n_docs for r in out.values()) == 20
+    assert sum(r.total_chars for r in out.values()) == sum(100 + i for i in range(20))
+    # 17 clusters total: 2 multi-doc + 15 singletons
+    assert sum(r.n_clusters for r in out.values()) == 17
+
+    # hand-derive the naive leak count from the SAME md5 rule
+    naive = {
+        r.doc_id: r.split
+        for r in split_assign(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    expected_leaky = sum(
+        1
+        for cluster in ({0, 1, 2}, {10, 11})
+        if len({naive[d] for d in cluster}) > 1
+    )
+    leak_counts = {r.naive_leaky_clusters for r in out.values()}
+    assert leak_counts == {expected_leaky}, (leak_counts, expected_leaky)
+
+    # the safe rule itself can never straddle: all members of a cluster
+    # share the cluster-id hash, so their split is literally the same
+    # function value — pin it end-to-end anyway on the member relation
+    clustered = (
+        docs.join(cc, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    safe_members = split_assign(clustered, "cluster_id")
+    straddle = (
+        safe_members.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert straddle == 0
