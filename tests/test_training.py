@@ -196,9 +196,13 @@ def test_leakproof_split_keeps_clusters_whole(spark):
     docs = spark.createDataFrame(
         [(i, 100 + i) for i in range(20)], "doc_id LONG, n_chars LONG"
     )
-    # clusters: {0,1,2} and {10,11}; the rest are singletons
+    # clusters: {2,3} and {10,11}; the rest are singletons. Doc 3 is the
+    # only id in 0..19 whose md5 prefix ('ec') leaves 'train', so {2,3}
+    # STRADDLES train/val under the naive rule — the leak counter must
+    # read 1, not 0 (review r11: the first version planted clusters that
+    # all hashed into 'train', making the leak assertion vacuous).
     pairs = spark.createDataFrame(
-        [(0, 1), (1, 2), (10, 11)], "doc_a LONG, doc_b LONG"
+        [(2, 3), (10, 11)], "doc_a LONG, doc_b LONG"
     )
     cc = connected_components(pairs)
     out = {r.split: r for r in leakproof_split_audit(docs, cc).collect()}
@@ -206,8 +210,8 @@ def test_leakproof_split_keeps_clusters_whole(spark):
     # exhaustive + conserved: every doc and every char lands somewhere
     assert sum(r.n_docs for r in out.values()) == 20
     assert sum(r.total_chars for r in out.values()) == sum(100 + i for i in range(20))
-    # 17 clusters total: 2 multi-doc + 15 singletons
-    assert sum(r.n_clusters for r in out.values()) == 17
+    # 18 clusters total: 2 multi-doc + 16 singletons
+    assert sum(r.n_clusters for r in out.values()) == 18
 
     # hand-derive the naive leak count from the SAME md5 rule
     naive = {
@@ -216,20 +220,20 @@ def test_leakproof_split_keeps_clusters_whole(spark):
     }
     expected_leaky = sum(
         1
-        for cluster in ({0, 1, 2}, {10, 11})
+        for cluster in ({2, 3}, {10, 11})
         if len({naive[d] for d in cluster}) > 1
     )
+    # non-vacuity: the planted geometry must actually exercise a leak
+    assert expected_leaky == 1, naive
     leak_counts = {r.naive_leaky_clusters for r in out.values()}
     assert leak_counts == {expected_leaky}, (leak_counts, expected_leaky)
 
     # the safe rule itself can never straddle: all members of a cluster
     # share the cluster-id hash, so their split is literally the same
     # function value — pin it end-to-end anyway on the member relation
-    clustered = (
-        docs.join(cc, "doc_id", "left")
-        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
-    )
-    safe_members = split_assign(clustered, "cluster_id")
+    from tfl_bikes_data_pipeline_spark.operators.dedup import docs_with_clusters
+
+    safe_members = split_assign(docs_with_clusters(docs, cc), "cluster_id")
     straddle = (
         safe_members.groupBy("cluster_id")
         .agg(F.count_distinct("split").alias("n"))

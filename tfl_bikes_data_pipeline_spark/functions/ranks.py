@@ -45,6 +45,7 @@ import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: driver-collect ceiling on (partition, key) metadata cells, and the
 #: literal-map ceiling on distinct keys (a create_map with ~1M literal
@@ -59,24 +60,36 @@ class RankResources:
     call order — ADVICE r10: the old released-on-next-call discipline
     destroyed the broadcast under interleaved construction, so a frame
     built before another call failed at evaluation). ``release()`` is
-    idempotent and SAFE: it unpersists (never ``destroy()``s), so an
-    already-built frame stays evaluable afterwards — the only cost is a
-    silent recompute of its range exchange if it is acted on again."""
+    idempotent and SAFE by default: it unpersists (``destroy=True`` is
+    the opt-in hard teardown), so an already-built frame stays
+    evaluable afterwards — the only cost is a silent recompute of its
+    range exchange if it is acted on again."""
 
     def __init__(self, relation: DataFrame, broadcast) -> None:
         self._relation = relation
         self._broadcast = broadcast
         self.released = False
 
-    def release(self) -> None:
+    def release(self, destroy: bool = False) -> None:
         if self.released:
             return
         self.released = True
         self._relation.unpersist()
-        # executor copies only: the mapInPandas closure holds the
-        # broadcast object, so a later evaluation re-ships the value
-        # instead of raising on a destroyed broadcast.
-        self._broadcast.unpersist(False)
+        if destroy:
+            # hard teardown: reclaims the driver-side block and pickle
+            # file NOW; the frame must never be evaluated again.
+            self._broadcast.destroy()
+        else:
+            # executor copies only: the mapInPandas closure holds the
+            # broadcast object, so a later evaluation re-ships the value
+            # instead of raising on a destroyed broadcast.
+            self._broadcast.unpersist(False)
+        # drop the handle's own references (review r11): once the ranked
+        # frame itself is garbage, nothing pins the broadcast and Spark's
+        # ContextCleaner reclaims the driver-side block/pickle too — the
+        # handle must not keep session-lifetime pins alive.
+        self._relation = None
+        self._broadcast = None
 
     def __enter__(self) -> "RankResources":
         return self
@@ -93,12 +106,17 @@ _LIVE: list[RankResources] = []
 _MAX_LIVE = 4
 
 
-def release_rank_relations() -> None:
+def release_rank_relations(destroy: bool = False) -> None:
     """Release ALL live rank computations (explicit global cleanup for
-    tests / session teardown). Safe: released frames remain evaluable,
-    they just recompute their range exchange."""
+    tests / session teardown). Default is safe: released frames remain
+    evaluable, they just recompute their range exchange (the offsets
+    broadcast re-ships; its driver-side block is reclaimed by the
+    ContextCleaner once the frame itself is garbage). ``destroy=True``
+    destroys the broadcasts for IMMEDIATE driver-side reclaim — only
+    for hard teardown when no previously returned rank frame will ever
+    be evaluated again."""
     while _LIVE:
-        _LIVE.pop().release()
+        _LIVE.pop().release(destroy=destroy)
 
 
 def ranked_by_group(
@@ -123,8 +141,6 @@ def ranked_by_group(
     more than ``_MAX_LIVE`` computations are live, or sooner via
     ``handle.release()`` / ``release_rank_relations()``."""
     spark = df.sparkSession
-    from pyspark.sql import types as T
-
     key_type = df.schema[part_col].dataType
     if isinstance(key_type, (T.FloatType, T.DoubleType)):
         raise ValueError(
@@ -192,8 +208,6 @@ def ranked_by_group(
 
     # fresh StructType: StructType.add MUTATES the receiver, and
     # d.schema is the live schema object of d itself
-    from pyspark.sql import types as T
-
     out_schema = T.StructType(
         list(d.schema.fields) + [T.StructField("rn", T.LongType())]
     )

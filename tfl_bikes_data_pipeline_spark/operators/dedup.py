@@ -1610,6 +1610,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("doc_id")
 
 
+def docs_with_clusters(documents: DataFrame, cc: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, cluster_id) — every document LEFT-joined to its
+    CC cluster label, singletons coalesced to their own doc_id. THE
+    singleton convention, defined once: q_dedup_canonical, the
+    leakage-safe split, and their tests all consume this helper so the
+    convention cannot silently diverge (review r11)."""
+    return (
+        documents.select("doc_id", "n_chars")
+        .join(cc, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keep/drop decision surface with CANONICAL selection:
     LSH near-dup pairs → connected components → every document joins
@@ -1625,12 +1638,7 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single corpus-linear exchange."""
     documents = load_table(spark, sf_dir, "documents")
     pairs = _lsh_pairs_unordered(spark, sf_dir)
-    cc = connected_components(pairs)
-    full = (
-        documents.select("doc_id", "n_chars")
-        .join(cc, "doc_id", "left")
-        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
-    )
+    full = docs_with_clusters(documents, connected_components(pairs))
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )

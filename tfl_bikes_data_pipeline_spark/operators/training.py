@@ -1137,11 +1137,9 @@ def leakproof_split_audit(documents: DataFrame, cc: DataFrame) -> DataFrame:
     relation, and both output aggregates (per-split rollup + the
     one-row leak count) reduce the same post-shuffle relation. At
     100 TB the fact scan dominates; no all-pairs, no window."""
-    clustered = (
-        documents.select("doc_id", "n_chars")
-        .join(cc, "doc_id", "left")
-        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
-    )
+    from .dedup import docs_with_clusters
+
+    clustered = docs_with_clusters(documents, cc)
     naive = split_assign(clustered, "doc_id").withColumnRenamed(
         "split", "naive_split"
     )

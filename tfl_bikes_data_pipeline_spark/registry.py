@@ -136,11 +136,12 @@ BENCH_QUERIES[:] = list(dict.fromkeys([*BENCH_QUERIES, *QUERIES]))
 #: sources first per r10 verdict task 7 — their correctness previously
 #: rested solely on the pre-r11, laxer local gate), and the tail
 #: backfills with the 14 §2.13 reference queries (oldest driver rows,
-#: r8). After this lands, cumulative driver coverage is 202/204 —
-#: everything except the two bound-oracle ``q_approx_*`` sketches,
-#: which are hash-unpinnable by design. Every name here must carry a
-#: full hash oracle (test_registry_contract enforces it for whatever
-#: the driver actually pins).
+#: r8). Position 39 pins this round's new q_split_leakproof in its
+#: introduction round. After this lands, cumulative driver coverage is
+#: 203/205 — everything except the two bound-oracle ``q_approx_*``
+#: sketches, which are hash-unpinnable by design. Every name here must
+#: carry a full hash oracle (test_registry_contract enforces it for
+#: whatever the driver actually pins).
 REGISTRY_HEAD: tuple[str, ...] = (
     # 1) the two r10 reds, re-pinned first (r10 verdict task 4)
     "q_cms_join_estimate", "q_sessionize",
@@ -165,7 +166,11 @@ REGISTRY_HEAD: tuple[str, ...] = (
     "q_stream_dedup_watermark", "q_stream_static_join",
     "q_stream_checkpoint_resume", "q_stream_json_quarantine",
     "q_stream_tumbling_warehouse", "q_stream_stateful_counts_warehouse",
-    # 7) §2.13 backfill to ~50 (already driver-green in r8; if the
+    # 7) new this round — pinned in its introduction round so the
+    #    "everything hash-oracled is driver-checked" invariant survives
+    #    the registry growing (review r11)
+    "q_split_leakproof",
+    # 8) §2.13 backfill to ~50 (already driver-green in r8; if the
     #    driver pins exactly 50, the overflow drops from THIS group)
     "q_topk_count", "q_topk_join_count", "q_filter_hour_topk",
     "q_group_by_hour", "q_moving_avg", "q_case_bucket_count",
