@@ -1134,9 +1134,9 @@ def leakproof_split_audit(documents: DataFrame, cc: DataFrame) -> DataFrame:
     broadcast-able at real dup rates; singletons coalesce to their own
     id, no second pass). Everything after is cluster-cardinality-sized:
     the safe split is a hash of the cluster id on the AGGREGATED
-    relation, and both output aggregates (per-split rollup + the
-    one-row leak count) reduce the same post-shuffle relation. At
-    100 TB the fact scan dominates; no all-pairs, no window."""
+    relation, the per-split rollup carries the leak count as a partial,
+    and the only window runs over the ≤3-row split relation — one
+    linear chain, no all-pairs, no corpus-wide window."""
     from .dedup import docs_with_clusters
 
     clustered = docs_with_clusters(documents, cc)
@@ -1149,19 +1149,25 @@ def leakproof_split_audit(documents: DataFrame, cc: DataFrame) -> DataFrame:
         F.count_distinct("naive_split").alias("n_naive_splits"),
     )
     safe = split_assign(per_cluster, "cluster_id")
+    # the leak count rides the SAME per-split aggregate as partials and
+    # totals via one unpartitioned window over the ≤3-row split relation
+    # (structurally bounded: the split domain is {train,val,test}) — a
+    # single linear chain, vs a second aggregate branch that would
+    # re-reference the whole corpus subtree in the pre-execution plan
+    # (10 shuffles → 5, review r11 plan audit).
     per_split = safe.groupBy("split").agg(
         F.sum("n_docs").alias("n_docs"),
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("total_chars").alias("total_chars"),
-    )
-    leaky = safe.agg(
         F.sum((F.col("n_naive_splits") > 1).cast("long")).alias(
-            "naive_leaky_clusters"
-        )
+            "leaky_in_split"
+        ),
     )
-    # one-row global aggregate: broadcast-legal by the lint's own rule
     return (
-        per_split.crossJoin(F.broadcast(leaky))
+        per_split.withColumn(
+            "naive_leaky_clusters",
+            F.sum("leaky_in_split").over(Window.partitionBy()),
+        )
         .select(
             "split", "n_docs", "n_clusters", "total_chars",
             "naive_leaky_clusters",
@@ -1209,18 +1215,16 @@ ORACLES["q_split_leakproof"] = f"""
     safe AS (
         SELECT *, {_SPLIT_CASE_CLUSTER} AS split FROM per_cluster
     ),
-    leaky AS (
-        SELECT sum((n_naive_splits > 1)::INT)::BIGINT AS naive_leaky_clusters
-        FROM safe
-    ),
     per_split AS (
         SELECT split, sum(n_docs)::BIGINT AS n_docs,
                count(1)::BIGINT AS n_clusters,
-               sum(total_chars)::BIGINT AS total_chars
+               sum(total_chars)::BIGINT AS total_chars,
+               sum((n_naive_splits > 1)::INT)::BIGINT AS leaky_in_split
         FROM safe GROUP BY split
     )
-    SELECT split, n_docs, n_clusters, total_chars, naive_leaky_clusters
-    FROM per_split, leaky ORDER BY split
+    SELECT split, n_docs, n_clusters, total_chars,
+           CAST(sum(leaky_in_split) OVER () AS BIGINT) AS naive_leaky_clusters
+    FROM per_split ORDER BY split
 """
 
 QUERIES["q_split_leakproof"] = q_split_leakproof
