@@ -54,13 +54,22 @@ SCHED20_AFTER_DEGRADED_SEC = 0.8
 # ~1.04× — host conditions, not engine drift. The artifact now carries
 # `steady_total_normalized`: this run's steady total rescaled to the r10
 # reference host via the fixed-plan scan_calib macro probe
-# (steady × ref_scan / min(scan_before, scan_after) — min, because
-# degradation only ever inflates the probe). Reference values are the
-# driver-refreshed r10 sf0.1 artifact (BENCH_r10.json / its
-# BENCH_DETAIL.md session_health). Only meaningful at sf0.1 — other
-# scales emit null.
+# (steady × ref_scan / this_scan). Both sides use the GEOMETRIC MEAN of
+# the before/after probe readings: the sweep runs between the two
+# probes, so the session's effective scan health lies between them, and
+# the geomean is the symmetric estimator (min over-corrects — measured
+# r11: a session whose probe min read 1.4× faster than ref moved the
+# suite only 1.2×, so min-normalizing inverted a −17% raw delta into
+# +18%). Probe-vs-suite proportionality is still approximate: raw and
+# normalized steady BRACKET the engine-attributable delta from the two
+# sides (host faster than ref → raw under-, normalized over-states; and
+# vice versa); matched-conditions interleaved A/Bs remain the
+# per-query arbiter. Reference values are the driver-refreshed r10
+# sf0.1 artifact (BENCH_r10.json / its BENCH_DETAIL.md
+# session_health). Only meaningful at sf0.1 — other scales emit null.
 R10_REF_STEADY_SEC = 222.363
-R10_REF_SCAN_CALIB_SEC = 0.484  # min(scan_calib_before=0.892, after=0.484)
+# geomean(scan_calib_before=0.892, scan_calib_after=0.484)
+R10_REF_SCAN_CALIB_SEC = 0.657
 CALIB_DEGRADED_RATIO = 2.0
 CALIB_DEGRADED_FLOOR_SEC = 0.3
 LOAD1_DEGRADED = 10.0
@@ -209,7 +218,7 @@ def main() -> None:
 
     total = round(sum(cold.values()), 3)
     steady_total = round(sum(steady.values()), 3)
-    scan_now = min(scan_before, scan_after)
+    scan_now = (scan_before * scan_after) ** 0.5
     if sf == "0.1" and scan_now > 0:
         scan_ratio_vs_r10 = round(scan_now / R10_REF_SCAN_CALIB_SEC, 3)
         steady_total_normalized = round(
@@ -260,9 +269,14 @@ def main() -> None:
                 "don't — compare WITHIN a session when possible. (r11+) "
                 "`steady_total_normalized_sec` applies that normalization "
                 "in-artifact: steady_total rescaled to the r10 reference "
-                "host via the scan_calib ratio (`norm_ref` pins the "
-                "reference) — it is THE cross-round headline; raw seconds "
-                "remain for within-session reading.\n\n"
+                "host via the scan_calib ratio, geomean of before/after "
+                "probes on both sides (`norm_ref` pins the reference). "
+                "Probe-vs-suite proportionality is approximate, so read "
+                "raw and normalized steady as a BRACKET on the "
+                "engine-attributable delta (host faster than ref → raw "
+                "understates, normalized overstates; and vice versa); "
+                "matched-conditions interleaved A/Bs arbitrate per-query. "
+                "Raw seconds remain for within-session reading.\n\n"
                 f"Environment gate: **{env_gate}** (degraded when "
                 f"sched20_after > {SCHED20_AFTER_DEGRADED_SEC}s, calib_after "
                 f"> {CALIB_DEGRADED_RATIO}x calib_before, or start load1 > "
