@@ -594,6 +594,40 @@ def test_distributed_ranks_survive_interleaved_construction(spark):
     assert len(a.orderBy("event_id").collect()) == 200
 
 
+def test_distributed_ranks_hard_teardown_destroys_broadcast(spark):
+    """The destroy=True teardown path (review r11): a live handle hard-
+    destroys its broadcast; a handle that was ALREADY soft-released must
+    still destroy via its weakref when the frame (whose closure pins the
+    broadcast) is alive — the early-return used to silently skip it.
+    After teardown, fresh rank computations must work unimpeded."""
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.functions.ranks import (
+        ranked_by_group,
+        release_rank_relations,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("t"), (F.col("id") % 2).cast("string")).alias("event_type"),
+    )
+    # case 1: live handle, hard teardown via the global sweep
+    frame1, _, res1 = ranked_by_group(df, "event_type", ["event_id"])
+    release_rank_relations(destroy=True)
+    assert res1.released and res1._broadcast is None
+    # case 2: soft release first (keeps the broadcast wrapper — the
+    # pickled plan holds no Python reference, so the wrapper is the
+    # only path to a later destroy), then hard destroy on the handle
+    frame2, _, res2 = ranked_by_group(df, "event_type", ["event_id"])
+    res2.release()  # soft
+    assert res2.released and res2._broadcast is not None
+    res2.release(destroy=True)  # must destroy despite the early-return
+    assert res2._broadcast is None
+    # a destroyed-broadcast frame must not be evaluated; fresh state works
+    frame3, totals, _ = ranked_by_group(df, "event_type", ["event_id"])
+    assert frame3.count() == 100 and totals == {"t0": 50, "t1": 50}
+
+
 def test_distributed_ranks_reject_float_group_key(spark):
     """ADVICE r10: pandas folds a NaN float key into the NULL group
     while Spark ranks NaN as a distinct non-null value — float keys

@@ -72,24 +72,33 @@ class RankResources:
 
     def release(self, destroy: bool = False) -> None:
         if self.released:
+            if destroy and self._broadcast is not None:
+                # soft-released earlier, hard teardown requested now
+                # (review r11: the early-return used to silently skip
+                # this, breaking release_rank_relations(destroy=True)
+                # for previously soft-released handles).
+                self._broadcast.destroy()
+                self._broadcast = None
             return
         self.released = True
         self._relation.unpersist()
+        self._relation = None
         if destroy:
             # hard teardown: reclaims the driver-side block and pickle
             # file NOW; the frame must never be evaluated again.
             self._broadcast.destroy()
+            self._broadcast = None
         else:
-            # executor copies only: the mapInPandas closure holds the
-            # broadcast object, so a later evaluation re-ships the value
-            # instead of raising on a destroyed broadcast.
+            # executor copies only: evaluation re-ships the value on
+            # next use instead of raising on a destroyed broadcast. The
+            # handle KEEPS the (tiny) Python wrapper — it is exactly
+            # what a later destroy=True needs (the pickled plan holds
+            # no Python reference; measured: a weakref to it dies the
+            # moment the strong ref drops). The wrapper pins the JVM
+            # broadcast only while the handle itself is alive; a
+            # released handle is popped from _LIVE, so once the caller
+            # drops it the ContextCleaner reclaims the JVM block too.
             self._broadcast.unpersist(False)
-        # drop the handle's own references (review r11): once the ranked
-        # frame itself is garbage, nothing pins the broadcast and Spark's
-        # ContextCleaner reclaims the driver-side block/pickle too — the
-        # handle must not keep session-lifetime pins alive.
-        self._relation = None
-        self._broadcast = None
 
     def __enter__(self) -> "RankResources":
         return self

@@ -1154,7 +1154,7 @@ def leakproof_split_audit(documents: DataFrame, cc: DataFrame) -> DataFrame:
     # (structurally bounded: the split domain is {train,val,test}) — a
     # single linear chain, vs a second aggregate branch that would
     # re-reference the whole corpus subtree in the pre-execution plan
-    # (10 shuffles → 5, review r11 plan audit).
+    # (10 pre-exec shuffles → 6, PLAN_AUDIT.md / review r11).
     per_split = safe.groupBy("split").agg(
         F.sum("n_docs").alias("n_docs"),
         F.count(F.lit(1)).alias("n_clusters"),
