@@ -241,3 +241,39 @@ def test_leakproof_split_keeps_clusters_whole(spark):
         .count()
     )
     assert straddle == 0
+
+
+def test_temperature_resample_flattens_toward_uniform(spark):
+    """Planted skew: one source with 1600 docs, one with 100 (16:1).
+    τ=2 keeps rates ∝ sqrt(n)/n, so the kept mix must be strictly
+    flatter than the input (kept ratio < 16:1 and > 1:1), the overall
+    keep mass must track RESAMPLE_KEEP_FRACTION, and every rate ≤ 1.
+    Determinism: a second run returns identical rows."""
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.operators.training import (
+        RESAMPLE_KEEP_FRACTION,
+        temperature_resample,
+    )
+
+    docs = spark.range(1700).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1600, "big").otherwise("small").alias("source"),
+    )
+    rows = {r.source: r for r in temperature_resample(docs).collect()}
+    assert rows["big"].n_docs == 1600 and rows["small"].n_docs == 100
+    assert 0.0 < rows["big"].rate <= 1.0 and 0.0 < rows["small"].rate <= 1.0
+    # flattening: small source keeps a LARGER fraction than the big one
+    # (exactly sqrt-proportional targets: rate_small/rate_big = 4)
+    assert rows["small"].rate > rows["big"].rate
+    # kept ratio strictly between uniform (1:1) and input skew (16:1)
+    kept_ratio = rows["big"].n_kept / max(rows["small"].n_kept, 1)
+    assert 1.0 < kept_ratio < 16.0, kept_ratio
+    # overall keep mass tracks the configured fraction (hash noise at
+    # n=1700 stays well within ±15%)
+    total_kept = sum(r.n_kept for r in rows.values())
+    assert abs(total_kept / 1700 - RESAMPLE_KEEP_FRACTION) < 0.15 * RESAMPLE_KEEP_FRACTION
+    again = {r.source: r for r in temperature_resample(docs).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }

@@ -1229,3 +1229,121 @@ ORACLES["q_split_leakproof"] = f"""
 
 QUERIES["q_split_leakproof"] = q_split_leakproof
 BENCH.append("q_split_leakproof")
+
+
+# ---------------------------------------------------------------------------
+# temperature resampling: flatten the source distribution toward uniform
+# ---------------------------------------------------------------------------
+
+#: τ=2 deliberately: the up/down-weighting exponent 1/τ becomes sqrt,
+#: which IEEE 754 specifies as CORRECTLY ROUNDED — bit-identical across
+#: Spark's and DuckDB's libm, unlike pow(x, 1/τ) whose last-ulp is
+#: implementation-defined and would make the keep thresholds (and so
+#: the hash oracle) engine-dependent.
+RESAMPLE_TEMPERATURE = 2
+#: overall corpus keep fraction the flattened mixture targets.
+RESAMPLE_KEEP_FRACTION = 0.5
+_HASH32_DENOM = 1 << 32
+
+
+def temperature_resample(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Per-source audit of temperature-flattened resampling — the
+    standard pretraining mixture move (multilingual/source balancing):
+    source i with n_i documents is kept at a rate proportional to
+    n_i^(1/τ)/Σ n_j^(1/τ) instead of n_i/Σ n_j, up-weighting small
+    sources and down-weighting dominant ones while targeting
+    ``RESAMPLE_KEEP_FRACTION`` of the corpus overall. Per-document
+    keep/drop is deterministic: first-8-hex md5(key) as a uint32
+    fraction against the source's rate threshold — engine-, run- and
+    partitioning-stable, same idiom as :func:`split_assign` /
+    :func:`pack_sequences`.
+
+    Returns (source, n_docs, n_kept, rate) ordered by source.
+
+    Scale shape: TWO corpus passes, both embarrassingly map-side — a
+    per-source count (map-combined aggregate; the rate math runs as
+    two window functions over the ≤#sources-row stats relation, never
+    the corpus) and the filtered re-count after a join against that
+    tiny relation (AQE broadcasts it from measured size; unhinted per
+    the broadcast policy since source cardinality is data-derived).
+    No corpus-wide window, no driver collect."""
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()  # ≤ #sources rows by construction
+    weight = F.sqrt(F.col("n_docs").cast("double"))
+    target = (
+        F.sum("n_docs").over(w_all).cast("double")
+        * F.lit(float(RESAMPLE_KEEP_FRACTION))
+        * weight
+        / F.sum(weight).over(w_all)
+    )
+    rates = stats.select(
+        "source",
+        "n_docs",
+        F.least(F.lit(1.0), target / F.col("n_docs").cast("double")).alias("rate"),
+    ).withColumn(
+        # integer threshold: floor(rate·2^32) compared against the
+        # uint32 hash — identical doubles floor to identical longs, so
+        # the per-document decision is engine-exact
+        "thr",
+        F.floor(F.col("rate") * F.lit(float(_HASH32_DENOM))).cast("long"),
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    kept = (
+        docs.join(rates.select("source", "thr"), "source")
+        .where(h32 < F.col("thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round("rate", 6).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture audit over the documents corpus —
+    the data-derived-rate twin of [[q_mixture_sample]]'s fixed-rate
+    table."""
+    return temperature_resample(load_table(spark, sf_dir, "documents"))
+
+
+ORACLES["q_mixture_temperature"] = f"""
+    WITH stats AS (
+        SELECT source, count(1)::BIGINT AS n_docs FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source, n_docs,
+               least(1.0, sum(n_docs) OVER () * {RESAMPLE_KEEP_FRACTION}
+                          * sqrt(n_docs::DOUBLE)
+                          / sum(sqrt(n_docs::DOUBLE)) OVER ()
+                          / n_docs::DOUBLE) AS rate
+        FROM stats
+    ),
+    thr AS (
+        SELECT source, n_docs, rate,
+               CAST(floor(rate * {_HASH32_DENOM}) AS BIGINT) AS thr
+        FROM rates
+    ),
+    kept AS (
+        SELECT d.source, count(1)::BIGINT AS n_kept
+        FROM documents d JOIN thr t USING (source)
+        WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT < t.thr
+        GROUP BY d.source
+    )
+    SELECT t.source, t.n_docs,
+           coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+           round(t.rate, 6) AS rate
+    FROM thr t LEFT JOIN kept k USING (source)
+    ORDER BY t.source
+"""
+
+QUERIES["q_mixture_temperature"] = q_mixture_temperature
+BENCH.append("q_mixture_temperature")

@@ -166,10 +166,10 @@ REGISTRY_HEAD: tuple[str, ...] = (
     "q_stream_dedup_watermark", "q_stream_static_join",
     "q_stream_checkpoint_resume", "q_stream_json_quarantine",
     "q_stream_tumbling_warehouse", "q_stream_stateful_counts_warehouse",
-    # 7) new this round — pinned in its introduction round so the
+    # 7) new this round — pinned in their introduction round so the
     #    "everything hash-oracled is driver-checked" invariant survives
     #    the registry growing (review r11)
-    "q_split_leakproof",
+    "q_split_leakproof", "q_mixture_temperature",
     # 8) §2.13 backfill to ~50 (already driver-green in r8; if the
     #    driver pins exactly 50, the overflow drops from THIS group)
     "q_topk_count", "q_topk_join_count", "q_filter_hour_topk",
