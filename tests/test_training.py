@@ -262,17 +262,25 @@ def test_temperature_resample_flattens_toward_uniform(spark):
     )
     rows = {r.source: r for r in temperature_resample(docs).collect()}
     assert rows["big"].n_docs == 1600 and rows["small"].n_docs == 100
-    assert 0.0 < rows["big"].rate <= 1.0 and 0.0 < rows["small"].rate <= 1.0
-    # flattening: small source keeps a LARGER fraction than the big one
-    # (exactly sqrt-proportional targets: rate_small/rate_big = 4)
-    assert rows["small"].rate > rows["big"].rate
+    # exact rates from the integer weights: w=40/10, denom=50,
+    # total=1700 → rate_small = min(1, 1700·10/(2·50·100)) = 1.0
+    # (CAPPED — the sqrt-proportional uncapped value is 1.7), and
+    # rate_big = 1700·40/(2·50·1600) = 0.425 (review r11: the earlier
+    # comment claimed a 4× rate ratio the cap makes impossible here)
+    assert rows["small"].rate == 1.0
+    assert abs(rows["big"].rate - 0.425) < 1e-9
+    assert rows["small"].n_kept == 100  # rate 1.0 keeps EVERY doc
     # kept ratio strictly between uniform (1:1) and input skew (16:1)
-    kept_ratio = rows["big"].n_kept / max(rows["small"].n_kept, 1)
+    kept_ratio = rows["big"].n_kept / rows["small"].n_kept
     assert 1.0 < kept_ratio < 16.0, kept_ratio
-    # overall keep mass tracks the configured fraction (hash noise at
-    # n=1700 stays well within ±15%)
+    # keep mass: expected = (0.425·1600 + 100)/1700 = 0.459 — the
+    # documented cap-undershoot bias (small's stranded mass is not
+    # redistributed) puts the deterministic target 8.2% under
+    # RESAMPLE_KEEP_FRACTION; the remaining slack is hash noise
     total_kept = sum(r.n_kept for r in rows.values())
-    assert abs(total_kept / 1700 - RESAMPLE_KEEP_FRACTION) < 0.15 * RESAMPLE_KEEP_FRACTION
+    expected_mass = (0.425 * 1600 + 100) / 1700
+    assert abs(total_kept / 1700 - expected_mass) < 0.05
+    assert total_kept / 1700 < RESAMPLE_KEEP_FRACTION  # the bias's sign
     again = {r.source: r for r in temperature_resample(docs).collect()}
     assert {k: tuple(v) for k, v in rows.items()} == {
         k: tuple(v) for k, v in again.items()

@@ -51,6 +51,17 @@ CONTEXT_TOKENS = 2048
 N_PACK_SHARDS = 16
 
 
+def _md5_uint(key: str, n_hex: int):
+    """First ``n_hex`` hex chars of md5(key) as a non-negative integer
+    column — THE deterministic per-row coin this module's operators
+    share (split/mixture/packing/resampling; review r11 deduplicated
+    the three inline copies). conv / DuckDB's '0x'-cast give the same
+    integer in both engines."""
+    return F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, n_hex), 16, 10
+    ).cast("long")
+
+
 def split_assign(df: DataFrame, key: str) -> DataFrame:
     """Add a deterministic ``split`` column (train/val/test) from the
     content hash of ``key`` — engine-, run- and partitioning-stable."""
@@ -95,9 +106,7 @@ def pack_sequences(
     sharded = df.select(
         F.col(key).alias("k"),
         F.col(token_col).alias("toks"),
-        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % shards)
-        .cast("int")
-        .alias("shard"),
+        (_md5_uint(key, 4) % shards).cast("int").alias("shard"),
         h.alias("h"),
     )
     w = Window.partitionBy("shard").orderBy("h", "k")
@@ -388,9 +397,7 @@ def weighted_hash_sample(
     global max weight rides in via a broadcast 1-row aggregate — a
     narrow scan + broadcast join at 100 TB, never a driver action.
     """
-    u = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10).cast(
-        "long"
-    )
+    u = _md5_uint(key, 4)
     max_w = df.select(F.max(weight_col).cast("long").alias("max_w"))
     return (
         df.crossJoin(F.broadcast(max_w))
@@ -1235,64 +1242,103 @@ BENCH.append("q_split_leakproof")
 # temperature resampling: flatten the source distribution toward uniform
 # ---------------------------------------------------------------------------
 
-#: τ=2 deliberately: the up/down-weighting exponent 1/τ becomes sqrt,
-#: which IEEE 754 specifies as CORRECTLY ROUNDED — bit-identical across
-#: Spark's and DuckDB's libm, unlike pow(x, 1/τ) whose last-ulp is
-#: implementation-defined and would make the keep thresholds (and so
-#: the hash oracle) engine-dependent.
+#: τ=2 deliberately, realized as INTEGER sqrt: weights are
+#: floor(sqrt(n)) — sqrt is IEEE-correctly-rounded in both engines and
+#: floor of it is exact for n < 2^52, so the weights, their sum, and
+#: every quantity the keep decision touches are INTEGERS. The first cut
+#: summed raw double sqrts, whose accumulation order is neither
+#: engine- nor run-stable (review r11) — a 1-ulp divergence in Σ√n
+#: could shift floor(rate·2^32) and flip a boundary document.
 RESAMPLE_TEMPERATURE = 2
-#: overall corpus keep fraction the flattened mixture targets.
-RESAMPLE_KEEP_FRACTION = 0.5
+#: overall corpus keep fraction the flattened mixture targets, as an
+#: exact integer ratio (floats never reach the keep decision).
+RESAMPLE_KEEP_NUM = 1
+RESAMPLE_KEEP_DEN = 2
+RESAMPLE_KEEP_FRACTION = RESAMPLE_KEEP_NUM / RESAMPLE_KEEP_DEN
 _HASH32_DENOM = 1 << 32
+#: DECIMAL(38,0) for the cross-multiplied keep predicate: magnitudes
+#: reach ~2^103 at a 100 TB corpus (h32·n·denom·den ≤ 2^32·2^44·2^27·2)
+#: — far past BIGINT, comfortably inside decimal128 (the same
+#: overflow-proofing as the CMS join estimator, operators/profile.py).
+_DEC = "decimal(38,0)"
 
 
 def temperature_resample(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     """Per-source audit of temperature-flattened resampling — the
     standard pretraining mixture move (multilingual/source balancing):
     source i with n_i documents is kept at a rate proportional to
-    n_i^(1/τ)/Σ n_j^(1/τ) instead of n_i/Σ n_j, up-weighting small
-    sources and down-weighting dominant ones while targeting
-    ``RESAMPLE_KEEP_FRACTION`` of the corpus overall. Per-document
-    keep/drop is deterministic: first-8-hex md5(key) as a uint32
-    fraction against the source's rate threshold — engine-, run- and
-    partitioning-stable, same idiom as :func:`split_assign` /
-    :func:`pack_sequences`.
+    w_i/Σw_j with w = floor(sqrt(n)) (τ=2) instead of n_i/Σn_j,
+    up-weighting small sources and down-weighting dominant ones while
+    targeting ``RESAMPLE_KEEP_FRACTION`` of the corpus overall.
+
+    Per-document keep/drop is deterministic AND engine-exact: the md5
+    uint32 coin is compared via the cross-multiplied INTEGER predicate
+
+        h32 · n_i · Σw · KEEP_DEN  <  total · w_i · 2^32 · KEEP_NUM
+
+    evaluated in DECIMAL(38,0) — no float ever reaches the decision
+    (same discipline as :func:`weighted_hash_sample`), and a rate ≥ 1
+    keeps everything because h32 < 2^32 by construction (the cap needs
+    no ``least``). The ``rate`` output column is display-only
+    (round 6).
+
+    KNOWN BIAS, documented: capped sources (uncapped rate > 1) do not
+    redistribute their unused keep mass, so the realized corpus keep
+    fraction UNDERSHOOTS the target in proportion to how much mass the
+    cap strands — the standard one-pass temperature-sampling behavior
+    (renormalizing to hit the target exactly is an iterative
+    water-filling; out of scope here, and the audit output makes the
+    shortfall visible per source).
 
     Returns (source, n_docs, n_kept, rate) ordered by source.
 
     Scale shape: TWO corpus passes, both embarrassingly map-side — a
-    per-source count (map-combined aggregate; the rate math runs as
+    per-source count (map-combined aggregate; the weight math runs as
     two window functions over the ≤#sources-row stats relation, never
     the corpus) and the filtered re-count after a join against that
     tiny relation (AQE broadcasts it from measured size; unhinted per
     the broadcast policy since source cardinality is data-derived).
     No corpus-wide window, no driver collect."""
-    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
+        # integer sqrt: exact + engine-stable (see RESAMPLE_TEMPERATURE)
+        "w",
+        F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long"),
+    )
     w_all = Window.partitionBy()  # ≤ #sources rows by construction
-    weight = F.sqrt(F.col("n_docs").cast("double"))
-    target = (
-        F.sum("n_docs").over(w_all).cast("double")
-        * F.lit(float(RESAMPLE_KEEP_FRACTION))
-        * weight
-        / F.sum(weight).over(w_all)
+    denom = F.sum("w").over(w_all)  # INTEGER sum — order-free, exact
+    total = F.sum("n_docs").over(w_all)
+    rate_display = F.round(
+        F.least(
+            F.lit(1.0),
+            total.cast("double")
+            * F.col("w").cast("double")
+            * F.lit(float(RESAMPLE_KEEP_NUM))
+            / F.lit(float(RESAMPLE_KEEP_DEN))
+            / denom.cast("double")
+            / F.col("n_docs").cast("double"),
+        ),
+        6,
     )
     rates = stats.select(
         "source",
         "n_docs",
-        F.least(F.lit(1.0), target / F.col("n_docs").cast("double")).alias("rate"),
-    ).withColumn(
-        # integer threshold: floor(rate·2^32) compared against the
-        # uint32 hash — identical doubles floor to identical longs, so
-        # the per-document decision is engine-exact
-        "thr",
-        F.floor(F.col("rate") * F.lit(float(_HASH32_DENOM))).cast("long"),
+        (
+            F.col("n_docs").cast(_DEC)
+            * F.lit(RESAMPLE_KEEP_DEN).cast(_DEC)
+            * denom.cast(_DEC)
+        ).alias("lhs_scale"),
+        (
+            total.cast(_DEC)
+            * F.col("w").cast(_DEC)
+            * F.lit(_HASH32_DENOM).cast(_DEC)
+            * F.lit(RESAMPLE_KEEP_NUM).cast(_DEC)
+        ).alias("rhs"),
+        rate_display.alias("rate"),
     )
-    h32 = F.conv(
-        F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    h32 = _md5_uint(key, 8)
     kept = (
-        docs.join(rates.select("source", "thr"), "source")
-        .where(h32 < F.col("thr"))
+        docs.join(rates.select("source", "lhs_scale", "rhs"), "source")
+        .where(h32.cast(_DEC) * F.col("lhs_scale") < F.col("rhs"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
@@ -1302,7 +1348,7 @@ def temperature_resample(docs: DataFrame, key: str = "doc_id") -> DataFrame:
             "source",
             "n_docs",
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.round("rate", 6).alias("rate"),
+            "rate",
         )
         .orderBy("source")
     )
@@ -1317,32 +1363,41 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["q_mixture_temperature"] = f"""
     WITH stats AS (
-        SELECT source, count(1)::BIGINT AS n_docs FROM documents GROUP BY source
+        SELECT source, n_docs,
+               CAST(floor(sqrt(n_docs::DOUBLE)) AS BIGINT) AS w
+        FROM (SELECT source, count(1)::BIGINT AS n_docs
+              FROM documents GROUP BY source)
+    ),
+    tot AS (
+        SELECT source, n_docs, w,
+               CAST(sum(w) OVER () AS BIGINT) AS denom,
+               CAST(sum(n_docs) OVER () AS BIGINT) AS total
+        FROM stats
     ),
     rates AS (
         SELECT source, n_docs,
-               least(1.0, sum(n_docs) OVER () * {RESAMPLE_KEEP_FRACTION}
-                          * sqrt(n_docs::DOUBLE)
-                          / sum(sqrt(n_docs::DOUBLE)) OVER ()
-                          / n_docs::DOUBLE) AS rate
-        FROM stats
-    ),
-    thr AS (
-        SELECT source, n_docs, rate,
-               CAST(floor(rate * {_HASH32_DENOM}) AS BIGINT) AS thr
-        FROM rates
+               (n_docs::DECIMAL(38,0) * {RESAMPLE_KEEP_DEN}
+                * denom::DECIMAL(38,0)) AS lhs_scale,
+               (total::DECIMAL(38,0) * w::DECIMAL(38,0)
+                * {_HASH32_DENOM} * {RESAMPLE_KEEP_NUM}) AS rhs,
+               -- display only; op order mirrors the Spark expression
+               round(least(1.0,
+                     total::DOUBLE * w::DOUBLE * {float(RESAMPLE_KEEP_NUM)}
+                     / {float(RESAMPLE_KEEP_DEN)} / denom::DOUBLE
+                     / n_docs::DOUBLE), 6) AS rate
+        FROM tot
     ),
     kept AS (
         SELECT d.source, count(1)::BIGINT AS n_kept
-        FROM documents d JOIN thr t USING (source)
-        WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT < t.thr
+        FROM documents d JOIN rates r USING (source)
+        WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT::DECIMAL(38,0)
+              * r.lhs_scale < r.rhs
         GROUP BY d.source
     )
-    SELECT t.source, t.n_docs,
-           coalesce(k.n_kept, 0)::BIGINT AS n_kept,
-           round(t.rate, 6) AS rate
-    FROM thr t LEFT JOIN kept k USING (source)
-    ORDER BY t.source
+    SELECT r.source, r.n_docs,
+           coalesce(k.n_kept, 0)::BIGINT AS n_kept, r.rate
+    FROM rates r LEFT JOIN kept k USING (source)
+    ORDER BY r.source
 """
 
 QUERIES["q_mixture_temperature"] = q_mixture_temperature

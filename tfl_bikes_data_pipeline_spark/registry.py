@@ -136,12 +136,13 @@ BENCH_QUERIES[:] = list(dict.fromkeys([*BENCH_QUERIES, *QUERIES]))
 #: sources first per r10 verdict task 7 — their correctness previously
 #: rested solely on the pre-r11, laxer local gate), and the tail
 #: backfills with the 14 §2.13 reference queries (oldest driver rows,
-#: r8). Position 39 pins this round's new q_split_leakproof in its
-#: introduction round. After this lands, cumulative driver coverage is
-#: 203/205 — everything except the two bound-oracle ``q_approx_*``
-#: sketches, which are hash-unpinnable by design. Every name here must
-#: carry a full hash oracle (test_registry_contract enforces it for
-#: whatever the driver actually pins).
+#: r8). Positions 39-40 pin this round's new q_split_leakproof and
+#: q_mixture_temperature in their introduction round. After this
+#: lands, cumulative driver coverage is 204/206 — everything except
+#: the two bound-oracle ``q_approx_*`` sketches, which are
+#: hash-unpinnable by design. Every name here must carry a full hash
+#: oracle (test_registry_contract enforces it for whatever the driver
+#: actually pins).
 REGISTRY_HEAD: tuple[str, ...] = (
     # 1) the two r10 reds, re-pinned first (r10 verdict task 4)
     "q_cms_join_estimate", "q_sessionize",
