@@ -399,6 +399,48 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantiles_scaleout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped DISCRETE quantiles via the distributed-rank recipe
+    — the 100 TB path for the operator [[q_quantiles]] declares:
+    Spark's exact ``percentile`` aggregate buffers every group value in
+    one task's memory (the profile module documents it as the
+    bottleneck the GK sketch [[q_approx_quantiles]] works around),
+    while this plan computes the same order statistic scale-out —
+    ``functions/ranks.py``'s ONE range exchange + offset metadata pass,
+    then each p-quantile is the row whose exact global rank equals
+    ceil(p·N) (type-1/discrete definition: an actual data value, no
+    interpolation arithmetic to diverge between engines; N counts
+    non-null values, matching aggregate null semantics). ceil(p·N) is
+    a single correctly-rounded double multiply on both engines —
+    deterministic, unlike summed-float thresholds (review r11,
+    q_mixture_temperature postmortem)."""
+    from ..functions.ranks import _totals_expr, ranked_by_group
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value", "event_id")
+        .where(F.col("value").isNotNull())
+    )
+    ranked, totals, _resources = ranked_by_group(
+        events, "event_type", ["value", "event_id"]
+    )
+    n = _totals_expr("event_type", totals)
+
+    def at(p: float) -> "F.Column":
+        k = F.ceil(F.lit(p) * n).cast("long")
+        return F.max(F.when(F.col("rn") == k, F.col("value")))
+
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            at(0.5).alias("p50_disc"),
+            at(0.9).alias("p90_disc"),
+            at(0.99).alias("p99_disc"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # q_rank_lag — ranking + offset window family (survey §2.6 notes the
 # reference's "top four destinations" dashboards imply rank-style
@@ -751,6 +793,24 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(value, 0.9), 6) AS p90
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    "q_quantiles_scaleout": """
+        WITH ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY value, event_id
+                   ) AS rn,
+                   count(1) OVER (PARTITION BY event_type) AS n
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_type,
+               max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                        THEN value END) AS p50_disc,
+               max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                        THEN value END) AS p90_disc,
+               max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                        THEN value END) AS p99_disc
+        FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
     "q_set_ops": """
         SELECT nationkey, 'both' AS side FROM (
             SELECT c_nationkey::INT AS nationkey FROM customer
@@ -863,6 +923,7 @@ QUERIES = {
     "q_semi_anti": q_semi_anti,
     "q_rank_lag": q_rank_lag,
     "q_quantiles": q_quantiles,
+    "q_quantiles_scaleout": q_quantiles_scaleout,
     "q_set_ops": q_set_ops,
     "q_pivot": q_pivot,
     "q_unpivot": q_unpivot,

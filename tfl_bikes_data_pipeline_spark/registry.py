@@ -136,9 +136,10 @@ BENCH_QUERIES[:] = list(dict.fromkeys([*BENCH_QUERIES, *QUERIES]))
 #: sources first per r10 verdict task 7 — their correctness previously
 #: rested solely on the pre-r11, laxer local gate), and the tail
 #: backfills with the 14 §2.13 reference queries (oldest driver rows,
-#: r8). Positions 39-40 pin this round's new q_split_leakproof and
-#: q_mixture_temperature in their introduction round. After this
-#: lands, cumulative driver coverage is 204/206 — everything except
+#: r8). Positions 39-41 pin this round's new q_split_leakproof,
+#: q_mixture_temperature and q_quantiles_scaleout in their
+#: introduction round. After this lands, cumulative driver coverage
+#: is 205/207 — everything except
 #: the two bound-oracle ``q_approx_*`` sketches, which are
 #: hash-unpinnable by design. Every name here must carry a full hash
 #: oracle (test_registry_contract enforces it for whatever the driver
@@ -170,7 +171,7 @@ REGISTRY_HEAD: tuple[str, ...] = (
     # 7) new this round — pinned in their introduction round so the
     #    "everything hash-oracled is driver-checked" invariant survives
     #    the registry growing (review r11)
-    "q_split_leakproof", "q_mixture_temperature",
+    "q_split_leakproof", "q_mixture_temperature", "q_quantiles_scaleout",
     # 8) §2.13 backfill to ~50 (already driver-green in r8; if the
     #    driver pins exactly 50, the overflow drops from THIS group)
     "q_topk_count", "q_topk_join_count", "q_filter_hour_topk",
