@@ -167,6 +167,8 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    from tfl_bikes_data_pipeline_spark.functions.ranks import release_rank_relations
+
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in registry.BENCH_QUERIES:
@@ -176,6 +178,13 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             run[name] = round(time.perf_counter() - t0, 3)
+        # Rank-recipe queries persist a MEMORY_AND_DISK sorted copy of
+        # their input for the frame's lifetime (bounded at 4 by
+        # functions/ranks._MAX_LIVE). Release between queries — AFTER
+        # both timed runs, so timings are untouched — so unrelated
+        # queries never run alongside up-to-4 corpus-scale cached
+        # relations (ADVICE r11). No-op for the ~200 non-rank queries.
+        release_rank_relations()
 
     calib_after = _calibrate(spark)
     sched_after = _calibrate_scheduler(spark)

@@ -594,6 +594,32 @@ def test_distributed_ranks_survive_interleaved_construction(spark):
     assert len(a.orderBy("event_id").collect()) == 200
 
 
+def test_distributed_ranks_release_frees_live_slot(spark):
+    """ADVICE r11: release() must drop the handle from the module
+    _LIVE list — a released handle previously stayed strongly
+    referenced (pinning the broadcast wrapper) and kept consuming one
+    of the _MAX_LIVE eviction slots."""
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.functions import ranks
+
+    ranks.release_rank_relations()
+    df = spark.range(50).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("t"), (F.col("id") % 2).cast("string")).alias("event_type"),
+    )
+    _, _, res = ranks.ranked_by_group(df, "event_type", ["event_id"])
+    assert res in ranks._LIVE
+    res.release()
+    assert res not in ranks._LIVE, "released handle must leave _LIVE"
+    # idempotent: a second release (and the context-manager path) must
+    # not raise even though the handle is no longer tracked
+    res.release()
+    with ranks.ranked_by_group(df, "event_type", ["event_id"])[2]:
+        pass
+    assert not ranks._LIVE
+
+
 def test_distributed_ranks_hard_teardown_destroys_broadcast(spark):
     """The destroy=True teardown path (review r11): a live handle hard-
     destroys its broadcast; a handle that was ALREADY soft-released must

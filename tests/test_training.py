@@ -285,3 +285,27 @@ def test_temperature_resample_flattens_toward_uniform(spark):
     assert {k: tuple(v) for k, v in rows.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+def test_temperature_resample_excludes_null_source(spark):
+    """ADVICE r11: NULL-source docs can never match the kept-count
+    inner join, so a NULL-source stats row would report rate > 0 with
+    n_kept = 0 — misleading. They are excluded up front; attributed
+    sources must be audited exactly as if the NULL docs were absent."""
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.operators.training import (
+        temperature_resample,
+    )
+
+    base = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 200, "big").otherwise("small").alias("source"),
+    )
+    with_nulls = spark.range(300, 340).select(
+        F.col("id").alias("doc_id"), F.lit(None).cast("string").alias("source")
+    ).unionByName(base)
+    got = {r.source: tuple(r) for r in temperature_resample(with_nulls).collect()}
+    want = {r.source: tuple(r) for r in temperature_resample(base).collect()}
+    assert None not in got, "NULL-source row must not appear in the audit"
+    assert got == want, "attributed sources must be unaffected by NULL docs"

@@ -71,6 +71,15 @@ class RankResources:
         self.released = False
 
     def release(self, destroy: bool = False) -> None:
+        # A released handle must not keep consuming an eviction slot or
+        # stay strongly referenced (ADVICE r11: release() previously
+        # left self in _LIVE, pinning the Python broadcast wrapper —
+        # and thus the JVM block — until four newer computations
+        # evicted it or the global cleanup ran).
+        try:
+            _LIVE.remove(self)
+        except ValueError:
+            pass  # evicted / globally released already
         if self.released:
             if destroy and self._broadcast is not None:
                 # soft-released earlier, hard teardown requested now

@@ -1298,7 +1298,15 @@ def temperature_resample(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     the corpus) and the filtered re-count after a join against that
     tiny relation (AQE broadcasts it from measured size; unhinted per
     the broadcast policy since source cardinality is data-derived).
-    No corpus-wide window, no driver collect."""
+    No corpus-wide window, no driver collect.
+
+    NULL-source documents are excluded up front (ADVICE r11): the
+    kept-count inner join on ``source`` can never match a NULL key, so
+    without the filter the audit would report rate > 0 with n_kept = 0
+    for a NULL-source row — a misleading row, not a wrong keep
+    decision. A mixture policy has no rate for an unattributed source;
+    route such docs to a quarantine/default source upstream."""
+    docs = docs.where(F.col("source").isNotNull())
     stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
         # integer sqrt: exact + engine-stable (see RESAMPLE_TEMPERATURE)
         "w",
@@ -1366,7 +1374,7 @@ ORACLES["q_mixture_temperature"] = f"""
         SELECT source, n_docs,
                CAST(floor(sqrt(n_docs::DOUBLE)) AS BIGINT) AS w
         FROM (SELECT source, count(1)::BIGINT AS n_docs
-              FROM documents GROUP BY source)
+              FROM documents WHERE source IS NOT NULL GROUP BY source)
     ),
     tot AS (
         SELECT source, n_docs, w,

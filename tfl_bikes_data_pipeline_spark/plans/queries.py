@@ -413,7 +413,17 @@ def q_quantiles_scaleout(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-null values, matching aggregate null semantics). ceil(p·N) is
     a single correctly-rounded double multiply on both engines —
     deterministic, unlike summed-float thresholds (review r11,
-    q_mixture_temperature postmortem)."""
+    q_mixture_temperature postmortem).
+
+    Memory footprint (ADVICE r11): the rank recipe persists a
+    MEMORY_AND_DISK sorted copy of the (projected) events relation for
+    the returned frame's lifetime; the handle is deliberately NOT
+    released here because the frame is returned LAZY — releasing
+    before the caller's action would just re-run the range exchange
+    inside that action, silently defeating the persist. Accumulation
+    is bounded at ``functions/ranks._MAX_LIVE`` (4) by eviction, and
+    sweep harnesses release between queries (``bench.py``) once the
+    frame has been consumed."""
     from ..functions.ranks import _totals_expr, ranked_by_group
 
     events = (
