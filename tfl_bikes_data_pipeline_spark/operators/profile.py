@@ -163,6 +163,98 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-HASH-verifiable gate over the SAME HLL++ code path as
+    [[q_approx_distinct]] (verdict r11 task 1: the sketch value itself
+    can never hash-match an exact engine, so the two ``q_approx_*``
+    queries were the only registry entries without a possible driver
+    hash row). The bound check moves INSIDE the plan: per event type,
+    emit the exact distinct count plus ``within_bound`` = (HLL++
+    rsd=0.02 estimate inside the documented ±max(10%·n, 5) interval —
+    the identical interval ``BOUND_ORACLES['q_approx_distinct']``
+    asserts). The DuckDB oracle recomputes the exact count and asserts
+    the literal TRUE, so a sketch estimate outside its error bound
+    flips a boolean and fails the driver hash compare. One relation,
+    two aggregates (exact two-phase distinct + mergeable sketch),
+    joined on the low-cardinality key (AQE broadcasts from measured
+    size)."""
+    events = load_table(spark, sf_dir, "events")
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    est = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+    n = F.col("exact_users").cast("double")
+    tol = F.greatest(F.lit(0.10) * n, F.lit(5.0))
+    a = F.col("approx_users").cast("double")
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            ((a >= F.floor(n - tol)) & (a <= F.ceil(n + tol))).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_approx_quantiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-HASH-verifiable gate over the SAME Greenwald-Khanna code
+    path as [[q_approx_quantiles]] (verdict r11 task 1, twin of
+    [[q_approx_distinct_gate]]): per event type, each
+    ``percentile_approx(value, p, 10000)`` estimate is checked against
+    the DISCRETE order-statistic window at ranks ⌊(p−0.011)·n⌋ and
+    ⌈(p+0.011)·n⌉+1 — the identical clamped rank bounds
+    ``BOUND_ORACLES['q_approx_quantiles']`` uses (order statistics,
+    never interpolated quantiles: interpolation can land strictly
+    between data values and reject a rank-correct sketch). The oracle
+    emits the exact non-null count plus literal TRUEs, so a
+    rank-bound violation fails the driver hash.
+
+    Scale posture: the bounds side sorts each group's values via
+    ``collect_list`` — the exact-quantile single-task memory shape.
+    That is deliberate and GATE-ONLY (differential-harness scale): the
+    production paths stay [[q_approx_quantiles]] (mergeable sketch)
+    and [[q_quantiles_scaleout]] (distributed ranks); this query
+    exists to pin the sketch path's error contract in driver
+    artifacts."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    est = events.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.75, 0.95], 10000).alias("q")
+    )
+    bounds = events.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("value")).alias("vs"),
+        F.count("value").alias("n_values"),
+    )
+    n = F.col("n_values")
+
+    def ok(i: int, p: float) -> Column:
+        lo_rank = F.greatest(F.lit(1), F.floor(F.lit(p - 0.011) * n)).cast("int")
+        hi_rank = F.least(n.cast("int"), (F.ceil(F.lit(p + 0.011) * n) + 1).cast("int"))
+        e = F.col("q").getItem(i)
+        return (e >= F.element_at("vs", lo_rank)) & (
+            e <= F.element_at("vs", hi_rank)
+        )
+
+    return (
+        bounds.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_values",
+            ok(0, 0.25).alias("p25_ok"),
+            ok(1, 0.50).alias("p50_ok"),
+            ok(2, 0.75).alias("p75_ok"),
+            ok(3, 0.95).alias("p95_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
 #: winsorization clip fraction as an integer divisor: k = n div 20 = 5%
 #: per tail. Integer division — no float×count boundary arithmetic to
 #: diverge between engines.
@@ -338,6 +430,8 @@ QUERIES = {
     "q_stats_moments": q_stats_moments,
     "q_approx_distinct": q_approx_distinct,
     "q_approx_quantiles": q_approx_quantiles,
+    "q_approx_distinct_gate": q_approx_distinct_gate,
+    "q_approx_quantiles_gate": q_approx_quantiles_gate,
     "q_winsorized_means": q_winsorized_means,
     "q_drift_psi": q_drift_psi,
 }
@@ -392,6 +486,23 @@ ORACLES: dict[str, str] = {
         FROM s ORDER BY event_type
     """,
 }
+
+# Gate-twin oracles (verdict r11 task 1): the oracle recomputes the
+# EXACT aggregate and asserts literal TRUE for each in-plan bound
+# check — the sketch path's error contract becomes a driver hash row.
+ORACLES["q_approx_distinct_gate"] = """
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+ORACLES["q_approx_quantiles_gate"] = """
+    SELECT event_type,
+           count(value)::BIGINT AS n_values,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p95_ok
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+"""
 
 ORACLES["q_drift_psi"] = f"""
     WITH tagged AS (

@@ -127,58 +127,54 @@ BENCH_QUERIES[:] = list(dict.fromkeys([*BENCH_QUERIES, *QUERIES]))
 
 
 #: Registry HEAD — the driver pins the FIRST ~50 entries of
-#: ``queries()`` each round. Rounds 8-10 drove everything else to
-#: driver-green; this r11 rotation is the CLOSING one: positions 1-2
-#: re-pin the two r10 red rows (value-equal type-rendering gaps, fixed
-#: at the oracle/output-cast level this round — they must re-appear
-#: green), positions 3-38 are the final 36 hash-oracled queries that
-#: have NEVER appeared in a CORRECTNESS artifact (roundtrip/spatial
-#: sources first per r10 verdict task 7 — their correctness previously
-#: rested solely on the pre-r11, laxer local gate), and the tail
-#: backfills with the 14 §2.13 reference queries (oldest driver rows,
-#: r8). Positions 39-41 pin this round's new q_split_leakproof,
-#: q_mixture_temperature and q_quantiles_scaleout in their
-#: introduction round. After this lands, cumulative driver coverage
-#: is 205/207 — everything except
-#: the two bound-oracle ``q_approx_*`` sketches, which are
-#: hash-unpinnable by design. Every name here must carry a full hash
-#: oracle (test_registry_contract enforces it for whatever the driver
-#: actually pins).
+#: ``queries()`` each round. The r11 rotation CLOSED the
+#: never-driver-checked backlog (cumulative coverage 205/207, 50/50
+#: green), so from r12 on the head pins by STALENESS (verdict r11
+#: task 2): new-this-round queries first (introduction-round pin —
+#: the invariant that nothing hash-oracled ships driver-unchecked),
+#: then every remaining query ordered by the round of its most recent
+#: driver-green CORRECTNESS row, oldest first (computed as the union
+#: of CORRECTNESS_r01–r11 over the live registry: 1×r2, 4×r3, 1×r4,
+#: 10×r5, then the r8 block). Positions 1-2 are this round's
+#: q_approx_*_gate twins — the in-plan bound-check gates that make the
+#: two sketch paths driver-HASH-verifiable for the first time (their
+#: sketch-valued siblings stay bound-oracled by design and are the
+#: only registry entries without a possible hash row). Every name
+#: here must carry a full hash oracle (test_registry_contract
+#: enforces it for whatever the driver actually pins).
 REGISTRY_HEAD: tuple[str, ...] = (
-    # 1) the two r10 reds, re-pinned first (r10 verdict task 4)
-    "q_cms_join_estimate", "q_sessionize",
-    # 2) source-format roundtrips + spatial/netCDF (reference S6-S9)
-    "q_csv_roundtrip", "q_orc_roundtrip", "q_json_roundtrip",
-    "q_xlsx_roundtrip", "q_xml_stations", "q_netcdf_weather",
-    "q_spatial_nearest",
-    # 3) multimodal decode/profile tail
-    "q_image_stats", "q_audio_stats", "q_image_resize",
-    "q_audio_resample", "q_media_decode_quarantine",
-    "q_ahash_bucket_profile",
-    # 4) text long tail
-    "q_token_count", "q_pii_scrub", "q_text_bigram_quality",
-    "q_text_repetition", "q_text_chunks", "q_corpus_report",
-    "q_text_boilerplate", "q_textrank_keywords", "q_bpe_merges",
-    "q_vocab_growth",
-    # 5) embedding long tail + skew
-    "q_dedup_hyperplane_lsh", "q_knn_classify_ivf",
-    "q_embed_pca_project", "q_skew_salted_join",
-    # 6) streaming variants never driver-drained
-    "q_stream_sliding", "q_stream_join", "q_stream_dedup_warehouse",
-    "q_stream_dedup_watermark", "q_stream_static_join",
-    "q_stream_checkpoint_resume", "q_stream_json_quarantine",
-    "q_stream_tumbling_warehouse", "q_stream_stateful_counts_warehouse",
-    # 7) new this round — pinned in their introduction round so the
-    #    "everything hash-oracled is driver-checked" invariant survives
-    #    the registry growing (review r11)
-    "q_split_leakproof", "q_mixture_temperature", "q_quantiles_scaleout",
-    # 8) §2.13 backfill to ~50 (already driver-green in r8; if the
-    #    driver pins exactly 50, the overflow drops from THIS group)
-    "q_topk_count", "q_topk_join_count", "q_filter_hour_topk",
-    "q_group_by_hour", "q_moving_avg", "q_case_bucket_count",
-    "q_bucket_by_location", "q_join_cte_inner", "q_star_view",
-    "p_dim_time", "p_fact_build", "p_weather_align",
-    "p_weather_ids", "p_incremental_append",
+    # 1) new this round: the sketch error-contract gates
+    "q_approx_distinct_gate", "q_approx_quantiles_gate",
+    # 2) last driver-green r2-r4 (the embedding/text singletons that
+    #    predate the oracle-differential hardening)
+    "q_text_quality",
+    "q_ann_kmeans_assign", "q_embed_centroid", "q_vector_stats",
+    "q_embed_quantize",
+    "q_ann_brute_arrow",
+    # 3) last driver-green r5: the literal-SQL twin surface
+    "q_sql_view_topk", "q_scalar_subquery", "q_sql_topk_count",
+    "q_sql_topk_join_count", "q_sql_filter_hour_topk",
+    "q_sql_group_by_hour", "q_sql_moving_avg",
+    "q_sql_case_bucket_count", "q_sql_bucket_by_location",
+    "q_sql_star_view",
+    # 4) last driver-green r8, registration order (32 of 41 fit a
+    #    50-slot pin; the 9-name tail — the 7 overflow below plus
+    #    q_parts_supplier_count / q_excess_stock_suppliers — leads the
+    #    r13 head if the driver pins exactly 50)
+    "p_dim_time", "q_pricing_summary", "q_json_props", "q_rollup",
+    "q_count_distinct", "q_semi_anti", "q_rank_lag", "q_quantiles",
+    "q_set_ops", "q_pivot", "q_unpivot", "q_cube", "q_grouping_sets",
+    "q_full_outer", "q_ntile_window", "q_running_total", "q_funnel",
+    "q_cohort_retention", "q_shipping_priority", "q_k_anonymity",
+    "q_local_supplier_volume", "q_time_to_convert",
+    "q_order_priority_check", "q_forecast_revenue",
+    "q_volume_shipping", "q_market_share", "q_product_type_profit",
+    "q_returned_items", "q_ship_delay_buckets",
+    "q_customer_distribution", "q_promo_revenue_share",
+    "q_top_supplier", "q_small_qty_revenue",
+    "q_large_volume_customers", "q_discounted_revenue",
+    "q_waiting_suppliers", "q_sales_opportunity",
+    "q_min_cost_supplier", "q_important_stock",
 )
 
 
