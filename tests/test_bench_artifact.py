@@ -66,13 +66,18 @@ def test_bench_runs_to_completion_and_emits_contract_json():
     health = full["session_health"]
     assert health["calib_before_sec"] > 0 and health["calib_after_sec"] > 0
     assert len(out["calib"]) == 2
-    # normalized headline (r10 verdict task 5): present in both artifacts,
-    # null outside sf0.1 (the r10 reference is an sf0.1 measurement).
+    # normalized headline (r10 verdict task 5; reference re-pinned to
+    # r11 per r11 task 3): present in both artifacts, null outside
+    # sf0.1 (the references are sf0.1 measurements). The retiring r10
+    # base rides in a one-round splice chain.
     assert "steady_total_normalized_sec" in full
-    assert "norm_ref" in full and full["norm_ref"]["round"] == 10
-    assert "steady_norm" in out and "scan_ratio_r10" in out
+    assert "norm_ref" in full and full["norm_ref"]["round"] == 11
+    assert full["norm_ref_chain"][0]["round"] == 10
+    assert "steady_total_normalized_r10_sec" in full
+    assert "steady_norm" in out and "scan_ratio_r11" in out
+    assert "steady_norm_r10" in out
     assert full["steady_total_normalized_sec"] is None  # smoke runs sf0.001
-    assert out["steady_norm"] is None
+    assert out["steady_norm"] is None and out["steady_norm_r10"] is None
     # driver-pinned queries must ALL be benched (verdict r5 #2): the
     # pinned set is exactly the correctness artifact's key set, and
     # every one of those names must appear in the bench set.
