@@ -74,47 +74,91 @@ def _is_streaming(name: str) -> bool:
     return name.startswith(_STREAMING_PREFIX) or name in _STREAMING_EXACT
 
 
-def _interpreted_eligible(plan: str) -> list[str]:
-    """Codegen-eligible operator nodes that executed OUTSIDE every
-    whole-stage-codegen region in a final (post-execution) plan."""
+#: tree line inside a plan section: optional whole-stage-codegen star,
+#: node name, first trailing "(id)". Tree art (`+- : |`) stripped by
+#: the prefix class; `Scan parquet  (1)` yields name "Scan".
+_TREE_NODE = re.compile(r"^[\s:+|-]*(\* )?([A-Za-z][A-Za-z0-9]*)\b[^(\n]*?\((\d+)\)")
+
+
+def _final_tree(plan: str) -> list[tuple[str, str, bool]]:
+    """(name, node_id, in_codegen_region) for every node in the FINAL
+    executed tree(s) — the `== Final Plan ==` section of the main plan
+    and of every AQE subquery; the duplicate `== Initial Plan ==`
+    trees (same operators, pre-runtime ids, no codegen stars) are
+    excluded so nothing is double-counted. Plans without AQE markers
+    (streaming memory-sink relations, trivially-local plans) use the
+    whole tree head."""
+    sections: list[str] = []
+    if "== Final Plan ==" in plan:
+        for chunk in plan.split("== Final Plan ==")[1:]:
+            sections.append(chunk.split("== Initial Plan ==", 1)[0])
+    else:
+        head = plan.split("== Physical Plan ==", 1)[-1]
+        sections.append(head.split("\n\n", 1)[0])
     out = []
-    for line in plan.splitlines():
-        m = re.match(r"\s*\(\d+\) (\w+)", line)
-        if not m:
-            continue
-        node = m.group(1)
-        if node in _CODEGEN_ELIGIBLE and "[codegen id :" not in line:
-            out.append(node)
+    for section in sections:
+        for line in section.splitlines():
+            m = _TREE_NODE.match(line)
+            if m:
+                out.append((m.group(2), m.group(3), bool(m.group(1))))
     return out
 
 
+def _detail_blocks(plan: str) -> dict[str, str]:
+    """node_id -> its detail block ('(N) Name\\n...' sections after the
+    tree), for pushed-filter and codegen-id inspection."""
+    blocks: dict[str, str] = {}
+    for m in re.finditer(r"^\((\d+)\) .*?(?=^\(\d+\) |\Z)", plan, re.M | re.S):
+        blocks.setdefault(m.group(1), m.group(0))
+    return blocks
+
+
 def _metrics(plan: str) -> dict:
+    tree = _final_tree(plan)
+    ids = {i for _, i, _ in tree}
+    details = _detail_blocks(plan)
+    final_details = [details[i] for i in ids if i in details]
+
+    def count(name: str) -> int:
+        return sum(1 for n, _, _ in tree if n == name)
+
+    codegen_ids = set()
+    for d in final_details:
+        codegen_ids.update(re.findall(r"codegen id : (\d+)", d))
+    scans = [d for d in final_details if "PushedFilters: [" in d]
+    pushed = sum(
+        1
+        for d in scans
+        if d.split("PushedFilters: [", 1)[1].split("]", 1)[0].strip()
+    )
+    # eligible-but-unstarred nodes split by CAUSE: a node whose
+    # expressions include array higher-order functions (aggregate /
+    # zip_with / transform / filter — `lambdafunction(` in the detail)
+    # is CodegenFallback BY SPARK DESIGN, the deliberate cost of the
+    # JVM-side vector-math strategy (counted, not a violation); one
+    # without that marker is interpreted for no good reason.
+    interp, hof = [], 0
+    for n, nid, starred in tree:
+        if n in _CODEGEN_ELIGIBLE and not starred:
+            if "lambdafunction(" in details.get(nid, ""):
+                hof += 1
+            else:
+                interp.append(n)
     return {
-        # node ids "(N) Exchange" count each physical node exactly once
-        # (the tree section prints names without ids on ± lines)
-        "exchanges": len(re.findall(r"\(\d+\) Exchange\b", plan)),
-        "broadcasts": len(re.findall(r"\(\d+\) BroadcastExchange\b", plan)),
-        "bhj": len(re.findall(r"\(\d+\) BroadcastHashJoin\b", plan)),
-        "smj": len(re.findall(r"\(\d+\) SortMergeJoin\b", plan)),
-        "bnlj": len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin\b", plan)),
-        "codegen": len(set(re.findall(r"codegen id : (\d+)", plan))),
-        "final": "isFinalPlan=true" in plan,
-        "interp": _interpreted_eligible(plan),
-        # per-scan: "m/n" = scans with non-empty pushed filters / scans.
-        # Line-by-line so a filter list truncated by
-        # spark.sql.maxMetadataStringLength (no closing bracket) still
-        # counts as pushed and can never swallow later lines.
-        "pushed": "{}/{}".format(
-            sum(
-                1
-                for line in plan.splitlines()
-                if "PushedFilters: [" in line
-                and line.split("PushedFilters: [", 1)[1].split("]", 1)[0].strip()
-            ),
-            sum(1 for line in plan.splitlines() if "PushedFilters: [" in line),
-        ),
+        "exchanges": count("Exchange"),
+        "broadcasts": count("BroadcastExchange"),
+        "bhj": count("BroadcastHashJoin"),
+        "smj": count("SortMergeJoin"),
+        "bnlj": count("BroadcastNestedLoopJoin"),
+        "codegen": len(codegen_ids),
+        "final": "isFinalPlan=true" in plan or "== Final Plan ==" not in plan,
+        "interp": interp,
+        "hof": hof,
+        "pushed": f"{pushed}/{len(scans)}",
         "forbidden": [
-            n for n in ("CartesianProduct", "BatchEvalPython") if n in plan
+            n
+            for n in ("CartesianProduct", "BatchEvalPython")
+            if any(t[0] == n for t in tree)
         ],
     }
 
@@ -179,7 +223,7 @@ def main() -> None:
             rows.append({
                 "name": name, "exchanges": -1, "broadcasts": -1, "bhj": -1,
                 "smj": -1, "bnlj": -1, "codegen": -1, "pushed": "0/0",
-                "final": False, "interp": [],
+                "final": False, "interp": [], "hof": 0,
                 "forbidden": [f"ERROR: {exc}"],
                 "build_s": round(time.perf_counter() - t0, 2),
                 "exec_s": None,
@@ -199,23 +243,33 @@ def main() -> None:
         "queries execute bounded driver work here by design)."
         + (
             " Plans are EXECUTED once (`exec_s`) and the metrics read "
-            "from the AQE FINAL plan (`final` = isFinalPlan seen), so "
-            "`codegen` counts real runtime whole-stage regions and "
+            "from the AQE FINAL plan tree only (`== Final Plan ==` "
+            "sections, main + subqueries; the duplicate Initial-Plan "
+            "trees are excluded from every count), so `codegen` counts "
+            "real runtime whole-stage regions (r11 verdict #1). "
             "`interp` lists codegen-ELIGIBLE operators (HashAggregate/"
             "Filter/Project/BHJ/SMJ/ColumnarToRow) left outside every "
-            "region — interpreted for real, not 'not yet annotated' "
-            "(r11 verdict #1). Streaming rows are drained memory-sink "
-            "relations: trivially final, metrics near-empty by design. "
-            "Forbidden nodes are enforced empty by the differential "
-            "gate; this table is the visibility layer on top."
+            "region with NO justifying cause — interpreted for real. "
+            "`hof` counts eligible nodes interpreted because their "
+            "expressions use array higher-order functions (aggregate/"
+            "zip_with/transform — CodegenFallback BY SPARK DESIGN): "
+            "the deliberate cost of the JVM-side vector-math strategy "
+            "(expression-level per-row loops with no Arrow transfer; "
+            "the Arrow-batched alternative is itself declared and "
+            "benched as q_ann_brute_arrow / covariance impl='arrow'), "
+            "counted for visibility, not gated. Streaming rows are "
+            "drained memory-sink relations: trivially final, metrics "
+            "near-empty by design. Forbidden nodes are enforced empty "
+            "by the differential gate; this table is the visibility "
+            "layer on top."
             if executed
             else " PRE-EXECUTION plans (--no-execute): under AQE most "
             "stages acquire codegen ids only at runtime, so `codegen` 0 "
             "means 'not yet annotated', not 'interpreted'."
         ),
         "",
-        "| query | shuffles | broadcasts | BHJ | SMJ | BNLJ | codegen | interp | pushed | build_s | exec_s | forbidden |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "| query | shuffles | broadcasts | BHJ | SMJ | BNLJ | codegen | interp | hof | pushed | build_s | exec_s | forbidden |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         tag = " (stream)" if r["streaming"] else ""
@@ -223,7 +277,7 @@ def main() -> None:
         out.append(
             f"| {r['name']}{tag} | {r['exchanges']} | {r['broadcasts']} | "
             f"{r['bhj']} | {r['smj']} | {r['bnlj']} | {r['codegen']} | "
-            f"{interp} | {r['pushed']} | {r['build_s']} | "
+            f"{interp} | {r['hof'] or ''} | {r['pushed']} | {r['build_s']} | "
             f"{r['exec_s'] if r['exec_s'] is not None else ''} | "
             f"{', '.join(r['forbidden'])} |"
         )
@@ -252,14 +306,24 @@ def main() -> None:
                 )
             if probs:
                 violations.append(f"{name}: {'; '.join(probs)}")
+        hot_hof = sum(by_name[n]["hof"] for n in hot if n in by_name)
         gate_lines = [
             "",
             f"**Hot-query codegen gate** (top-{len(hot)} steady from "
             "BENCH_DETAIL.md, streaming excluded): "
-            + ("**PASS** — every hot final plan runs whole-stage codegen "
-               "with no interpreted eligible operator."
-               if not violations
-               else "**FAIL**\n\n" + "\n".join(f"- {v}" for v in violations)),
+            + (
+                "**PASS** — every hot final plan runs whole-stage "
+                "codegen and no eligible operator is interpreted "
+                "without cause"
+                + (
+                    f" ({hot_hof} hot nodes are HOF-fallback by design, "
+                    "see preamble)."
+                    if hot_hof
+                    else "."
+                )
+                if not violations
+                else "**FAIL**\n\n" + "\n".join(f"- {v}" for v in violations)
+            ),
         ]
 
     out += [
