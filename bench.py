@@ -49,11 +49,12 @@ MAX_LINE = 1900
 # state: sched20_after (healthy ≈ 0.38-0.41s), calib_after vs
 # calib_before (compute degradation), and host load at start.
 SCHED20_AFTER_DEGRADED_SEC = 0.8
-# Cross-round normalization reference (r10 verdict task 5): committed
-# r8→r9→r10 totals drifted +6%/round while matched-conditions A/Bs read
-# ~1.04× — host conditions, not engine drift. The artifact now carries
-# `steady_total_normalized`: this run's steady total rescaled to the r10
-# reference host via the fixed-plan scan_calib macro probe
+# Cross-round normalization (r10 verdict task 5; PRIMARY reference
+# re-pinned to r11 per r11 task 3): committed r8→r9→r10 totals drifted
+# +6%/round while matched-conditions A/Bs read ~1.04× — host
+# conditions, not engine drift. The artifact carries
+# `steady_total_normalized`: this run's steady total rescaled to the
+# r11 reference host via the fixed-plan scan_calib macro probe
 # (steady × ref_scan / this_scan). Both sides use the GEOMETRIC MEAN of
 # the before/after probe readings: the sweep runs between the two
 # probes, so the session's effective scan health lies between them, and
@@ -64,9 +65,10 @@ SCHED20_AFTER_DEGRADED_SEC = 0.8
 # normalized steady BRACKET the engine-attributable delta from the two
 # sides (host faster than ref → raw under-, normalized over-states; and
 # vice versa); matched-conditions interleaved A/Bs remain the
-# per-query arbiter. Reference values are the driver-refreshed r10
-# sf0.1 artifact (BENCH_r10.json / its BENCH_DETAIL.md
-# session_health). Only meaningful at sf0.1 — other scales emit null.
+# per-query arbiter. The retiring r10 reference (driver-refreshed
+# BENCH_r10.json / its BENCH_DETAIL session_health) rides along ONE
+# round as steady_norm_r10 / norm_ref_chain so the series splices.
+# Only meaningful at sf0.1 — other scales emit null.
 R10_REF_STEADY_SEC = 222.363
 # geomean(scan_calib_before=0.892, scan_calib_after=0.484)
 R10_REF_SCAN_CALIB_SEC = 0.657
@@ -319,9 +321,9 @@ def main() -> None:
                         "sf": sf,
                         "cold_total_sec": total,
                         "steady_total_sec": steady_total,
-                        # HEADLINE for cross-round comparison (r10 verdict
-                        # task 5): steady rescaled to the r10 reference
-                        # host by the scan_calib macro-probe ratio. Raw
+                        # HEADLINE for cross-round comparison: steady
+                        # rescaled to the r11 reference host (norm_ref)
+                        # by the scan_calib macro-probe ratio. Raw
                         # seconds answer "how long did THIS session take";
                         # this answers "did the ENGINE get faster/slower".
                         "steady_total_normalized_sec": steady_total_normalized,

@@ -220,14 +220,16 @@ def q_approx_quantiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     production paths stay [[q_approx_quantiles]] (mergeable sketch)
     and [[q_quantiles_scaleout]] (distributed ranks); this query
     exists to pin the sketch path's error contract in driver
-    artifacts."""
+    artifacts. All three aggregates are non-distinct, so sketch and
+    bounds ride ONE groupBy — one scan, one exchange, no re-join
+    (review r12; the distinct-aggregate twin
+    [[q_approx_distinct_gate]] genuinely needs its two-aggregate
+    join)."""
     events = load_table(spark, sf_dir, "events").where(
         F.col("value").isNotNull()
     )
-    est = events.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.25, 0.5, 0.75, 0.95], 10000).alias("q")
-    )
-    bounds = events.groupBy("event_type").agg(
+    agg = events.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.75, 0.95], 10000).alias("q"),
         F.array_sort(F.collect_list("value")).alias("vs"),
         F.count("value").alias("n_values"),
     )
@@ -241,18 +243,14 @@ def q_approx_quantiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             e <= F.element_at("vs", hi_rank)
         )
 
-    return (
-        bounds.join(est, "event_type")
-        .select(
-            "event_type",
-            "n_values",
-            ok(0, 0.25).alias("p25_ok"),
-            ok(1, 0.50).alias("p50_ok"),
-            ok(2, 0.75).alias("p75_ok"),
-            ok(3, 0.95).alias("p95_ok"),
-        )
-        .orderBy("event_type")
-    )
+    return agg.select(
+        "event_type",
+        "n_values",
+        ok(0, 0.25).alias("p25_ok"),
+        ok(1, 0.50).alias("p50_ok"),
+        ok(2, 0.75).alias("p75_ok"),
+        ok(3, 0.95).alias("p95_ok"),
+    ).orderBy("event_type")
 
 
 #: winsorization clip fraction as an integer divisor: k = n div 20 = 5%

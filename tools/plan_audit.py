@@ -19,9 +19,11 @@ codegen ids included, so "interpreted vs codegen" is a signal again.
 The tool also GATES: every hot query (the top-20 by steady seconds in
 the committed sf0.1 BENCH_DETAIL.md, streaming excluded) must show
 whole-stage codegen in its final plan and must not leave a
-codegen-ELIGIBLE operator (Filter / Project / HashAggregate /
-BroadcastHashJoin / SortMergeJoin / Sort / Expand / Window-free nodes)
-outside every codegen region. Exit code 1 on violation.
+codegen-ELIGIBLE operator (exactly the _CODEGEN_ELIGIBLE set: Filter /
+Project / HashAggregate / BroadcastHashJoin / SortMergeJoin /
+ColumnarToRow) outside every codegen region without cause. Exit code 1
+on violation; a missing/unreadable BENCH_DETAIL.md records the gate as
+SKIPPED, never as a vacuous pass.
 
 Usage: python tools/plan_audit.py [--sf-dir /root/testdata/sf0.001]
                                   [--no-execute]
@@ -214,6 +216,11 @@ def main() -> None:
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             m = _metrics(buf.getvalue())
+            if args.no_execute:
+                # a pre-execution tree carries no codegen stars, so
+                # EVERY eligible node would read as interpreted —
+                # meaningless, blank it (review r12)
+                m["interp"], m["hof"] = [], 0
             m["name"] = name
             m["build_s"] = build_s
             m["exec_s"] = exec_s
@@ -265,7 +272,8 @@ def main() -> None:
             if executed
             else " PRE-EXECUTION plans (--no-execute): under AQE most "
             "stages acquire codegen ids only at runtime, so `codegen` 0 "
-            "means 'not yet annotated', not 'interpreted'."
+            "means 'not yet annotated', not 'interpreted'; the "
+            "interp/hof columns are blanked (unmeasurable pre-run)."
         ),
         "",
         "| query | shuffles | broadcasts | BHJ | SMJ | BNLJ | codegen | interp | hof | pushed | build_s | exec_s | forbidden |",
@@ -307,11 +315,17 @@ def main() -> None:
             if probs:
                 violations.append(f"{name}: {'; '.join(probs)}")
         hot_hof = sum(by_name[n]["hof"] for n in hot if n in by_name)
-        gate_lines = [
-            "",
-            f"**Hot-query codegen gate** (top-{len(hot)} steady from "
-            "BENCH_DETAIL.md, streaming excluded): "
-            + (
+        if not hot:
+            # never a vacuous pass: without a usable BENCH_DETAIL.md
+            # there is no hot set to enforce (review r12)
+            verdict = (
+                "**SKIPPED** — no usable sf0.1 BENCH_DETAIL.md to rank "
+                "hot queries; regenerate it and re-run."
+            )
+        elif violations:
+            verdict = "**FAIL**\n\n" + "\n".join(f"- {v}" for v in violations)
+        else:
+            verdict = (
                 "**PASS** — every hot final plan runs whole-stage "
                 "codegen and no eligible operator is interpreted "
                 "without cause"
@@ -321,9 +335,11 @@ def main() -> None:
                     if hot_hof
                     else "."
                 )
-                if not violations
-                else "**FAIL**\n\n" + "\n".join(f"- {v}" for v in violations)
-            ),
+            )
+        gate_lines = [
+            "",
+            f"**Hot-query codegen gate** (top-{len(hot)} steady from "
+            f"BENCH_DETAIL.md, streaming excluded): {verdict}",
         ]
 
     out += [
