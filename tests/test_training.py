@@ -287,6 +287,73 @@ def test_temperature_resample_flattens_toward_uniform(spark):
     }
 
 
+def test_waterfill_resample_hits_target_exactly(spark):
+    """Planted skew with a real cap set: sources tiny(4)/small(100)/
+    big(1600) → w = 2/10/40, total 1704, K = 852, W = 52. Greedy in
+    cap-point order (2, 10, 40): tiny caps (852·2 ≥ 4·52), small caps
+    (848·10 ≥ 100·50), big does not (748·40 < 1600·40) → s = 748/40,
+    rate_big = 748/1600 = 0.4675 exactly. The water-filling identity
+    Σ_capped n + s·Σ_unc w = K must hold as rationals (the bias
+    temperature_resample documents), realized kept mass must land
+    nearer the target than the one-pass form's, and a second run is
+    identical."""
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.operators.training import (
+        temperature_resample,
+        waterfill_resample,
+    )
+
+    docs = spark.range(1704).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1600, "big")
+        .when(F.col("id") < 1700, "small")
+        .otherwise("tiny")
+        .alias("source"),
+    )
+    rows = {r.source: r for r in waterfill_resample(docs).collect()}
+    assert rows["tiny"].capped and rows["small"].capped
+    assert not rows["big"].capped
+    assert rows["tiny"].rate == 1.0 and rows["small"].rate == 1.0
+    assert abs(rows["big"].rate - 0.4675) < 1e-12
+    # exactness identity: capped mass + s·w_big = K, as integers
+    k_target = 1704 // 2
+    assert 4 + 100 + 748 == k_target
+    # capped sources keep EVERYTHING (no coin for them)
+    assert rows["tiny"].n_kept == 4 and rows["small"].n_kept == 100
+    # realized total tracks the target up to hash noise, and beats the
+    # one-pass form's documented undershoot on the same corpus
+    kept_wf = sum(r.n_kept for r in rows.values())
+    kept_onepass = sum(
+        r.n_kept for r in temperature_resample(docs).collect()
+    )
+    assert abs(kept_wf - k_target) < 0.06 * 1704
+    assert kept_wf > kept_onepass, (kept_wf, kept_onepass)
+    again = {r.source: tuple(r) for r in waterfill_resample(docs).collect()}
+    assert again == {k: tuple(v) for k, v in rows.items()}
+
+
+def test_waterfill_resample_excludes_null_source(spark):
+    """NULL-source docs are excluded up front (same policy and reason
+    as temperature_resample — the kept join can never match NULL)."""
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.operators.training import (
+        waterfill_resample,
+    )
+
+    base = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 200, "big").otherwise("small").alias("source"),
+    )
+    with_nulls = spark.range(300, 340).select(
+        F.col("id").alias("doc_id"), F.lit(None).cast("string").alias("source")
+    ).unionByName(base)
+    got = {r.source: tuple(r) for r in waterfill_resample(with_nulls).collect()}
+    want = {r.source: tuple(r) for r in waterfill_resample(base).collect()}
+    assert None not in got and got == want
+
+
 def test_temperature_resample_excludes_null_source(spark):
     """ADVICE r11: NULL-source docs can never match the kept-count
     inner join, so a NULL-source stats row would report rate > 0 with

@@ -1410,3 +1410,207 @@ ORACLES["q_mixture_temperature"] = f"""
 
 QUERIES["q_mixture_temperature"] = q_mixture_temperature
 BENCH.append("q_mixture_temperature")
+
+
+# ---------------------------------------------------------------------------
+# exact water-filled temperature mixture — closes temperature_resample's
+# documented cap-undershoot bias
+# ---------------------------------------------------------------------------
+
+def waterfill_resample(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Per-source audit of EXACT temperature-flattened resampling —
+    the renormalizing pass :func:`temperature_resample` documents as
+    out of scope ("iterative water-filling"): capped sources' unused
+    keep mass is redistributed so the expected kept total hits the
+    integer target K = total·KEEP_NUM div KEEP_DEN EXACTLY (the
+    one-pass form undershoots by the stranded mass).
+
+    Water-filling needs no iteration: find the scale s ≥ 0 with
+    Σᵢ min(nᵢ, s·wᵢ) = K (w = floor(sqrt(n)), τ=2). A source caps when
+    s ≥ nᵢ/wᵢ, so sorted by cap point ascending the capped set is a
+    PREFIX, and the greedy "row r caps iff the scale implied by the
+    prefix before it still reaches its cap point" is per-row window
+    math: cond_r = (K − Σ_{<r} n)·w_r ≥ n_r·(W − Σ_{<r} w), capped_r =
+    every(cond) over the prefix (once a row fails, every later row has
+    a higher cap point and the same remaining mass, so it fails too).
+    Then s = num*/den* with num* = K − Σ_capped n, den* = W − Σ_capped w.
+
+    Engine-exactness discipline (q_mixture_temperature postmortem):
+    every DECISION is cross-multiplied DECIMAL(38,0) integer
+    arithmetic — cond_r above, and the per-document keep coin
+    h32·den*·nᵢ < num*·wᵢ·2³² for uncapped sources (capped keep all;
+    num*·wᵢ·2³² ≤ ~1e30 at 100 TB corpus counts, well inside 38
+    digits). The ONLY float is the sort key nᵢ/wᵢ — a single IEEE-754
+    division, correctly rounded and bit-identical in both engines,
+    with the source as unique tie-break. The ``rate`` column is
+    display-only (round 6). NULL-source documents are excluded up
+    front (same policy as temperature_resample).
+
+    Exactness invariant (pinned by test): Σᵢ exact-expected-kept =
+    Σ_capped nᵢ + s·Σ_uncapped wᵢ = K precisely, as rationals.
+
+    Scale shape: identical to temperature_resample — one map-combined
+    per-source count, window math over the ≤#sources stats relation
+    (never the corpus), one corpus join against that tiny relation
+    (AQE broadcasts from measured size) and a filtered re-count.
+    Returns (source, n_docs, capped, rate, n_kept) ordered by source."""
+    docs = docs.where(F.col("source").isNotNull())
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
+        "w", F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long")
+    )
+    w_all = Window.partitionBy()  # ≤ #sources rows by construction
+    ordered = (
+        Window.partitionBy()
+        .orderBy(
+            (F.col("n_docs").cast("double") / F.col("w").cast("double")).asc(),
+            F.col("source").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = stats.select(
+        "source",
+        "n_docs",
+        "w",
+        F.expr(
+            f"(sum(n_docs) over () * {RESAMPLE_KEEP_NUM}) div {RESAMPLE_KEEP_DEN}"
+        ).alias("k_target"),
+        F.sum("w").over(w_all).alias("w_total"),
+        (F.sum("n_docs").over(ordered) - F.col("n_docs")).alias("cum_n_prev"),
+        (F.sum("w").over(ordered) - F.col("w")).alias("cum_w_prev"),
+    )
+    cond = (
+        (F.col("k_target") - F.col("cum_n_prev")).cast(_DEC) * F.col("w").cast(_DEC)
+        >= F.col("n_docs").cast(_DEC)
+        * (F.col("w_total") - F.col("cum_w_prev")).cast(_DEC)
+    )
+    flagged = ranked.withColumn("cond", cond).withColumn(
+        "capped", F.min(F.col("cond").cast("int")).over(ordered) == 1
+    )
+    rates = flagged.select(
+        "source",
+        "n_docs",
+        "w",
+        "capped",
+        (
+            F.col("k_target")
+            - F.sum(F.when(F.col("capped"), F.col("n_docs")).otherwise(0)).over(w_all)
+        ).alias("num_star"),
+        (
+            F.col("w_total")
+            - F.sum(F.when(F.col("capped"), F.col("w")).otherwise(0)).over(w_all)
+        ).alias("den_star"),
+    ).select(
+        "source",
+        "n_docs",
+        "capped",
+        # coin predicate sides (integers; capped rows keep everything)
+        (F.col("den_star").cast(_DEC) * F.col("n_docs").cast(_DEC)).alias(
+            "lhs_scale"
+        ),
+        (
+            F.col("num_star").cast(_DEC)
+            * F.col("w").cast(_DEC)
+            * F.lit(_HASH32_DENOM).cast(_DEC)
+        ).alias("rhs"),
+        F.when(F.col("capped"), F.lit(1.0))
+        .otherwise(
+            F.round(
+                F.col("num_star").cast("double")
+                * F.col("w").cast("double")
+                / F.col("den_star").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            )
+        )
+        .alias("rate"),
+    )
+    h32 = _md5_uint(key, 8)
+    kept = (
+        docs.join(rates.select("source", "capped", "lhs_scale", "rhs"), "source")
+        .where(F.col("capped") | (h32.cast(_DEC) * F.col("lhs_scale") < F.col("rhs")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "capped",
+            "rate",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-target temperature mixture audit over the documents
+    corpus — the water-filled twin of [[q_mixture_temperature]] (which
+    documents its cap-undershoot as the standard one-pass behavior;
+    this query is the renormalized planner a budgeted pretraining run
+    actually wants)."""
+    return waterfill_resample(load_table(spark, sf_dir, "documents"))
+
+
+ORACLES["q_mixture_waterfill"] = f"""
+    WITH stats AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt(n_docs::DOUBLE)) AS BIGINT) AS w
+        FROM (SELECT source, count(1)::BIGINT AS n_docs
+              FROM documents WHERE source IS NOT NULL GROUP BY source)
+    ),
+    ranked AS (
+        SELECT source, n_docs, w,
+               CAST(sum(n_docs) OVER () * {RESAMPLE_KEEP_NUM}
+                    // {RESAMPLE_KEEP_DEN} AS BIGINT) AS k_target,
+               CAST(sum(w) OVER () AS BIGINT) AS w_total,
+               CAST(sum(n_docs) OVER ord - n_docs AS BIGINT) AS cum_n_prev,
+               CAST(sum(w) OVER ord - w AS BIGINT) AS cum_w_prev
+        FROM stats
+        WINDOW ord AS (ORDER BY n_docs::DOUBLE / w::DOUBLE, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    flagged AS (
+        SELECT *,
+               bool_and((k_target - cum_n_prev)::DECIMAL(38,0) * w
+                        >= n_docs::DECIMAL(38,0) * (w_total - cum_w_prev))
+                   OVER (ORDER BY n_docs::DOUBLE / w::DOUBLE, source
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS capped
+        FROM ranked
+    ),
+    rates AS (
+        SELECT source, n_docs, capped,
+               ((w_total - sum(CASE WHEN capped THEN w ELSE 0 END) OVER ())
+                ::DECIMAL(38,0) * n_docs) AS lhs_scale,
+               ((k_target - sum(CASE WHEN capped THEN n_docs ELSE 0 END)
+                 OVER ())::DECIMAL(38,0) * w * {_HASH32_DENOM}) AS rhs,
+               CASE WHEN capped THEN 1.0
+                    ELSE round((k_target
+                                - sum(CASE WHEN capped THEN n_docs ELSE 0 END)
+                                  OVER ())::DOUBLE
+                               * w::DOUBLE
+                               / (w_total
+                                  - sum(CASE WHEN capped THEN w ELSE 0 END)
+                                    OVER ())::DOUBLE
+                               / n_docs::DOUBLE, 6)
+               END AS rate
+        FROM flagged
+    ),
+    kept AS (
+        SELECT d.source, count(1)::BIGINT AS n_kept
+        FROM documents d JOIN rates r USING (source)
+        WHERE r.capped
+           OR ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+              ::DECIMAL(38,0) * r.lhs_scale < r.rhs
+        GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs, r.capped, r.rate,
+           coalesce(k.n_kept, 0)::BIGINT AS n_kept
+    FROM rates r LEFT JOIN kept k USING (source)
+    ORDER BY r.source
+"""
+
+QUERIES["q_mixture_waterfill"] = q_mixture_waterfill
+BENCH.append("q_mixture_waterfill")

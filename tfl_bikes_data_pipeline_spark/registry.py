@@ -143,8 +143,10 @@ BENCH_QUERIES[:] = list(dict.fromkeys([*BENCH_QUERIES, *QUERIES]))
 #: here must carry a full hash oracle (test_registry_contract
 #: enforces it for whatever the driver actually pins).
 REGISTRY_HEAD: tuple[str, ...] = (
-    # 1) new this round: the sketch error-contract gates
+    # 1) new this round: the sketch error-contract gates + the exact
+    #    water-filled mixture planner
     "q_approx_distinct_gate", "q_approx_quantiles_gate",
+    "q_mixture_waterfill",
     # 2) last driver-green r2-r4 (the embedding/text singletons that
     #    predate the oracle-differential hardening)
     "q_text_quality",
@@ -157,8 +159,8 @@ REGISTRY_HEAD: tuple[str, ...] = (
     "q_sql_group_by_hour", "q_sql_moving_avg",
     "q_sql_case_bucket_count", "q_sql_bucket_by_location",
     "q_sql_star_view",
-    # 4) last driver-green r8, registration order (32 of 41 fit a
-    #    50-slot pin; the 9-name tail — the 7 overflow below plus
+    # 4) last driver-green r8, registration order (31 of 41 fit a
+    #    50-slot pin; the 10-name tail — the 8 overflow below plus
     #    q_parts_supplier_count / q_excess_stock_suppliers — leads the
     #    r13 head if the driver pins exactly 50)
     "p_dim_time", "q_pricing_summary", "q_json_props", "q_rollup",
