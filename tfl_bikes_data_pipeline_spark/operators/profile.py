@@ -174,31 +174,25 @@ def q_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical interval ``BOUND_ORACLES['q_approx_distinct']``
     asserts). The DuckDB oracle recomputes the exact count and asserts
     the literal TRUE, so a sketch estimate outside its error bound
-    flips a boolean and fails the driver hash compare. One relation,
-    two aggregates (exact two-phase distinct + mergeable sketch),
-    joined on the low-cardinality key (AQE broadcasts from measured
-    size)."""
+    flips a boolean and fails the driver hash compare. ONE groupBy
+    computes both sides (a single distinct aggregate alongside a
+    non-distinct one plans the two-phase distinct with the sketch
+    riding as a partial — one scan, one exchange chain, no join and no
+    Expand; review r12 measured the earlier two-aggregate-join form as
+    a pure second corpus scan)."""
     events = load_table(spark, sf_dir, "events")
-    exact = events.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_users")
-    )
-    est = events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    agg = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
     )
     n = F.col("exact_users").cast("double")
     tol = F.greatest(F.lit(0.10) * n, F.lit(5.0))
     a = F.col("approx_users").cast("double")
-    return (
-        exact.join(est, "event_type")
-        .select(
-            "event_type",
-            "exact_users",
-            ((a >= F.floor(n - tol)) & (a <= F.ceil(n + tol))).alias(
-                "within_bound"
-            ),
-        )
-        .orderBy("event_type")
-    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        ((a >= F.floor(n - tol)) & (a <= F.ceil(n + tol))).alias("within_bound"),
+    ).orderBy("event_type")
 
 
 def q_approx_quantiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,11 +214,9 @@ def q_approx_quantiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     production paths stay [[q_approx_quantiles]] (mergeable sketch)
     and [[q_quantiles_scaleout]] (distributed ranks); this query
     exists to pin the sketch path's error contract in driver
-    artifacts. All three aggregates are non-distinct, so sketch and
-    bounds ride ONE groupBy — one scan, one exchange, no re-join
-    (review r12; the distinct-aggregate twin
-    [[q_approx_distinct_gate]] genuinely needs its two-aggregate
-    join)."""
+    artifacts. All three aggregates ride ONE groupBy — one scan, one
+    exchange, no re-join (review r12, same shape as
+    [[q_approx_distinct_gate]])."""
     events = load_table(spark, sf_dir, "events").where(
         F.col("value").isNotNull()
     )

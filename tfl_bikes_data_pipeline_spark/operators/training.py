@@ -1263,6 +1263,30 @@ _HASH32_DENOM = 1 << 32
 _DEC = "decimal(38,0)"
 
 
+def _tau2_source_stats(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(non-NULL-source docs, per-source stats) shared by the τ=2
+    mixture family — one definition of the NULL-source policy and the
+    integer-sqrt weight (exact + engine-stable, see
+    RESAMPLE_TEMPERATURE) so the one-pass and water-filled twins can
+    never silently diverge (review r12; same rationale as _md5_uint)."""
+    docs = docs.where(F.col("source").isNotNull())
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long"),
+    )
+    return docs, stats
+
+
+#: the stats CTE both τ=2 mixture oracles splice — the DuckDB twin of
+#: :func:`_tau2_source_stats`, single-sourced for the same reason.
+_TAU2_STATS_CTE = """stats AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt(n_docs::DOUBLE)) AS BIGINT) AS w
+        FROM (SELECT source, count(1)::BIGINT AS n_docs
+              FROM documents WHERE source IS NOT NULL GROUP BY source)
+    )"""
+
+
 def temperature_resample(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     """Per-source audit of temperature-flattened resampling — the
     standard pretraining mixture move (multilingual/source balancing):
@@ -1306,12 +1330,7 @@ def temperature_resample(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     for a NULL-source row — a misleading row, not a wrong keep
     decision. A mixture policy has no rate for an unattributed source;
     route such docs to a quarantine/default source upstream."""
-    docs = docs.where(F.col("source").isNotNull())
-    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
-        # integer sqrt: exact + engine-stable (see RESAMPLE_TEMPERATURE)
-        "w",
-        F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long"),
-    )
+    docs, stats = _tau2_source_stats(docs)
     w_all = Window.partitionBy()  # ≤ #sources rows by construction
     denom = F.sum("w").over(w_all)  # INTEGER sum — order-free, exact
     total = F.sum("n_docs").over(w_all)
@@ -1370,12 +1389,7 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_mixture_temperature"] = f"""
-    WITH stats AS (
-        SELECT source, n_docs,
-               CAST(floor(sqrt(n_docs::DOUBLE)) AS BIGINT) AS w
-        FROM (SELECT source, count(1)::BIGINT AS n_docs
-              FROM documents WHERE source IS NOT NULL GROUP BY source)
-    ),
+    WITH {_TAU2_STATS_CTE},
     tot AS (
         SELECT source, n_docs, w,
                CAST(sum(w) OVER () AS BIGINT) AS denom,
@@ -1454,10 +1468,7 @@ def waterfill_resample(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     (never the corpus), one corpus join against that tiny relation
     (AQE broadcasts from measured size) and a filtered re-count.
     Returns (source, n_docs, capped, rate, n_kept) ordered by source."""
-    docs = docs.where(F.col("source").isNotNull())
-    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
-        "w", F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long")
-    )
+    docs, stats = _tau2_source_stats(docs)
     w_all = Window.partitionBy()  # ≤ #sources rows by construction
     ordered = (
         Window.partitionBy()
@@ -1554,12 +1565,7 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_mixture_waterfill"] = f"""
-    WITH stats AS (
-        SELECT source, n_docs,
-               CAST(floor(sqrt(n_docs::DOUBLE)) AS BIGINT) AS w
-        FROM (SELECT source, count(1)::BIGINT AS n_docs
-              FROM documents WHERE source IS NOT NULL GROUP BY source)
-    ),
+    WITH {_TAU2_STATS_CTE},
     ranked AS (
         SELECT source, n_docs, w,
                CAST(sum(n_docs) OVER () * {RESAMPLE_KEEP_NUM}

@@ -56,6 +56,13 @@ from tfl_bikes_data_pipeline_spark.session import get_spark
 _STREAMING_PREFIX = "q_stream_"
 _STREAMING_EXACT = ("q_session_window",)
 
+#: aggregate functions with TypedImperativeAggregate buffers — a
+#: HashAggregate evaluating one is CodegenFallback in every Spark.
+_IMPERATIVE_AGG = re.compile(
+    r"approx_count_distinct|percentile_approx|approx_percentile|"
+    r"collect_list|collect_set|count_min_sketch|hll_sketch|pivotfirst"
+)
+
 #: operators that whole-stage codegen CAN fuse — one of these printed
 #: without a `[codegen id : k]` annotation in an EXECUTED plan is a
 #: genuinely interpreted hot operator. Conservative set: nodes with
@@ -84,25 +91,58 @@ _TREE_NODE = re.compile(r"^[\s:+|-]*(\* )?([A-Za-z][A-Za-z0-9]*)\b[^(\n]*?\((\d+
 
 def _final_tree(plan: str) -> list[tuple[str, str, bool]]:
     """(name, node_id, in_codegen_region) for every node in the FINAL
-    executed tree(s) — the `== Final Plan ==` section of the main plan
-    and of every AQE subquery; the duplicate `== Initial Plan ==`
-    trees (same operators, pre-runtime ids, no codegen stars) are
-    excluded so nothing is double-counted. Plans without AQE markers
-    (streaming memory-sink relations, trivially-local plans) use the
-    whole tree head."""
-    sections: list[str] = []
-    if "== Final Plan ==" in plan:
-        for chunk in plan.split("== Final Plan ==")[1:]:
-            sections.append(chunk.split("== Initial Plan ==", 1)[0])
-    else:
-        head = plan.split("== Physical Plan ==", 1)[-1]
-        sections.append(head.split("\n\n", 1)[0])
-    out = []
-    for section in sections:
-        for line in section.splitlines():
+    executed tree(s), deduplicated by node id.
+
+    The naive split-on-markers approach is WRONG for caching plans
+    (review r12, verified on q_dedup_containment): an
+    ``InMemoryRelation`` prints its cached ``AdaptiveSparkPlan`` —
+    nested ``== Final Plan ==`` / ``== Initial Plan ==`` markers
+    included — INLINE inside the outer final tree, once per
+    ``InMemoryTableScan`` reference, so a global split truncates the
+    outer final tree at the first cache reference and re-captures each
+    cached fragment per reference. Instead this walks tree blocks
+    line-by-line with an indentation stack: an ``== Initial Plan ==``
+    marker at first-non-space position p excludes lines until one
+    returns to position ≤ p (nested cached-plan blocks are
+    pure-space-indented deeper than their marker; the resuming outer
+    tree art sits far left of it). Duplicate prints of a shared cached
+    subtree carry the SAME node ids, so id-dedup keeps each physical
+    node exactly once. Only tree blocks are scanned (the main
+    ``== Physical Plan ==`` block and any ``Subquery:`` blocks) —
+    detail sections can contain `name(digits)` lookalikes. Plans
+    without AQE markers (streaming memory-sink relations) parse
+    whole."""
+    entries: list[tuple[str, str, bool]] = []
+    for block in re.split(r"\n\s*\n", plan):
+        lines = [ln for ln in block.splitlines() if ln.strip()]
+        if not lines:
+            continue
+        first = lines[0]
+        if not (
+            first.startswith("== Physical Plan ==")
+            or first.lstrip().startswith("Subquery")
+        ):
+            continue
+        excl: list[int] = []  # first-non-space positions of live Initial markers
+        for line in lines:
+            stripped = line.strip()
+            pos = len(line) - len(line.lstrip(" "))
+            while excl and pos <= excl[-1]:
+                excl.pop()
+            if stripped.endswith("== Initial Plan =="):
+                excl.append(pos)
+                continue
+            if stripped.endswith("== Final Plan ==") or excl:
+                continue
             m = _TREE_NODE.match(line)
             if m:
-                out.append((m.group(2), m.group(3), bool(m.group(1))))
+                entries.append((m.group(2), m.group(3), bool(m.group(1))))
+    seen: set[str] = set()
+    out = []
+    for name, nid, starred in entries:
+        if nid not in seen:
+            seen.add(nid)
+            out.append((name, nid, starred))
     return out
 
 
@@ -117,6 +157,20 @@ def _detail_blocks(plan: str) -> dict[str, str]:
 
 def _metrics(plan: str) -> dict:
     tree = _final_tree(plan)
+    # AQE empty-relation propagation: a query returning 0 rows at the
+    # audit scale collapses its executed final plan to EmptyRelation —
+    # all-zero metrics that are true but shape-free. Take the SHAPE
+    # columns from the Initial plan instead (swap the markers and
+    # re-walk), blank interp/fallback (no codegen stars pre-run), and
+    # tag the row so a reader knows why codegen reads 0.
+    empty_final = any(n == "EmptyRelation" for n, _, _ in tree)
+    if empty_final:
+        swapped = (
+            plan.replace("== Initial Plan ==", "@@SWAP@@")
+            .replace("== Final Plan ==", "== Initial Plan ==")
+            .replace("@@SWAP@@", "== Final Plan ==")
+        )
+        tree = _final_tree(swapped)
     ids = {i for _, i, _ in tree}
     details = _detail_blocks(plan)
     final_details = [details[i] for i in ids if i in details]
@@ -133,20 +187,28 @@ def _metrics(plan: str) -> dict:
         for d in scans
         if d.split("PushedFilters: [", 1)[1].split("]", 1)[0].strip()
     )
-    # eligible-but-unstarred nodes split by CAUSE: a node whose
-    # expressions include array higher-order functions (aggregate /
-    # zip_with / transform / filter — `lambdafunction(` in the detail)
-    # is CodegenFallback BY SPARK DESIGN, the deliberate cost of the
-    # JVM-side vector-math strategy (counted, not a violation); one
-    # without that marker is interpreted for no good reason.
-    interp, hof = [], 0
-    for n, nid, starred in tree:
-        if n in _CODEGEN_ELIGIBLE and not starred:
-            if "lambdafunction(" in details.get(nid, ""):
-                hof += 1
-            else:
-                interp.append(n)
+    # eligible-but-unstarred nodes split by CAUSE: CodegenFallback BY
+    # SPARK DESIGN is counted, not a violation — (a) array higher-order
+    # functions (aggregate / zip_with / transform / filter lambdas —
+    # `lambdafunction(` in the detail), the deliberate cost of the
+    # JVM-side vector-math strategy; (b) a HashAggregate evaluating a
+    # TypedImperativeAggregate (sketch/collection buffers: HLL++, GK
+    # percentile, collect_*, CMS), which whole-stage codegen cannot
+    # fuse in any Spark. Anything else is interpreted for no good
+    # reason.
+    interp, fallback = [], 0
+    if not empty_final:
+        for n, nid, starred in tree:
+            if n in _CODEGEN_ELIGIBLE and not starred:
+                d = details.get(nid, "")
+                if "lambdafunction(" in d or (
+                    n == "HashAggregate" and _IMPERATIVE_AGG.search(d)
+                ):
+                    fallback += 1
+                else:
+                    interp.append(n)
     return {
+        "empty_final": empty_final,
         "exchanges": count("Exchange"),
         "broadcasts": count("BroadcastExchange"),
         "bhj": count("BroadcastHashJoin"),
@@ -155,7 +217,7 @@ def _metrics(plan: str) -> dict:
         "codegen": len(codegen_ids),
         "final": "isFinalPlan=true" in plan or "== Final Plan ==" not in plan,
         "interp": interp,
-        "hof": hof,
+        "fallback": fallback,
         "pushed": f"{pushed}/{len(scans)}",
         "forbidden": [
             n
@@ -220,7 +282,7 @@ def main() -> None:
                 # a pre-execution tree carries no codegen stars, so
                 # EVERY eligible node would read as interpreted —
                 # meaningless, blank it (review r12)
-                m["interp"], m["hof"] = [], 0
+                m["interp"], m["fallback"] = [], 0
             m["name"] = name
             m["build_s"] = build_s
             m["exec_s"] = exec_s
@@ -230,7 +292,8 @@ def main() -> None:
             rows.append({
                 "name": name, "exchanges": -1, "broadcasts": -1, "bhj": -1,
                 "smj": -1, "bnlj": -1, "codegen": -1, "pushed": "0/0",
-                "final": False, "interp": [], "hof": 0,
+                "final": False, "interp": [], "fallback": 0,
+                "empty_final": False,
                 "forbidden": [f"ERROR: {exc}"],
                 "build_s": round(time.perf_counter() - t0, 2),
                 "exec_s": None,
@@ -250,42 +313,50 @@ def main() -> None:
         "queries execute bounded driver work here by design)."
         + (
             " Plans are EXECUTED once (`exec_s`) and the metrics read "
-            "from the AQE FINAL plan tree only (`== Final Plan ==` "
-            "sections, main + subqueries; the duplicate Initial-Plan "
-            "trees are excluded from every count), so `codegen` counts "
-            "real runtime whole-stage regions (r11 verdict #1). "
-            "`interp` lists codegen-ELIGIBLE operators (HashAggregate/"
-            "Filter/Project/BHJ/SMJ/ColumnarToRow) left outside every "
-            "region with NO justifying cause — interpreted for real. "
-            "`hof` counts eligible nodes interpreted because their "
-            "expressions use array higher-order functions (aggregate/"
-            "zip_with/transform — CodegenFallback BY SPARK DESIGN): "
-            "the deliberate cost of the JVM-side vector-math strategy "
-            "(expression-level per-row loops with no Arrow transfer; "
-            "the Arrow-batched alternative is itself declared and "
-            "benched as q_ann_brute_arrow / covariance impl='arrow'), "
-            "counted for visibility, not gated. Streaming rows are "
-            "drained memory-sink relations: trivially final, metrics "
-            "near-empty by design. Forbidden nodes are enforced empty "
-            "by the differential gate; this table is the visibility "
-            "layer on top."
+            "from the executed FINAL tree only — Initial-Plan "
+            "duplicates excluded via an indentation-aware walk (cached "
+            "InMemoryRelations print their adaptive plans, markers and "
+            "all, INLINE in the outer tree, so naive marker-splitting "
+            "both truncates and double-counts; nodes dedup by id) — so "
+            "`codegen` counts real runtime whole-stage regions (r11 "
+            "verdict #1). `interp` lists codegen-ELIGIBLE operators "
+            "(HashAggregate/Filter/Project/BHJ/SMJ/ColumnarToRow) left "
+            "outside every region with NO justifying cause — "
+            "interpreted for real. `fallback` counts eligible nodes "
+            "whose interpretation is Spark-design CodegenFallback: "
+            "array higher-order-function lambdas (the deliberate cost "
+            "of the JVM-side vector-math strategy; the Arrow-batched "
+            "alternative is itself declared and benched as "
+            "q_ann_brute_arrow / covariance impl='arrow') and "
+            "TypedImperativeAggregate buffers (HLL++/GK/collect_*/"
+            "CMS) — counted for visibility, not gated. Streaming rows "
+            "are drained memory-sink relations: trivially final, "
+            "metrics near-empty by design. Rows tagged "
+            "(empty@audit-sf) returned 0 rows at the audit scale, so "
+            "AQE collapsed their executed final plan to EmptyRelation "
+            "— their SHAPE columns read from the Initial plan and "
+            "codegen/interp/fallback are unmeasurable (0/blank). "
+            "Forbidden nodes are enforced empty by the differential "
+            "gate; this table is the visibility layer on top."
             if executed
             else " PRE-EXECUTION plans (--no-execute): under AQE most "
             "stages acquire codegen ids only at runtime, so `codegen` 0 "
             "means 'not yet annotated', not 'interpreted'; the "
-            "interp/hof columns are blanked (unmeasurable pre-run)."
+            "interp/fallback columns are blanked (unmeasurable pre-run)."
         ),
         "",
-        "| query | shuffles | broadcasts | BHJ | SMJ | BNLJ | codegen | interp | hof | pushed | build_s | exec_s | forbidden |",
+        "| query | shuffles | broadcasts | BHJ | SMJ | BNLJ | codegen | interp | fallback | pushed | build_s | exec_s | forbidden |",
         "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         tag = " (stream)" if r["streaming"] else ""
+        if r.get("empty_final"):
+            tag += " (empty@audit-sf)"
         interp = ", ".join(sorted(set(r["interp"]))) if r["interp"] else ""
         out.append(
             f"| {r['name']}{tag} | {r['exchanges']} | {r['broadcasts']} | "
             f"{r['bhj']} | {r['smj']} | {r['bnlj']} | {r['codegen']} | "
-            f"{interp} | {r['hof'] or ''} | {r['pushed']} | {r['build_s']} | "
+            f"{interp} | {r['fallback'] or ''} | {r['pushed']} | {r['build_s']} | "
             f"{r['exec_s'] if r['exec_s'] is not None else ''} | "
             f"{', '.join(r['forbidden'])} |"
         )
@@ -305,7 +376,7 @@ def main() -> None:
             if r is None:
                 continue
             probs = []
-            if r["codegen"] <= 0:
+            if r["codegen"] <= 0 and not r.get("empty_final"):
                 probs.append("no codegen region in final plan")
             if r["interp"]:
                 probs.append(
@@ -314,7 +385,7 @@ def main() -> None:
                 )
             if probs:
                 violations.append(f"{name}: {'; '.join(probs)}")
-        hot_hof = sum(by_name[n]["hof"] for n in hot if n in by_name)
+        hot_fb = sum(by_name[n]["fallback"] for n in hot if n in by_name)
         if not hot:
             # never a vacuous pass: without a usable BENCH_DETAIL.md
             # there is no hot set to enforce (review r12)
@@ -330,9 +401,9 @@ def main() -> None:
                 "codegen and no eligible operator is interpreted "
                 "without cause"
                 + (
-                    f" ({hot_hof} hot nodes are HOF-fallback by design, "
+                    f" ({hot_fb} hot nodes are Spark-design fallback, "
                     "see preamble)."
-                    if hot_hof
+                    if hot_fb
                     else "."
                 )
             )
