@@ -174,25 +174,39 @@ def q_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical interval ``BOUND_ORACLES['q_approx_distinct']``
     asserts). The DuckDB oracle recomputes the exact count and asserts
     the literal TRUE, so a sketch estimate outside its error bound
-    flips a boolean and fails the driver hash compare. ONE groupBy
-    computes both sides (a single distinct aggregate alongside a
-    non-distinct one plans the two-phase distinct with the sketch
-    riding as a partial — one scan, one exchange chain, no join and no
-    Expand; review r12 measured the earlier two-aggregate-join form as
-    a pure second corpus scan)."""
+    flips a boolean and fails the driver hash compare.
+
+    Shape note (review r12, MEASURED): the tempting one-groupBy form
+    (count_distinct + approx_count_distinct in a single agg) is
+    1.7-2× SLOWER than this two-aggregate join at both 3M and 100k
+    rows in a matched-session A/B — Spark's single-distinct rewrite
+    keys the first aggregate phase on (event_type, user_id), dragging
+    the HLL buffer through a per-PAIR aggregate with far more sketch
+    merges, and the merge HashAggregate is interpreted
+    (TypedImperativeAggregate fallback). Two lean codegen'd scans
+    joining two ≤#event_type-row results win; AQE broadcasts the
+    join."""
     events = load_table(spark, sf_dir, "events")
-    agg = events.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    est = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
     )
     n = F.col("exact_users").cast("double")
     tol = F.greatest(F.lit(0.10) * n, F.lit(5.0))
     a = F.col("approx_users").cast("double")
-    return agg.select(
-        "event_type",
-        "exact_users",
-        ((a >= F.floor(n - tol)) & (a <= F.ceil(n + tol))).alias("within_bound"),
-    ).orderBy("event_type")
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            ((a >= F.floor(n - tol)) & (a <= F.ceil(n + tol))).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy("event_type")
+    )
 
 
 def q_approx_quantiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
