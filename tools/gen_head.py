@@ -1,0 +1,74 @@
+"""Print the recommended next-round REGISTRY_HEAD, staleness-ordered.
+
+Since r12 the head pins by FRESHNESS (verdict r11 task 2): new
+never-driver-checked hash-oracled queries first (the introduction-round
+pin invariant), then every remaining hash-oracled query ordered by the
+round of its most recent green row across ALL committed
+CORRECTNESS_r{N}.json artifacts, oldest first. This tool recomputes
+that ordering from the artifacts so each round's rotation is one
+command plus a paste into registry.REGISTRY_HEAD (names only — keep
+the comment structure by hand).
+
+Bound-oracle queries (registry.BOUND_ORACLES) are excluded: the driver
+hash compare cannot pin them; their error contracts ride the
+hash-oracled q_approx_*_gate twins.
+
+Usage: python tools/gen_head.py [--size 57]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tfl_bikes_data_pipeline_spark import registry
+
+
+def last_green_rounds(repo: str) -> dict[str, int]:
+    """query -> round of its most recent green driver row."""
+    last: dict[str, int] = {}
+    arts = []
+    for fn in os.listdir(repo):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
+        if m:
+            arts.append((int(m.group(1)), os.path.join(repo, fn)))
+    for rnd, path in sorted(arts):
+        try:
+            data = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            ok = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+                and not row.get("err")
+            )
+            if ok:
+                last[name] = rnd
+    return last
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=57, help="names to emit")
+    args = ap.parse_args()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last = last_green_rounds(repo)
+    hash_oracled = [q for q in registry.QUERIES if q in registry.ORACLES]
+    never = [q for q in hash_oracled if q not in last]
+    stale = sorted((q for q in hash_oracled if q in last), key=lambda q: last[q])
+    head = (never + stale)[: args.size]
+    print(f"# {len(never)} never-driver-checked (pin first), then by last-green round")
+    for q in head:
+        print(f'    "{q}",  # {"NEW" if q not in last else f"r{last[q]:02d}"}')
+
+
+if __name__ == "__main__":
+    main()
