@@ -333,6 +333,71 @@ def test_waterfill_resample_hits_target_exactly(spark):
     assert again == {k: tuple(v) for k, v in rows.items()}
 
 
+def test_waterfill_exactness_across_distributions(spark):
+    """The water-filling identity must hold for ANY source profile,
+    not just the single worked example: for each planted distribution,
+    an INDEPENDENT Fraction-exact reimplementation (isqrt weights,
+    cap-point sort, greedy prefix capping) must agree with the Spark
+    plan on the capped set and rates, and Σ_capped n + s·Σ_unc w must
+    equal K = total div 2 exactly as rationals. Profiles cover extreme
+    skew, uniform, ties on the cap point, and a dominant source."""
+    import math
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from tfl_bikes_data_pipeline_spark.operators.training import (
+        waterfill_resample,
+    )
+
+    profiles = [
+        {"a": 1, "b": 10000},
+        {f"u{i}": 25 for i in range(20)},
+        {"tiny": 4, "small": 100, "big": 1600},
+        {"x": 7, "y": 7, "z": 7, "whale": 50000},
+        {"p": 100, "q": 100, "r": 100, "s": 9},
+    ]
+    for prof in profiles:
+        # independent exact replica
+        total = sum(prof.values())
+        k_target = total // 2
+        w = {s: math.isqrt(n) for s, n in prof.items()}
+        order = sorted(prof, key=lambda s: (prof[s] / w[s], s))
+        num, den = k_target, sum(w.values())
+        capped = set()
+        for s in order:
+            if Fraction(num, den) >= Fraction(prof[s], w[s]):
+                capped.add(s)
+                num -= prof[s]
+                den -= w[s]
+            else:
+                break
+        scale = Fraction(num, den)
+        kept_mass = sum(prof[s] for s in capped) + scale * sum(
+            w[s] for s in prof if s not in capped
+        )
+        assert kept_mass == k_target, (prof, kept_mass, k_target)
+
+        # Spark plan must agree row-for-row
+        rows_src = [(i, s) for s, n in prof.items() for i in range(n)]
+        docs = spark.createDataFrame(
+            [(f"{s}-{i}", s) for i, s in enumerate(r[1] for r in rows_src)],
+            "doc_id string, source string",
+        ).select(F.col("doc_id"), F.col("source"))
+        got = {r.source: r for r in waterfill_resample(docs).collect()}
+        assert set(got) == set(prof)
+        for s in prof:
+            assert got[s].n_docs == prof[s]
+            assert got[s].capped == (s in capped), (prof, s)
+            want_rate = (
+                1.0
+                if s in capped
+                else round(float(scale * w[s] / prof[s]), 6)
+            )
+            assert abs(got[s].rate - want_rate) < 1e-9, (prof, s)
+            assert 0 <= got[s].n_kept <= prof[s]
+
+
 def test_waterfill_resample_excludes_null_source(spark):
     """NULL-source docs are excluded up front (same policy and reason
     as temperature_resample — the kept join can never match NULL)."""
