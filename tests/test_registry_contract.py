@@ -122,3 +122,28 @@ def test_similarity_oracle_mirror_covers_all_registrations():
     sub = "(SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
     unmirrored = [n for n, sql in similarity.ORACLES.items() if sub not in sql]
     assert not unmirrored, f"oracles without the null-filtered subquery: {unmirrored}"
+
+
+def test_registry_head_matches_gen_head_ordering():
+    """The committed REGISTRY_HEAD must be exactly the staleness
+    ordering tools/gen_head.py derives from the committed
+    CORRECTNESS_r*.json artifacts (verdict r12 task 2): never-driver-
+    checked queries first, then oldest-green first. Without this
+    check, a forgotten rotation paste at round open would silently
+    freeze driver coverage on last round's pin. Self-consistent with
+    the import-time head rotation: sorted() is stable and the rotation
+    puts head names first, so a correctly-pasted head round-trips."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    try:
+        import gen_head
+    finally:
+        sys.path.pop(0)
+
+    expected = gen_head.ordering(str(REPO))[: len(registry.REGISTRY_HEAD)]
+    assert list(registry.REGISTRY_HEAD) == expected, (
+        "REGISTRY_HEAD is stale — regenerate with `python tools/gen_head.py` "
+        "and paste the names (first mismatch: "
+        f"{next((f'pos {i}: head={h!r} expected={e!r}' for i, (h, e) in enumerate(zip(registry.REGISTRY_HEAD, expected)) if h != e), 'length')})"
+    )

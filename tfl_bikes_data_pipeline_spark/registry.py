@@ -128,55 +128,51 @@ BENCH_QUERIES[:] = list(dict.fromkeys([*BENCH_QUERIES, *QUERIES]))
 
 #: Registry HEAD — the driver pins the FIRST ~50 entries of
 #: ``queries()`` each round. The r11 rotation CLOSED the
-#: never-driver-checked backlog (cumulative coverage 205/207, 50/50
-#: green), so from r12 on the head pins by STALENESS (verdict r11
-#: task 2): new-this-round queries first (introduction-round pin —
-#: the invariant that nothing hash-oracled ships driver-unchecked),
-#: then every remaining query ordered by the round of its most recent
-#: driver-green CORRECTNESS row, oldest first (computed as the union
-#: of CORRECTNESS_r01–r11 over the live registry: 1×r2, 4×r3, 1×r4,
-#: 10×r5, then the r8 block). Positions 1-2 are this round's
-#: q_approx_*_gate twins — the in-plan bound-check gates that make the
-#: two sketch paths driver-HASH-verifiable for the first time (their
-#: sketch-valued siblings stay bound-oracled by design and are the
-#: only registry entries without a possible hash row). Every name
-#: here must carry a full hash oracle (test_registry_contract
-#: enforces it for whatever the driver actually pins).
+#: never-driver-checked backlog, so the head pins by STALENESS
+#: (verdict r11 task 2): new-this-round queries first (introduction-
+#: round pin — the invariant that nothing hash-oracled ships
+#: driver-unchecked; r13 introduces none), then every remaining query
+#: ordered by the round of its most recent driver-green CORRECTNESS
+#: row, oldest first. This tuple is the VERBATIM output of
+#: ``python tools/gen_head.py`` over the committed
+#: CORRECTNESS_r01–r12 artifacts (tests/test_registry_contract.py
+#: asserts the match, so a stale paste fails CI rather than silently
+#: freezing coverage — verdict r12 task 2). r13 head: the 10
+#: TPC-H-shape queries whose last green row is r8, then the r9
+#: dedup/ANN/text/retrieval/training cohort. Every name here must
+#: carry a full hash oracle (the two bound-oracled q_approx_*
+#: sketches are excluded by construction; their error contracts ride
+#: the hash-oracled q_approx_*_gate twins, driver-green r12).
 REGISTRY_HEAD: tuple[str, ...] = (
-    # 1) new this round: the sketch error-contract gates + the exact
-    #    water-filled mixture planner
-    "q_approx_distinct_gate", "q_approx_quantiles_gate",
-    "q_mixture_waterfill",
-    # 2) last driver-green r2-r4 (the embedding/text singletons that
-    #    predate the oracle-differential hardening)
-    "q_text_quality",
-    "q_ann_kmeans_assign", "q_embed_centroid", "q_vector_stats",
-    "q_embed_quantize",
-    "q_ann_brute_arrow",
-    # 3) last driver-green r5: the literal-SQL twin surface
-    "q_sql_view_topk", "q_scalar_subquery", "q_sql_topk_count",
-    "q_sql_topk_join_count", "q_sql_filter_hour_topk",
-    "q_sql_group_by_hour", "q_sql_moving_avg",
-    "q_sql_case_bucket_count", "q_sql_bucket_by_location",
-    "q_sql_star_view",
-    # 4) last driver-green r8, registration order (31 of 41 fit a
-    #    50-slot pin; the 10-name tail — the 8 overflow below plus
-    #    q_parts_supplier_count / q_excess_stock_suppliers — leads the
-    #    r13 head if the driver pins exactly 50)
-    "p_dim_time", "q_pricing_summary", "q_json_props", "q_rollup",
-    "q_count_distinct", "q_semi_anti", "q_rank_lag", "q_quantiles",
-    "q_set_ops", "q_pivot", "q_unpivot", "q_cube", "q_grouping_sets",
-    "q_full_outer", "q_ntile_window", "q_running_total", "q_funnel",
-    "q_cohort_retention", "q_shipping_priority", "q_k_anonymity",
-    "q_local_supplier_volume", "q_time_to_convert",
-    "q_order_priority_check", "q_forecast_revenue",
-    "q_volume_shipping", "q_market_share", "q_product_type_profit",
-    "q_returned_items", "q_ship_delay_buckets",
-    "q_customer_distribution", "q_promo_revenue_share",
+    # 1) last driver-green r8: the TPC-H-shape analyst tail that
+    #    overflowed the r12 50-slot pin
     "q_top_supplier", "q_small_qty_revenue",
     "q_large_volume_customers", "q_discounted_revenue",
     "q_waiting_suppliers", "q_sales_opportunity",
     "q_min_cost_supplier", "q_important_stock",
+    "q_parts_supplier_count", "q_excess_stock_suppliers",
+    # 2) last driver-green r9: pipelines, dedup family, ANN family,
+    #    text/retrieval/training, streaming — registration order
+    #    within the round (gen_head preserves registry order for ties)
+    "p_fact_build", "p_weather_align", "p_weather_ids",
+    "p_incremental_append",
+    "q_dedup_exact", "q_dedup_incremental", "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard", "q_dedup_containment", "q_dedup_simhash",
+    "q_dedup_simhash_pairs", "q_dedup_clusters", "q_dedup_canonical",
+    "q_dedup_embedding", "q_dedup_incremental_lsh",
+    "q_dedup_embedding_clusters", "q_dedup_segments",
+    "q_dedup_substrings", "q_dedup_consensus", "q_quality_dup_xtab",
+    "q_ann_brute_topk", "q_ann_ivf_assign", "q_ann_ivf_topk",
+    "q_ann_ivf_refined_topk", "q_ann_quantized_topk", "q_ann_pq_topk",
+    "q_ann_ivfpq_topk", "q_ann_filtered_topk",
+    "q_ann_incremental_index", "q_knn_classify", "q_embed_covariance",
+    "q_ann_recall_eval",
+    "q_text_langid", "q_doc_fingerprint", "q_text_tfidf",
+    "q_text_unigram_logprob", "q_min_k_prob", "q_text_keyness",
+    "q_heavy_hitters", "q_phrase_scan",
+    "q_bm25_topk", "q_hybrid_rrf", "q_rbo_eval",
+    "q_decontaminate", "q_split_leakage_safe", "q_dsir_weights",
+    "q_stream_tumbling", "q_stream_dedup",
 )
 
 

@@ -13,7 +13,7 @@ Bound-oracle queries (registry.BOUND_ORACLES) are excluded: the driver
 hash compare cannot pin them; their error contracts ride the
 hash-oracled q_approx_*_gate twins.
 
-Usage: python tools/gen_head.py [--size 57]
+Usage: python tools/gen_head.py [--size N]   (default: len(REGISTRY_HEAD))
 """
 
 from __future__ import annotations
@@ -55,16 +55,33 @@ def last_green_rounds(repo: str) -> dict[str, int]:
     return last
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=57, help="names to emit")
-    args = ap.parse_args()
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def ordering(repo: str) -> list[str]:
+    """The full staleness ordering over the live registry (never-checked
+    first, then oldest-green first; ties keep registry order). The
+    committed REGISTRY_HEAD must be a prefix of this list —
+    tests/test_registry_contract.py enforces it (verdict r12 task 2)."""
     last = last_green_rounds(repo)
     hash_oracled = [q for q in registry.QUERIES if q in registry.ORACLES]
     never = [q for q in hash_oracled if q not in last]
     stale = sorted((q for q in hash_oracled if q in last), key=lambda q: last[q])
-    head = (never + stale)[: args.size]
+    return never + stale
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    # default: the committed head's length, so a naive regeneration
+    # round-trips exactly (ADVICE r12: a fixed 57 vs the 58-entry
+    # committed head silently dropped the last name).
+    ap.add_argument(
+        "--size",
+        type=int,
+        default=len(registry.REGISTRY_HEAD),
+        help="names to emit (default: len(REGISTRY_HEAD))",
+    )
+    args = ap.parse_args()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last = last_green_rounds(repo)
+    head = ordering(repo)[: args.size]
     print(f"# {len(never)} never-driver-checked (pin first), then by last-green round")
     for q in head:
         print(f'    "{q}",  # {"NEW" if q not in last else f"r{last[q]:02d}"}')
