@@ -218,19 +218,32 @@ def q_approx_quantiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ⌈(p+0.011)·n⌉+1 — the identical clamped rank bounds
     ``BOUND_ORACLES['q_approx_quantiles']`` uses (order statistics,
     never interpolated quantiles: interpolation can land strictly
-    between data values and reject a rank-correct sketch). The oracle
+    between data values and reject a rank-correct sketch). The bound
+    fractions are the PRE-RESOLVED decimal constants 0.239/0.261/
+    0.489/…/0.961 — the same correctly-rounded doubles the oracle's
+    SQL literals parse to — not ``p - 0.011`` computed in binary
+    float, whose 1-ulp drift can move ``floor(frac·n)`` by a whole
+    rank when frac·n lands on an integer (ADVICE r12: n=1000,
+    floor(0.2389999…·1000)=238 vs floor(0.239·1000)=239). The oracle
     emits the exact non-null count plus literal TRUEs, so a
     rank-bound violation fails the driver hash.
 
     Scale posture: the bounds side sorts each group's values via
     ``collect_list`` — the exact-quantile single-task memory shape.
-    That is deliberate and GATE-ONLY (differential-harness scale): the
-    production paths stay [[q_approx_quantiles]] (mergeable sketch)
-    and [[q_quantiles_scaleout]] (distributed ranks); this query
-    exists to pin the sketch path's error contract in driver
-    artifacts. All three aggregates ride ONE groupBy — one scan, one
-    exchange, no re-join (review r12, same shape as
-    [[q_approx_distinct_gate]])."""
+    That is deliberate and GATE-ONLY: the production paths stay
+    [[q_approx_quantiles]] (mergeable sketch) and
+    [[q_quantiles_scaleout]] (distributed ranks); this query exists
+    to pin the sketch path's error contract in driver artifacts.
+    Registration does put it in the bench sweep (the no-silent-caps
+    rule tops BENCH_QUERIES up to the full registry), so the
+    per-group ceiling is MEASURED, not assumed (ADVICE r12): events
+    has 5 event types; the largest group holds 20,302 non-null
+    doubles at sf0.1 (~160 KB of array per aggregation buffer) and
+    ~2.0M at the 100× databound sweep (~16 MB) — both orders of
+    magnitude under task memory on every swept scale. The shape stays
+    out of any corpus-cardinality path. All three aggregates ride ONE
+    groupBy — one scan, one exchange, no re-join (review r12, same
+    shape as [[q_approx_distinct_gate]])."""
     events = load_table(spark, sf_dir, "events").where(
         F.col("value").isNotNull()
     )
@@ -242,8 +255,11 @@ def q_approx_quantiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n_values")
 
     def ok(i: int, p: float) -> Column:
-        lo_rank = F.greatest(F.lit(1), F.floor(F.lit(p - 0.011) * n)).cast("int")
-        hi_rank = F.least(n.cast("int"), (F.ceil(F.lit(p + 0.011) * n) + 1).cast("int"))
+        # round(p±0.011, 3): the correctly-rounded IEEE double of the
+        # 3-decimal literal, bit-identical to the oracle's 0.239 etc.
+        lo_frac, hi_frac = round(p - 0.011, 3), round(p + 0.011, 3)
+        lo_rank = F.greatest(F.lit(1), F.floor(F.lit(lo_frac) * n)).cast("int")
+        hi_rank = F.least(n.cast("int"), (F.ceil(F.lit(hi_frac) * n) + 1).cast("int"))
         e = F.col("q").getItem(i)
         return (e >= F.element_at("vs", lo_rank)) & (
             e <= F.element_at("vs", hi_rank)

@@ -215,7 +215,15 @@ def _metrics(plan: str) -> dict:
         "smj": count("SortMergeJoin"),
         "bnlj": count("BroadcastNestedLoopJoin"),
         "codegen": len(codegen_ids),
-        "final": "isFinalPlan=true" in plan or "== Final Plan ==" not in plan,
+        # finalized = the executed AQE plan prints a "== Final Plan =="
+        # section, or the plan has no adaptive root at all (streaming
+        # memory-sink relations, trivially-final commands). The old
+        # first clause checked "isFinalPlan=true", which only simple-
+        # mode explain prints — it could never match formatted output
+        # (ADVICE r12); rows where this reads False are surfaced with a
+        # (non-final) tag so an un-executed adaptive plan can't pose as
+        # an executed-final measurement.
+        "final": "== Final Plan ==" in plan or "AdaptiveSparkPlan" not in plan,
         "interp": interp,
         "fallback": fallback,
         "pushed": f"{pushed}/{len(scans)}",
@@ -245,9 +253,46 @@ def _hot_queries(root: str, k: int = 20) -> list[str]:
         return []
 
 
+def _audit_one(spark, name: str, sf_dir: str, execute: bool) -> dict:
+    """Build (and optionally execute) one query at sf_dir, return its
+    metric row. collect() runs the DataFrame's OWN QueryExecution (a
+    noop write would execute a fresh command plan and leave df's
+    adaptive plan un-finalized)."""
+    t0 = time.perf_counter()
+    df = registry.QUERIES[name](spark, sf_dir)
+    build_s = round(time.perf_counter() - t0, 2)
+    exec_s = None
+    if execute:
+        t1 = time.perf_counter()
+        df.collect()
+        exec_s = round(time.perf_counter() - t1, 2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    m = _metrics(buf.getvalue())
+    if not execute:
+        # a pre-execution tree carries no codegen stars, so EVERY
+        # eligible node would read as interpreted — meaningless,
+        # blank it (review r12)
+        m["interp"], m["fallback"] = [], 0
+    m["name"] = name
+    m["build_s"] = build_s
+    m["exec_s"] = exec_s
+    m["streaming"] = _is_streaming(name)
+    return m
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--retry-sf-dir",
+        default="/root/testdata/sf0.01",
+        help="re-execute queries whose final plan collapsed to "
+        "EmptyRelation (0 rows at the audit scale) at this larger "
+        "scale so every row carries executed-final metrics (verdict "
+        "r12 task 5); pass '' to disable",
+    )
     ap.add_argument(
         "--no-execute",
         action="store_true",
@@ -263,30 +308,24 @@ def main() -> None:
     for name in sorted(registry.QUERIES):
         t0 = time.perf_counter()
         try:
-            df = registry.QUERIES[name](spark, args.sf_dir)
-            build_s = round(time.perf_counter() - t0, 2)
-            exec_s = None
-            if not args.no_execute:
-                t1 = time.perf_counter()
-                # collect() runs the DataFrame's OWN QueryExecution (a
-                # noop write would execute a fresh command plan and
-                # leave df's adaptive plan un-finalized); sf0.001
-                # results are tiny by construction.
-                df.collect()
-                exec_s = round(time.perf_counter() - t1, 2)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
-            m = _metrics(buf.getvalue())
-            if args.no_execute:
-                # a pre-execution tree carries no codegen stars, so
-                # EVERY eligible node would read as interpreted —
-                # meaningless, blank it (review r12)
-                m["interp"], m["fallback"] = [], 0
-            m["name"] = name
-            m["build_s"] = build_s
-            m["exec_s"] = exec_s
-            m["streaming"] = _is_streaming(name)
+            m = _audit_one(spark, name, args.sf_dir, not args.no_execute)
+            if (
+                m["empty_final"]
+                and not args.no_execute
+                and args.retry_sf_dir
+                and args.retry_sf_dir != args.sf_dir
+            ):
+                # selective (empty-rows-only) larger-scale re-run: the
+                # highly-filtered TPC-H shapes return 0 rows at
+                # sf0.001, so AQE propagates EmptyRelation and
+                # codegen/interp are unmeasurable. One scale up they
+                # produce rows and a real final plan.
+                retry = _audit_one(
+                    spark, name, args.retry_sf_dir, execute=True
+                )
+                if not retry["empty_final"]:
+                    retry["retried_at"] = args.retry_sf_dir
+                    m = retry
             rows.append(m)
         except Exception as exc:  # surface, never hide
             rows.append({
@@ -331,11 +370,15 @@ def main() -> None:
             "TypedImperativeAggregate buffers (HLL++/GK/collect_*/"
             "CMS) — counted for visibility, not gated. Streaming rows "
             "are drained memory-sink relations: trivially final, "
-            "metrics near-empty by design. Rows tagged "
-            "(empty@audit-sf) returned 0 rows at the audit scale, so "
-            "AQE collapsed their executed final plan to EmptyRelation "
-            "— their SHAPE columns read from the Initial plan and "
-            "codegen/interp/fallback are unmeasurable (0/blank). "
+            "metrics near-empty by design. Queries returning 0 rows "
+            "at the base audit scale (AQE collapses their executed "
+            "final plan to EmptyRelation, making codegen/interp "
+            "unmeasurable) are re-executed at --retry-sf-dir and "
+            "tagged (audited@sfN) — their metrics are real "
+            "executed-final measurements one scale up (verdict r12 "
+            "task 5); a row still tagged (empty@audit-sf) was empty "
+            "at BOTH scales and its SHAPE columns read from the "
+            "Initial plan with codegen/interp blank. "
             "Forbidden nodes are enforced empty by the differential "
             "gate; this table is the visibility layer on top."
             if executed
@@ -352,6 +395,14 @@ def main() -> None:
         tag = " (stream)" if r["streaming"] else ""
         if r.get("empty_final"):
             tag += " (empty@audit-sf)"
+        if r.get("retried_at"):
+            # 0 rows at the base audit scale; metrics are from the
+            # executed final plan one scale up (verdict r12 task 5)
+            tag += f" (audited@{os.path.basename(r['retried_at'].rstrip('/'))})"
+        if executed and not r.get("final") and r["exchanges"] >= 0:
+            # adaptive root never finalized — metrics came from an
+            # Initial plan; should not happen on an executed audit.
+            tag += " (non-final)"
         interp = ", ".join(sorted(set(r["interp"]))) if r["interp"] else ""
         out.append(
             f"| {r['name']}{tag} | {r['exchanges']} | {r['broadcasts']} | "
@@ -413,11 +464,21 @@ def main() -> None:
             f"BENCH_DETAIL.md, streaming excluded): {verdict}",
         ]
 
+    n_nonfinal = sum(
+        1
+        for r in rows
+        if executed and not r.get("final") and r["exchanges"] >= 0
+    )
     out += [
         "",
         f"**Totals:** {len(rows)} queries, {total_x} shuffle Exchanges "
         f"across all declared plans, {n_codegen} final plans with ≥1 "
-        f"whole-stage-codegen region, {n_bad} with forbidden nodes/errors.",
+        f"whole-stage-codegen region, {n_bad} with forbidden nodes/errors"
+        + (
+            f", {n_nonfinal} adaptive plans never finalized (tagged non-final)."
+            if n_nonfinal
+            else ", every executed adaptive plan finalized."
+        ),
         *gate_lines,
         "",
     ]
