@@ -55,32 +55,41 @@ SCHED20_AFTER_DEGRADED_SEC = 0.8
 # conditions, not engine drift. The artifact carries
 # `steady_total_normalized`: this run's steady total rescaled to the
 # r11 reference host via the fixed-plan scan_calib macro probe
-# (steady × ref_scan / this_scan). Both sides use the GEOMETRIC MEAN of
-# the before/after probe readings: the sweep runs between the two
-# probes, so the session's effective scan health lies between them, and
-# the geomean is the symmetric estimator (min over-corrects — measured
-# r11: a session whose probe min read 1.4× faster than ref moved the
-# suite only 1.2×, so min-normalizing inverted a −17% raw delta into
-# +18%). Probe-vs-suite proportionality is still approximate: raw and
-# normalized steady BRACKET the engine-attributable delta from the two
-# sides (host faster than ref → raw under-, normalized over-states; and
-# vice versa); matched-conditions interleaved A/Bs remain the
-# per-query arbiter. The retiring r10 reference (driver-refreshed
-# BENCH_r10.json / its BENCH_DETAIL session_health) rides along ONE
-# round as steady_norm_r10 / norm_ref_chain so the series splices.
+# (steady × ref_scan / this_scan).
+#
+# PER-SEGMENT since r13 (verdict r12 task 1): the r12 driver session
+# started on a degraded host that recovered MID-SWEEP (scan probe
+# 1.732s before vs 0.359s after), and the old endpoint-geomean
+# normalization assumes within-session stationarity, so the
+# normalized headline carried a ±15% bracket on identical code. The
+# probe now runs every PROBE_EVERY queries; each segment of the sweep
+# normalizes by the geomean of ITS two bracketing probe readings
+# (the symmetric estimator — min over-corrects, measured r11), and
+# `steady_total_normalized` is the sum of per-segment normalized
+# steady time, so a transient confined to one stretch of the sweep
+# rescales only that stretch. Probe-vs-suite proportionality is still
+# approximate: raw and normalized steady BRACKET the
+# engine-attributable delta from the two sides (host faster than ref
+# → raw under-, normalized over-states; and vice versa);
+# matched-conditions interleaved A/Bs remain the per-query arbiter.
 # Only meaningful at sf0.1 — other scales emit null.
-R10_REF_STEADY_SEC = 222.363
-# geomean(scan_calib_before=0.892, scan_calib_after=0.484)
-R10_REF_SCAN_CALIB_SEC = 0.657
-# r11 re-pin (verdict r11 task 3): the PRIMARY normalization reference
-# is now the driver-refreshed r11 sf0.1 artifact (BENCH_r11.json:
-# steady_total=189.75 over 207 queries; its in-artifact
-# scan_ratio_r10=0.881 ⇒ scan_calib geomean = 0.881 × 0.657 = 0.579s).
-# The r10 reference rides along for ONE round (steady_norm_r10 /
-# norm_ref_chain) so the cross-round series stays splice-able while
-# readers move to the r11 base; drop it in r13.
+#
+# The r10 splice chain (steady_norm_r10 / norm_ref_chain) retired on
+# schedule this round (carried r12 only, per the r11 re-pin note).
 R11_REF_STEADY_SEC = 189.75
 R11_REF_SCAN_CALIB_SEC = 0.579
+#: scan-probe cadence (queries per segment). 30 ⇒ 8 probes over the
+#: 210-query suite, ~4s total probe overhead at sf0.1.
+PROBE_EVERY = 30
+#: stationarity gate: max/min over ALL interleaved scan probes. Mild
+#: drift is exactly what per-segment normalization corrects, so the
+#: degraded threshold sits at a step change (2×) where even segment
+#: endpoints stop being trustworthy interpolants; the r12 transient
+#: (1.732→0.359, ratio 4.8) trips it with margin. Ratios in
+#: (1.5, 2.0] print a warning but keep gate ok — normalized totals
+#: stay comparable, raw seconds don't.
+SCAN_STATIONARITY_DEGRADED = 2.0
+SCAN_STATIONARITY_WARN = 1.5
 CALIB_DEGRADED_RATIO = 2.0
 CALIB_DEGRADED_FLOOR_SEC = 0.3
 LOAD1_DEGRADED = 10.0
@@ -182,7 +191,16 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
-    for name in registry.BENCH_QUERIES:
+    # Interleaved stationarity probes (r13): scan_calib re-measured
+    # every PROBE_EVERY queries; `segment_of[name]` maps each query to
+    # the probe interval it ran inside so normalization can rescale
+    # each segment by its OWN bracketing probes.
+    scan_probes: list[float] = [scan_before]
+    segment_of: dict[str, int] = {}
+    for qi, name in enumerate(registry.BENCH_QUERIES):
+        if qi and qi % PROBE_EVERY == 0:
+            scan_probes.append(_calibrate_scan(spark, sf_dir))
+        segment_of[name] = len(scan_probes) - 1
         fn = registry.QUERIES[name]
         for run in (cold, steady):
             t0 = time.perf_counter()
@@ -200,6 +218,7 @@ def main() -> None:
     calib_after = _calibrate(spark)
     sched_after = _calibrate_scheduler(spark)
     scan_after = _calibrate_scan(spark, sf_dir)
+    scan_probes.append(scan_after)
     heap_after = _heap_used_mb(spark)
     load_after = os.getloadavg()[0]
 
@@ -212,6 +231,24 @@ def main() -> None:
     # every fresh session here — JIT-cold, not degradation; see the
     # threshold constants' calibration note).
     gate_reasons = []
+    stationarity = (
+        round(max(scan_probes) / min(scan_probes), 3)
+        if min(scan_probes) > 0
+        else None
+    )
+    if stationarity is not None and stationarity > SCAN_STATIONARITY_DEGRADED:
+        gate_reasons.append(
+            f"scan_stationarity={stationarity} > {SCAN_STATIONARITY_DEGRADED}x "
+            "(step change in scan health mid-sweep; raw seconds unreliable, "
+            "per-segment normalization best-effort)"
+        )
+    elif stationarity is not None and stationarity > SCAN_STATIONARITY_WARN:
+        print(
+            f"bench: scan probes drifted {stationarity}x across the sweep "
+            "(> warn 1.5x, <= degraded 2x) — per-segment normalization "
+            "corrects steady_norm; read raw seconds within-session only.",
+            file=sys.stderr,
+        )
     if sched_after > SCHED20_AFTER_DEGRADED_SEC:
         gate_reasons.append(
             f"sched20_after={sched_after}s > {SCHED20_AFTER_DEGRADED_SEC}s"
@@ -238,22 +275,35 @@ def main() -> None:
 
     total = round(sum(cold.values()), 3)
     steady_total = round(sum(steady.values()), 3)
-    scan_now = (scan_before * scan_after) ** 0.5
-    if sf == "0.1" and scan_now > 0:
+    # Per-segment normalization (r13): segment j (queries between probe
+    # j and probe j+1) rescales by geomean(probe_j, probe_j+1) — the
+    # session's effective scan health DURING that stretch — so a
+    # transient confined to part of the sweep corrects only that part.
+    # The scalar `scan_ratio` (geomean of all probes vs ref) remains
+    # the session-level summary.
+    seg_scan = [
+        (scan_probes[j] * scan_probes[j + 1]) ** 0.5
+        for j in range(len(scan_probes) - 1)
+    ]
+    seg_steady = [0.0] * len(seg_scan)
+    for name, t in steady.items():
+        seg_steady[segment_of[name]] += t
+    scan_now = 1.0
+    for p in scan_probes:
+        scan_now *= p
+    scan_now **= 1.0 / len(scan_probes)
+    if sf == "0.1" and min(scan_probes) > 0:
         scan_ratio_vs_r11 = round(scan_now / R11_REF_SCAN_CALIB_SEC, 3)
         steady_total_normalized = round(
-            steady_total * R11_REF_SCAN_CALIB_SEC / scan_now, 3
-        )
-        # one-round splice chain vs the retiring r10 reference
-        scan_ratio_vs_r10 = round(scan_now / R10_REF_SCAN_CALIB_SEC, 3)
-        steady_total_normalized_r10 = round(
-            steady_total * R10_REF_SCAN_CALIB_SEC / scan_now, 3
+            sum(
+                s * R11_REF_SCAN_CALIB_SEC / g
+                for s, g in zip(seg_steady, seg_scan)
+            ),
+            3,
         )
     else:
         scan_ratio_vs_r11 = None
         steady_total_normalized = None
-        scan_ratio_vs_r10 = None
-        steady_total_normalized_r10 = None
     pinned = {n: t for n, t in cold.items() if n in registry.DRIVER_PINNED}
 
     # best-effort: the stdout artifact is the contract — a read-only
@@ -296,10 +346,19 @@ def main() -> None:
                 "don't — compare WITHIN a session when possible. (r11+) "
                 "`steady_total_normalized_sec` applies that normalization "
                 "in-artifact: steady_total rescaled to the reference "
-                "host pinned in `norm_ref` (r11 as of r12; the retiring "
-                "r10 base rides in `norm_ref_chain` for one round so the "
-                "series splices) via the scan_calib ratio, geomean of "
-                "before/after probes on both sides. "
+                "host pinned in `norm_ref` via the scan_calib ratio. "
+                "(r13+) the normalization is PER-SEGMENT: the scan "
+                "probe re-runs every `probe_every` queries "
+                "(`scan_calib_probes_sec`, endpoints included) and each "
+                "segment's steady time rescales by the geomean of its "
+                "two bracketing probes, so a host transient confined to "
+                "one stretch of the sweep — the r12 failure mode, where "
+                "a degraded host recovered mid-sweep and the endpoint "
+                "geomean mis-scaled the whole suite by ±15% — corrects "
+                "only that stretch. `scan_stationarity_max_over_min` "
+                "summarizes probe drift; >2x gates the artifact "
+                "degraded, 1.5-2x warns (normalized stays comparable, "
+                "raw seconds don't). "
                 "Probe-vs-suite proportionality is approximate, so read "
                 "raw and normalized steady as a BRACKET on the "
                 "engine-attributable delta (host faster than ref → raw "
@@ -328,23 +387,25 @@ def main() -> None:
                         # this answers "did the ENGINE get faster/slower".
                         "steady_total_normalized_sec": steady_total_normalized,
                         "scan_calib_ratio_vs_r11": scan_ratio_vs_r11,
+                        # per-segment normalization inputs (r13): each
+                        # segment is PROBE_EVERY queries; probe list
+                        # has len(segments)+1 readings (endpoints
+                        # included); norm = Σ seg_steady × ref/geomean
+                        # of the segment's two bracketing probes.
+                        "norm_method": "per-segment scan_calib (r13)",
+                        "probe_every": PROBE_EVERY,
+                        "segment_steady_sec": [round(s, 3) for s in seg_steady],
+                        "segment_scan_geomean_sec": [
+                            round(g, 3) for g in seg_scan
+                        ],
                         "norm_ref": {
                             "round": 11,
                             "steady_total_sec": R11_REF_STEADY_SEC,
                             "scan_calib_sec": R11_REF_SCAN_CALIB_SEC,
                         },
-                        # retiring reference, kept ONE round so the
-                        # r≤11 series splices onto the r11 base
-                        "steady_total_normalized_r10_sec": steady_total_normalized_r10,
-                        "scan_calib_ratio_vs_r10": scan_ratio_vs_r10,
-                        "norm_ref_chain": [
-                            {
-                                "round": 10,
-                                "steady_total_sec": R10_REF_STEADY_SEC,
-                                "scan_calib_sec": R10_REF_SCAN_CALIB_SEC,
-                            }
-                        ],
                         "session_health": {
+                            "scan_calib_probes_sec": scan_probes,
+                            "scan_stationarity_max_over_min": stationarity,
                             "env_gate": env_gate,
                             "calib_before_sec": calib_before,
                             "calib_after_sec": calib_after,
@@ -377,7 +438,7 @@ def main() -> None:
         "steady_total": steady_total,
         "steady_norm": steady_total_normalized,
         "scan_ratio_r11": scan_ratio_vs_r11,
-        "steady_norm_r10": steady_total_normalized_r10,
+        "scan_stationarity": stationarity,
         "calib": [calib_before, calib_after],
         "gate": env_gate,
         "detail": detail_name,

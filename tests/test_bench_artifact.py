@@ -68,16 +68,38 @@ def test_bench_runs_to_completion_and_emits_contract_json():
     assert len(out["calib"]) == 2
     # normalized headline (r10 verdict task 5; reference re-pinned to
     # r11 per r11 task 3): present in both artifacts, null outside
-    # sf0.1 (the references are sf0.1 measurements). The retiring r10
-    # base rides in a one-round splice chain.
+    # sf0.1 (the references are sf0.1 measurements). The r10 splice
+    # chain retired in r13 on schedule.
     assert "steady_total_normalized_sec" in full
     assert "norm_ref" in full and full["norm_ref"]["round"] == 11
-    assert full["norm_ref_chain"][0]["round"] == 10
-    assert "steady_total_normalized_r10_sec" in full
+    assert "norm_ref_chain" not in full and "steady_total_normalized_r10_sec" not in full
     assert "steady_norm" in out and "scan_ratio_r11" in out
-    assert "steady_norm_r10" in out
+    assert "steady_norm_r10" not in out
     assert full["steady_total_normalized_sec"] is None  # smoke runs sf0.001
-    assert out["steady_norm"] is None and out["steady_norm_r10"] is None
+    assert out["steady_norm"] is None
+    # per-segment stationarity telemetry (verdict r12 task 1): the scan
+    # probe interleaves every probe_every queries; probe list has one
+    # reading per segment boundary (endpoints included), segments
+    # partition the steady total exactly, and the max/min drift summary
+    # rides both artifacts (gate input at >2x).
+    import math
+
+    n_queries = len(full["queries"])
+    n_segments = math.ceil(n_queries / full["probe_every"])
+    probes = health["scan_calib_probes_sec"]
+    assert len(probes) == n_segments + 1
+    assert probes[0] == health["scan_calib_before_sec"]
+    assert probes[-1] == health["scan_calib_after_sec"]
+    assert all(p > 0 for p in probes)
+    assert len(full["segment_steady_sec"]) == n_segments
+    assert len(full["segment_scan_geomean_sec"]) == n_segments
+    assert (
+        abs(sum(full["segment_steady_sec"]) - out["steady_total"]) < 0.01 * n_segments
+    )
+    expect_stat = round(max(probes) / min(probes), 3)
+    assert health["scan_stationarity_max_over_min"] == expect_stat
+    assert out["scan_stationarity"] == expect_stat
+    assert full["norm_method"].startswith("per-segment")
     # driver-pinned queries must ALL be benched (verdict r5 #2): the
     # pinned set is exactly the correctness artifact's key set, and
     # every one of those names must appear in the bench set.
