@@ -14,6 +14,7 @@ result table, so the DuckDB oracle can check it like any batch query.
 
 from __future__ import annotations
 
+import json
 import shutil
 import tempfile
 import uuid
@@ -26,6 +27,31 @@ from pyspark.sql import types as T
 from ..session import ensure_runtime_confs
 from ..tables import nanos_arrival_type, normalize_event_ts
 from ..warehouse import month_partition
+
+
+#: StreamingQueryProgress telemetry of the most recent drain, for the
+#: streaming section of tools/plan_audit.py (verdict r12 task 7): plan
+#: metrics of a drained memory-sink relation are near-empty by design,
+#: so the audit reads runtime progress instead — rows/sec, state rows,
+#: batch durations. A list of per-micro-batch progress dicts (the
+#: engine's own JSON), newest last, overwritten at each drain's
+#: termination. A reader attributing progress to a specific query
+#: should CLEAR this before invoking the query (a drain that dies
+#: before termination leaves the previous value in place).
+LAST_PROGRESS: list[dict] = []
+
+
+def record_progress(q) -> None:
+    """Capture a finished StreamingQuery's recentProgress into
+    LAST_PROGRESS. Called right after awaitTermination by every drain
+    helper (memory-sink, snapshot, parquet, warehouse); best-effort —
+    telemetry must never fail a drain."""
+    global LAST_PROGRESS
+    try:
+        prog = q.recentProgress
+        LAST_PROGRESS = [p if isinstance(p, dict) else json.loads(str(p)) for p in prog]
+    except Exception:
+        LAST_PROGRESS = []
 
 
 def _fallback_stream_schema(spark: SparkSession) -> T.StructType:
@@ -320,6 +346,7 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
+        record_progress(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
@@ -424,6 +451,7 @@ def stream_events_to_warehouse(
         .start()
     )
     q.awaitTermination()
+    record_progress(q)
 
 
 def sliding_window_counts(
@@ -514,6 +542,7 @@ def run_available_now_snapshot(
             .start()
         )
         q.awaitTermination()
+        record_progress(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     vacuum_versions(table_dir, keep=2)
@@ -791,6 +820,7 @@ def run_available_now_to_parquet(
             .start()
         )
         q.awaitTermination()
+        record_progress(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
@@ -1062,6 +1092,7 @@ def stream_upsert_to_warehouse(
 
     q = events.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()
+    record_progress(q)
 
 
 def stream_drain_with_checkpoint(
@@ -1082,6 +1113,7 @@ def stream_drain_with_checkpoint(
         .start()
     )
     q.awaitTermination()
+    record_progress(q)
 
 
 def _stage_half(sf_dir: str, landing: str, parity: int, name: str) -> None:

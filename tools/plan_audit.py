@@ -253,6 +253,36 @@ def _hot_queries(root: str, k: int = 20) -> list[str]:
         return []
 
 
+def _summarize_progress(progress: list[dict]) -> dict | None:
+    """Collapse a drain's per-micro-batch StreamingQueryProgress list
+    into the audit row: batch count, input rows, weighted rows/sec,
+    peak state rows, total/max trigger wall (verdict r12 task 7 — plan
+    metrics of a drained memory-sink relation are near-empty by
+    design, so the streaming section reads the engine's own runtime
+    telemetry instead)."""
+    if not progress:
+        return None
+    input_rows = sum(int(p.get("numInputRows") or 0) for p in progress)
+    trig_ms = [
+        int((p.get("durationMs") or {}).get("triggerExecution") or 0)
+        for p in progress
+    ]
+    state_rows = [
+        int(s.get("numRowsTotal") or 0)
+        for p in progress
+        for s in (p.get("stateOperators") or [])
+    ]
+    total_s = sum(trig_ms) / 1000.0
+    return {
+        "batches": len(progress),
+        "input_rows": input_rows,
+        "rows_per_sec": round(input_rows / total_s, 1) if total_s > 0 else None,
+        "state_rows_peak": max(state_rows) if state_rows else 0,
+        "trigger_total_s": round(total_s, 2),
+        "trigger_max_s": round(max(trig_ms) / 1000.0, 2) if trig_ms else 0.0,
+    }
+
+
 def _audit_one(spark, name: str, sf_dir: str, execute: bool) -> dict:
     """Build (and optionally execute) one query at sf_dir, return its
     metric row. collect() runs the DataFrame's OWN QueryExecution (a
@@ -304,11 +334,22 @@ def main() -> None:
     spark = get_spark(app_name="plan_audit")
     from tfl_bikes_data_pipeline_spark.functions.ranks import release_rank_relations
 
+    from tfl_bikes_data_pipeline_spark.streaming import jobs as streaming_jobs
+
     rows = []
     for name in sorted(registry.QUERIES):
         t0 = time.perf_counter()
         try:
+            if _is_streaming(name):
+                # guarantee attribution: a drain that dies before
+                # termination must not inherit the previous query's
+                # progress (see jobs.LAST_PROGRESS contract)
+                streaming_jobs.LAST_PROGRESS = []
             m = _audit_one(spark, name, args.sf_dir, not args.no_execute)
+            if _is_streaming(name):
+                m["stream_progress"] = _summarize_progress(
+                    streaming_jobs.LAST_PROGRESS
+                )
             if (
                 m["empty_final"]
                 and not args.no_execute
@@ -463,6 +504,36 @@ def main() -> None:
             f"**Hot-query codegen gate** (top-{len(hot)} steady from "
             f"BENCH_DETAIL.md, streaming excluded): {verdict}",
         ]
+
+    stream_rows = [r for r in rows if r["streaming"]]
+    if executed and stream_rows:
+        out += [
+            "",
+            "## Streaming runtime telemetry",
+            "",
+            "Plan metrics of a drained memory-sink relation are "
+            "near-empty by design, so each streaming variant reports "
+            "the engine's own StreamingQueryProgress from its audit "
+            "drain instead (verdict r12 task 7): micro-batch count, "
+            "input rows, throughput (input rows / summed trigger "
+            "wall), peak state-store rows, and total/max trigger "
+            "execution wall. Variants without a row produced no "
+            "progress (e.g. the drain raised before its first batch).",
+            "",
+            "| query | batches | input_rows | rows/sec | state_rows_peak | trigger_total_s | trigger_max_s |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for r in sorted(stream_rows, key=lambda r: r["name"]):
+            p = r.get("stream_progress")
+            if p:
+                out.append(
+                    f"| {r['name']} | {p['batches']} | {p['input_rows']} | "
+                    f"{p['rows_per_sec'] if p['rows_per_sec'] is not None else ''} | "
+                    f"{p['state_rows_peak']} | {p['trigger_total_s']} | "
+                    f"{p['trigger_max_s']} |"
+                )
+            else:
+                out.append(f"| {r['name']} | (no progress captured) | | | | | |")
 
     n_nonfinal = sum(
         1
