@@ -141,6 +141,13 @@ def test_registry_head_matches_gen_head_ordering():
     finally:
         sys.path.pop(0)
 
+    # a truncated paste would shrink the comparison window and pass
+    # vacuously — the driver pins ~50 slots, so the head must cover at
+    # least that many (review r13)
+    assert len(registry.REGISTRY_HEAD) >= 50, (
+        f"REGISTRY_HEAD has only {len(registry.REGISTRY_HEAD)} entries — "
+        "the driver pins ~50; a truncated paste silently narrows coverage"
+    )
     expected = gen_head.ordering(str(REPO))[: len(registry.REGISTRY_HEAD)]
     assert list(registry.REGISTRY_HEAD) == expected, (
         "REGISTRY_HEAD is stale — regenerate with `python tools/gen_head.py` "

@@ -219,14 +219,26 @@ def q_approx_quantiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``BOUND_ORACLES['q_approx_quantiles']`` uses (order statistics,
     never interpolated quantiles: interpolation can land strictly
     between data values and reject a rank-correct sketch). The bound
-    fractions are the PRE-RESOLVED decimal constants 0.239/0.261/
-    0.489/…/0.961 — the same correctly-rounded doubles the oracle's
-    SQL literals parse to — not ``p - 0.011`` computed in binary
-    float, whose 1-ulp drift can move ``floor(frac·n)`` by a whole
-    rank when frac·n lands on an integer (ADVICE r12: n=1000,
-    floor(0.2389999…·1000)=238 vs floor(0.239·1000)=239). The oracle
-    emits the exact non-null count plus literal TRUEs, so a
-    rank-bound violation fails the driver hash.
+    fractions are pre-resolved via ``round(p±0.011, 3)`` — for these
+    four p values that is BIT-IDENTICAL to ``p - 0.011`` (verified:
+    0.25−0.011 == 0.239 exactly in IEEE double), so this is clarity/
+    future-proofing against p values whose offset ISN'T the correctly
+    rounded 3-decimal double, not a behavior change (review r13,
+    correcting ADVICE r12's hypothesized-but-unreproducible 1-ulp
+    floor case). The real cross-engine caveat is arithmetic MODE, not
+    literal parsing: Spark computes ``floor(frac·n)`` in binary
+    double while DuckDB's ``0.239`` is DECIMAL(4,3) and its floor is
+    exact — at integer boundaries of frac·n these can differ by one
+    rank (measured: 0.939·17000k gives double-floor 15962 vs exact
+    15963 — 9 n values in the first 200k; the double side is one rank
+    WIDER). That can never flip the driver hash: the ``*_ok`` columns
+    are computed entirely Spark-side against Spark's own window and
+    the oracle emits literal TRUEs, while the sketch VALUES are
+    independently bound-checked with DuckDB's exact arithmetic in
+    ``BOUND_ORACLES['q_approx_quantiles']``; the ±0.001 slack beyond
+    the sketch's ±0.01 rank guarantee absorbs the boundary rank on
+    both sides. The oracle emits the exact non-null count plus
+    literal TRUEs, so a rank-bound violation fails the driver hash.
 
     Scale posture: the bounds side sorts each group's values via
     ``collect_list`` — the exact-quantile single-task memory shape.
@@ -256,7 +268,9 @@ def q_approx_quantiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ok(i: int, p: float) -> Column:
         # round(p±0.011, 3): the correctly-rounded IEEE double of the
-        # 3-decimal literal, bit-identical to the oracle's 0.239 etc.
+        # 3-decimal literal (bit-identical to p±0.011 for these four
+        # p — defensive only; see docstring for the real cross-engine
+        # arithmetic-mode caveat)
         lo_frac, hi_frac = round(p - 0.011, 3), round(p + 0.011, 3)
         lo_rank = F.greatest(F.lit(1), F.floor(F.lit(lo_frac) * n)).cast("int")
         hi_rank = F.least(n.cast("int"), (F.ceil(F.lit(hi_frac) * n) + 1).cast("int"))

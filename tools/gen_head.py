@@ -82,7 +82,8 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last = last_green_rounds(repo)
     head = ordering(repo)[: args.size]
-    print(f"# {len(never)} never-driver-checked (pin first), then by last-green round")
+    n_never = sum(1 for q in head if q not in last)
+    print(f"# {n_never} never-driver-checked (pin first), then by last-green round")
     for q in head:
         print(f'    "{q}",  # {"NEW" if q not in last else f"r{last[q]:02d}"}')
 

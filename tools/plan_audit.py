@@ -346,10 +346,6 @@ def main() -> None:
                 # progress (see jobs.LAST_PROGRESS contract)
                 streaming_jobs.LAST_PROGRESS = []
             m = _audit_one(spark, name, args.sf_dir, not args.no_execute)
-            if _is_streaming(name):
-                m["stream_progress"] = _summarize_progress(
-                    streaming_jobs.LAST_PROGRESS
-                )
             if (
                 m["empty_final"]
                 and not args.no_execute
@@ -360,13 +356,31 @@ def main() -> None:
                 # highly-filtered TPC-H shapes return 0 rows at
                 # sf0.001, so AQE propagates EmptyRelation and
                 # codegen/interp are unmeasurable. One scale up they
-                # produce rows and a real final plan.
-                retry = _audit_one(
-                    spark, name, args.retry_sf_dir, execute=True
+                # produce rows and a real final plan. Best-effort: a
+                # retry failure (missing dir, larger-scale-only error)
+                # must keep the valid base-scale row, not replace it
+                # with an ERROR row (review r13).
+                if _is_streaming(name):
+                    streaming_jobs.LAST_PROGRESS = []
+                try:
+                    retry = _audit_one(
+                        spark, name, args.retry_sf_dir, execute=True
+                    )
+                except Exception as exc:
+                    print(
+                        f"plan_audit: retry of {name} at "
+                        f"{args.retry_sf_dir} failed ({exc}); keeping "
+                        "base-scale row",
+                        file=sys.stderr,
+                    )
+                else:
+                    if not retry["empty_final"]:
+                        retry["retried_at"] = args.retry_sf_dir
+                        m = retry
+            if _is_streaming(name):
+                m["stream_progress"] = _summarize_progress(
+                    streaming_jobs.LAST_PROGRESS
                 )
-                if not retry["empty_final"]:
-                    retry["retried_at"] = args.retry_sf_dir
-                    m = retry
             rows.append(m)
         except Exception as exc:  # surface, never hide
             rows.append({

@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import subprocess
 import sys
 import tempfile
@@ -82,7 +83,10 @@ def main() -> None:
     ap.add_argument("--steady-runs", type=int, default=3)
     args = ap.parse_args()
 
-    wt = tempfile.mkdtemp(prefix=f"ab_{args.ref_commit}_")
+    # branch-style refs (origin/main) contain '/', which would make
+    # mkdtemp target a nonexistent parent dir — sanitize for the prefix
+    safe_ref = re.sub(r"[^\w.-]", "_", args.ref_commit)
+    wt = tempfile.mkdtemp(prefix=f"ab_{safe_ref}_")
     subprocess.run(
         ["git", "-C", REPO, "worktree", "add", "--detach", wt, args.ref_commit],
         check=True,
