@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
-from ..tables import load_table, table_row_count
+from ..tables import ensure_scan_parallelism, load_table, table_row_count
 
 NUM_MINHASH = 8
 NUM_BANDS = 4  # rows-per-band = 2
@@ -94,18 +94,10 @@ def _retain(df: DataFrame) -> DataFrame:
 # building blocks
 # ---------------------------------------------------------------------------
 
-def _ensure_scan_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Round-robin repartition ONLY when the scan yields fewer splits
-    than half the scheduler's slots — the local-fixture case (one small
-    parquet file = one split = one core doing all the narrow per-row
-    work). On any real deployment the scan has ≥ thousands of splits
-    and this returns ``df`` unchanged, so no full-corpus shuffle is
-    baked into production plans. Partition-count inspection is
-    metadata-only (no job)."""
-    slots = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, slots // 2):
-        return df.repartition(slots)
-    return df
+#: moved to tables.ensure_scan_parallelism (r13: the embedding/ANN
+#: paths need it too); this alias keeps the historical private name
+#: every dedup call site and test uses.
+_ensure_scan_parallelism = ensure_scan_parallelism
 
 
 def shingle_rel(documents: DataFrame, n: int = DEFAULT_SHINGLE) -> DataFrame:
@@ -242,6 +234,64 @@ def jaccard_pairs(shingles: DataFrame, min_jaccard: float) -> DataFrame:
     )
 
 
+
+#: narrow in-row expansion of the C(df,2) ordered pairs of a sorted doc
+#: array — shared by the candidate index and the pruned pair counters.
+_PAIR_EXPANSION = (
+    "flatten(transform(sequence(1, size(docs) - 1), i -> "
+    "transform(slice(docs, i + 1, size(docs) - i), d -> "
+    "struct(element_at(docs, i) AS doc_a, d AS doc_b))))"
+)
+
+
+def _grouped_postings(sets: DataFrame) -> DataFrame:
+    """(shingle, docs, df) — the grouped inverted index: per distinct
+    shingle, the SORTED array of docs containing it and its document
+    frequency. ONE aggregation shuffle (map-side partial collect_set
+    compresses duplicate postings before the exchange); every consumer
+    of the df-capped index derives narrowly from this relation, where
+    the previous shape re-joined the exploded posting stream against a
+    separate df aggregate — profiled at sf0.1 as the same posting
+    exchange executing 3x per query (capped side a, capped side b,
+    heavy counts). Retained (MEMORY_AND_DISK) across those readers;
+    storage is one row per distinct shingle, the same order as the
+    posting stream it replaces."""
+    return _retain(
+        sets.where(F.col("n_shingles") > 0)
+        .select("doc_id", F.explode("sset").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .select("shingle", "docs", F.size("docs").alias("df"))
+    )
+
+
+def _capped_pair_counts(grouped: DataFrame, max_df: int) -> DataFrame:
+    """(doc_a, doc_b, c) with doc_a < doc_b — per ordered pair, the
+    EXACT count of shared shingles with df in [2, max_df]: the bounded
+    pair stream (each surviving shingle contributes <= C(max_df, 2)
+    pairs), counted directly from the grouped arrays with no posting
+    self-join. Identical to the join-based count: the arrays are the
+    per-shingle doc sets, so expanding ordered pairs and counting
+    per (doc_a, doc_b) is the same multiset the equi-join produced."""
+    return (
+        grouped.where((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select(F.explode(F.expr(_PAIR_EXPANSION)).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _heavy_counts(grouped: DataFrame, max_df: int) -> DataFrame:
+    """(doc_id, h) — per doc, how many of its shingles were capped OUT
+    of the index (df > max_df): the prune bound's boilerplate term."""
+    return (
+        grouped.where(F.col("df") > max_df)
+        .select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+
+
 def ngram_candidate_pairs(
     shingles: DataFrame, max_df: int = NGRAM_MAX_DF
 ) -> DataFrame:
@@ -311,25 +361,9 @@ def ngram_jaccard_pairs_pruned(
     integer-stat joins, and an array join ONLY for bound-passing
     pairs. The full-array join for every candidate — the cost that
     dominates when candidate density is high — never happens."""
-    postings = sets.select("doc_id", F.explode("sset").alias("shingle"))
-    dfrel = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    joined = postings.join(dfrel, "shingle")
-    capped = joined.where((F.col("df") >= 2) & (F.col("df") <= max_df)).select(
-        "doc_id", "shingle"
-    )
-    heavy = (
-        joined.where(F.col("df") > max_df)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("h"))
-    )
-    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
-    pairc = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    grouped = _grouped_postings(sets)
+    pairc = _capped_pair_counts(grouped, max_df)
+    heavy = _heavy_counts(grouped, max_df)
     stats = sets.select("doc_id", F.col("n_shingles").alias("n")).join(
         heavy, "doc_id", "left"
     ).select("doc_id", "n", F.coalesce("h", F.lit(0)).alias("h"))
@@ -438,29 +472,11 @@ def containment_pairs_pruned(
     dropped on pure integer arithmetic before any array verify. Both
     orientations of each unordered candidate are bounded and verified
     (containment is directional — a ⊂ b does not imply b ⊂ a)."""
-    postings = sets.where(F.col("n_shingles") > 0).select(
-        "doc_id", F.explode("sset").alias("shingle")
-    )
-    dfrel = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    joined = postings.join(dfrel, "shingle")
-    capped = joined.where((F.col("df") >= 2) & (F.col("df") <= max_df)).select(
-        "doc_id", "shingle"
-    )
-    heavy = (
-        joined.where(F.col("df") > max_df)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("h"))
-    )
-    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
+    grouped = _grouped_postings(sets)
     # unordered candidate counts once, then both orientations — halves
     # the pair-stream aggregate vs counting ordered pairs directly.
-    pairc_u = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    pairc_u = _capped_pair_counts(grouped, max_df)
+    heavy = _heavy_counts(grouped, max_df)
     pairc = pairc_u.unionByName(
         pairc_u.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"), "c"
@@ -1684,7 +1700,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embedding_pairs_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_dedup_embedding without the presentation sort — the clustering
-    consumer must not cache a range-exchange it never needed."""
+    consumer must not cache a range-exchange it never needed.
+
+    NOT widened (r13 optimization round, measured): only the FIRST
+    coarse hop of the three-level assignment runs on the raw scan —
+    every heavier hop sits behind a window shuffle and already fans
+    out — so conditional widening here bought nothing and its extra
+    round-robin exchange re-executed in every consumer job
+    (interleaved A/B vs the unwidened tree: ratio 1.09; contrast
+    q_dedup_hyperplane_lsh, where the whole scoring pass runs on the
+    raw scan and the same widen measured 0.875)."""
     embeddings = load_table(spark, sf_dir, "embeddings")
     k = embed_block_num_centroids(table_row_count(sf_dir, "embeddings"))
     return embedding_cosine_pairs_probed(
@@ -2766,7 +2791,9 @@ def q_dedup_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook-free blocking family, for the ingest shapes where even a
     seed-centroid scoring pass is unwanted state. Corpus size comes
     from parquet footer metadata (one job, like the IVF path)."""
-    embeddings = load_table(spark, sf_dir, "embeddings")
+    embeddings = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "embeddings"), spark
+    )
     n = table_row_count(sf_dir, "embeddings")
     return embedding_cosine_pairs_hyperplane(
         embeddings, COSINE_DUP_THRESHOLD, n

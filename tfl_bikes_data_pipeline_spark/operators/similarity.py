@@ -386,6 +386,8 @@ def q_ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     full DuckDB oracle (2 unrolled Lloyd rounds) — plus the inertia
     regression check in tests/test_similarity.py."""
     embeddings = load_table(spark, sf_dir, "embeddings")
+    # not widened: same Lloyd-loop re-shuffle finding as
+    # q_ann_ivf_refined_topk (measured A/B 1.112 worse with the widen).
     corpus = _vecs(embeddings, "vec_id", "cv")
     seeds = _vecs(
         embeddings.where(F.col("vec_id") < NUM_CENTROIDS), "centroid_id", "qv"
@@ -758,6 +760,9 @@ def q_ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained IVF index end-to-end: 2 Lloyd rounds refine the seed
     centroids, then the nprobe search runs against the refined index —
     the full build-then-serve ANN pipeline as one declared relation."""
+    # not widened: the Lloyd driver loop re-executes the corpus subtree
+    # in every round's collect job, so a conditional repartition here
+    # re-shuffles per round instead of once (measured A/B 1.087 worse).
     embeddings = load_table(spark, sf_dir, "embeddings")
     corpus = _vecs(embeddings, "vec_id", "cv")
     seeds = _vecs(

@@ -120,6 +120,43 @@ def table_row_count(sf_dir: str, name: str) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+#: Schema catalog (r13 optimization round): resolved parquet schemas
+#: keyed on (path, file stats, nanos-read conf). METADATA ONLY — the
+#: exact role a warehouse metastore plays; the data itself is re-read
+#: from parquet by every query, nothing row- or statistic-shaped is
+#: memoized. Motivation (measured, OPTIMIZATION_r13.md): a schema-less
+#: ``spark.read.parquet`` pays footer schema inference on every plan
+#: build — 60-85 ms per call on the fixtures vs 8-18 ms with the schema
+#: supplied — and the suite builds ~2.5 scans per query, so inference
+#: alone cost tens of seconds per bench pass. Keys carry every file's
+#: (name, mtime, size) so a fixture swap invalidates, plus the
+#: nanosAsLong conf because it changes the ARRIVAL type of
+#: TIMESTAMP(NANOS) columns (see nanos_arrival_type).
+_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+
+
+def _cached_schema(spark: SparkSession, path: str) -> T.StructType:
+    import glob
+
+    if os.path.isfile(path):
+        st = os.stat(path)
+        files_key: tuple = ((path, st.st_mtime_ns, st.st_size),)
+    else:
+        files_key = tuple(
+            (f, os.stat(f).st_mtime_ns, os.stat(f).st_size)
+            for f in sorted(
+                glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            )
+        )
+    conf_key = str(
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    )
+    key = (path, files_key, conf_key)
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -128,9 +165,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (nanos-parquet read, UTC session TZ, ...) are applied here at runtime
     # rather than assumed from the session factory.
     ensure_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.schema(_cached_schema(spark, path)).parquet(path)
     if name == "events":
         df = normalize_event_ts(df)
+    return df
+
+
+def ensure_scan_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition ONLY when the scan yields fewer splits
+    than half the scheduler's slots — the local-fixture case (one small
+    parquet file = one split = one core doing all the narrow per-row
+    work). On any real deployment the scan has ≥ thousands of splits
+    and this returns ``df`` unchanged, so no full-corpus shuffle is
+    baked into production plans. Partition-count inspection is
+    metadata-only (no job). Shared by the dedup shingle paths (since
+    r9) and, as of the r13 optimization round, the embedding/ANN
+    scoring paths, whose broadcast nested-loop scoring otherwise runs
+    single-task over the one-split embeddings fixture (profiled:
+    1-2-task stages carrying 1-3 s of per-row vector math)."""
+    slots = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, slots // 2):
+        return df.repartition(slots)
     return df
 
 
