@@ -207,9 +207,30 @@ def kmeans_refine(
     unchanged because the means are decimal-exact and order-free)."""
     spark = corpus.sparkSession
     for _ in range(iterations):
-        assign = assign_to_centroids(corpus, centroids)
+        # one corpus pass per round (r13): the argmax window carries the
+        # vector array through, so the means never re-join the corpus —
+        # the previous shape evaluated the corpus subtree twice per
+        # round's collect job (once inside assign_to_centroids, once for
+        # the means join). Assignment expression and tie-break are
+        # byte-identical to assign_to_centroids.
+        cn = with_norm(corpus, "cv", "ncv")
+        kn = with_norm(centroids, "qv", "nqv")
+        scored = cn.crossJoin(F.broadcast(kn)).select(
+            "vec_id",
+            "centroid_id",
+            "cv",
+            _cos_pre("qv", "nqv", "cv", "ncv").alias("cos_sim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cos_sim"), F.asc("centroid_id")
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("centroid_id", "cv")
+        )
         means = (
-            corpus.join(assign, "vec_id")
+            assigned
             .select("centroid_id", F.posexplode("cv").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
             .agg(
