@@ -468,9 +468,17 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas decode (the same discipline q_dedup_simhash_pairs
     applies, dedup.py:1273)."""
     from .dedup import _retain, release_cached_relations
+    from ..tables import ensure_scan_parallelism
 
     release_cached_relations()
-    documents = load_table(spark, sf_dir, "documents")
+    # conditional widen before the opaque mapInPandas decode: the
+    # single-row-group fixture otherwise runs the whole per-payload
+    # pixel/hash pass in ONE Python worker (profiled r13: 1-task
+    # 1.1 s dominant stage; interleaved A/B 0.53). No-op at warehouse
+    # split counts — no corpus shuffle in the production plan.
+    documents = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents"), spark
+    )
     hashes = _retain(ahash(attach_payload(documents)))
     return ahash_pairs(hashes).orderBy("doc_a", "doc_b")
 
@@ -539,6 +547,10 @@ def q_ahash_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile would have said so up front for the cost of a scan."""
     from .dedup import banded_bucket_profile
 
+    # scan widening MEASURED and REJECTED here (r13): unlike the pair
+    # queries, the profile is ONE aggregate over the hash relation —
+    # the decode is read once, so the round-robin exchange cost
+    # dominated (interleaved A/B 1.68 vs unwidened on this 0.5 s query).
     documents = load_table(spark, sf_dir, "documents")
     hashes = ahash(attach_payload(documents))
     return banded_bucket_profile(
@@ -588,9 +600,16 @@ def q_multimodal_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     representatives, cluster sizes carried so downstream keep/drop
     logic can weight by exact-duplicate mass."""
     from .dedup import _retain, release_cached_relations
+    from ..tables import ensure_scan_parallelism
 
     release_cached_relations()
-    documents = load_table(spark, sf_dir, "documents")
+    # conditional widen: the md5-digest pass and (via the rep join's
+    # inherited partitioning) the representative ahash decode otherwise
+    # run single-task over the one-split fixture (profiled r13: 1-task
+    # 0.97 s ahash stage). No-op at warehouse split counts.
+    documents = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents"), spark
+    )
     wp = attach_payload(documents)
     # md5 over the payload BYTES == DuckDB md5(text) over UTF-8
     digests = wp.select(

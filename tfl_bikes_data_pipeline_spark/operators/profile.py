@@ -1220,6 +1220,12 @@ def column_stats(df: DataFrame, columns: list[str]) -> DataFrame:
 
 
 def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scan widening MEASURED and REJECTED here (r13): the Expand(×5)
+    # partial aggregate runs single-task over the one-split fixture,
+    # but the round-robin exchange + its 3.2 MB partial-agg shuffle
+    # cost exactly offset the parallelism win (interleaved A/B 1.02
+    # over 4 reps with fresh plans; the same-plan-object rerun that
+    # suggested 0.61 was reusing the exchange's shuffle files).
     events = load_table(spark, sf_dir, "events")
     return column_stats(
         events, ["event_id", "user_id", "event_type", "value"]

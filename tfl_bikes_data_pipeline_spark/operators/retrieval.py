@@ -346,7 +346,14 @@ def source_overlap(documents: DataFrame, n: int = OVERLAP_SHINGLE) -> DataFrame:
 
 
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return source_overlap(load_table(spark, sf_dir, "documents"))
+    # conditional widen: the per-source shingle explode + distinct
+    # otherwise runs on the fixture's one scan split (profiled r13:
+    # 1-task 0.84 s dominant stage). No-op at warehouse split counts.
+    from ..tables import ensure_scan_parallelism
+
+    return source_overlap(
+        ensure_scan_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    )
 
 
 _SOURCE_OVERLAP_ORACLE = f"""

@@ -1122,10 +1122,18 @@ def textrank(
     from .dedup import _retain, release_cached_relations
 
     release_cached_relations()
-    edges = _retain(cooccurrence_edges(documents))
+    # retain the JOINED (edges ⨝ out-weight) relation, not raw edges:
+    # every power-iteration round reads `e`, and with only `edges`
+    # cached the out-weight aggregate + join re-executed per round
+    # (profiled r13: 48 Exchange executions; interleaved A/B 0.62-0.82
+    # with this shape). `nodes` derives from `e` — the inner join on
+    # src preserves every src (outw is keyed by src, built from edges)
+    # — and the n_nodes count doubles as the cache pre-materialization
+    # the iterative-consumer discipline requires (dedup._retain note).
+    edges = cooccurrence_edges(documents)
     outw = edges.groupBy("src").agg(F.sum("weight").alias("outw"))
-    e = edges.join(outw, "src")
-    nodes = edges.select(F.col("src").alias("word")).distinct()
+    e = _retain(edges.join(outw, "src"))
+    nodes = e.select(F.col("src").alias("word")).distinct()
     n_nodes = nodes.count()
     if n_nodes == 0:
         # no co-occurrence edges (every doc < 2 tokens): empty result,
@@ -1151,10 +1159,10 @@ def textrank(
                 F.lit(base) + F.sum("c").cast("string").cast("double"), 12
             ).alias("r")
         )
-    # edges stays persisted until the NEXT _retain-using invocation
+    # e stays persisted until the NEXT _retain-using invocation
     # (dedup.release_cached_relations lifecycle): the returned plan is
-    # lazy, so unpersisting here would recompute the co-occurrence
-    # aggregate for outw plus every iteration join.
+    # lazy, so unpersisting here would recompute the co-occurrence +
+    # out-weight join for every iteration.
     return (
         ranks.select("word", F.round("r", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("word"))
@@ -1717,6 +1725,9 @@ def heavy_hitter_phrases(
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scan widening MEASURED and REJECTED here (r13): the 3-gram build
+    # is cheap per row, so the round-robin exchange cost exceeded the
+    # parallelism win (interleaved A/B 1.06 vs unwidened).
     return heavy_hitter_phrases(load_table(spark, sf_dir, "documents"))
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import day_number, exact_sum, synth_key
-from ..tables import load_table
+from ..tables import ensure_scan_parallelism, load_table
 
 
 # ---------------------------------------------------------------------------
@@ -544,7 +544,18 @@ UNPIVOT_MEASURES = ("sum_qty", "sum_price", "sum_disc", "sum_tax")
 
 
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    # project to the 5 aggregate inputs, then widen conditionally: the
+    # 4-decimal-sum partial aggregate is the whole query, and the
+    # single-row-group fixture scan otherwise runs it on one core
+    # (profiled r13: 3-task dominant stage, interleaved A/B 0.75).
+    # At warehouse scale the scan has >= slots/2 splits and the widen
+    # is a no-op — no shuffle baked into the production plan.
+    lineitem = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        ),
+        spark,
+    )
     wide = lineitem.groupBy("l_returnflag").agg(
         exact_sum("l_quantity", "sum_qty"),
         exact_sum("l_extendedprice", "sum_price"),
@@ -568,7 +579,16 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    # project to the 3 used columns + conditional widen: the Expand
+    # (4 grouping sets) quadruples the scan's rows before the partial
+    # aggregate, all on one core over the single-row-group fixture
+    # (interleaved A/B 0.78; no-op at warehouse split counts).
+    lineitem = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_quantity"
+        ),
+        spark,
+    )
     return (
         lineitem.cube("l_returnflag", "l_linestatus")
         .agg(
