@@ -51,13 +51,23 @@ def test_bench_runs_to_completion_and_emits_contract_json():
         body = fh.read()
     full = json.loads(body.split("```json\n")[1].split("\n```")[0])
     assert set(full["queries"]) == set(registry.BENCH_QUERIES)
-    # cold/steady split (round 6): every query carries both runs, the
+    # cold/steady split (round 6; steady = median-of-N since r14):
+    # every query carries the cold run, the median steady, and the raw
+    # steady reps (rep 1 = the rounds-6-13 single-rep reading); the
     # stdout `value` is the cold total and `steady_total` the warm one,
     # and session-health telemetry makes inflation diagnosable from the
     # artifact alone.
+    n_reps = full["steady_reps_per_query"]
+    assert n_reps >= 3 and n_reps % 2 == 1, "median needs an odd count >= 3"
     for q, t in full["queries"].items():
-        assert set(t) == {"cold", "steady"}, f"{q} missing cold/steady split"
+        assert set(t) == {"cold", "steady", "steady_reps"}, (
+            f"{q} missing cold/steady/steady_reps split"
+        )
         assert t["cold"] >= 0 and t["steady"] >= 0
+        assert len(t["steady_reps"]) == n_reps
+        assert all(r >= 0 for r in t["steady_reps"])
+        # the reported steady IS the median of the raw reps
+        assert t["steady"] == sorted(t["steady_reps"])[n_reps // 2], q
     assert abs(out["value"] - sum(t["cold"] for t in full["queries"].values())) < 0.01
     assert (
         abs(out["steady_total"] - sum(t["steady"] for t in full["queries"].values()))

@@ -135,44 +135,42 @@ BENCH_QUERIES[:] = list(dict.fromkeys([*BENCH_QUERIES, *QUERIES]))
 #: ordered by the round of its most recent driver-green CORRECTNESS
 #: row, oldest first. This tuple is the VERBATIM output of
 #: ``python tools/gen_head.py`` over the committed
-#: CORRECTNESS_r01–r12 artifacts (tests/test_registry_contract.py
+#: CORRECTNESS_r01–r13 artifacts (tests/test_registry_contract.py
 #: asserts the match, so a stale paste fails CI rather than silently
-#: freezing coverage — verdict r12 task 2). r13 head: the 10
-#: TPC-H-shape queries whose last green row is r8, then the r9
-#: dedup/ANN/text/retrieval/training cohort. Every name here must
-#: carry a full hash oracle (the two bound-oracled q_approx_*
-#: sketches are excluded by construction; their error contracts ride
-#: the hash-oracled q_approx_*_gate twins, driver-green r12).
+#: freezing coverage — verdict r12 task 2). r14 head: the 10
+#: retrieval/streaming queries whose last green row is r9 (the tail
+#: the r13 50-slot pin didn't reach), then the r10 profile/timeseries/
+#: merge/training/graph cohort. Every name here must carry a full hash
+#: oracle (the two bound-oracled q_approx_* sketches are excluded by
+#: construction; their error contracts ride the hash-oracled
+#: q_approx_*_gate twins, driver-green r12).
 REGISTRY_HEAD: tuple[str, ...] = (
-    # 1) last driver-green r8: the TPC-H-shape analyst tail that
-    #    overflowed the r12 50-slot pin
-    "q_top_supplier", "q_small_qty_revenue",
-    "q_large_volume_customers", "q_discounted_revenue",
-    "q_waiting_suppliers", "q_sales_opportunity",
-    "q_min_cost_supplier", "q_important_stock",
-    "q_parts_supplier_count", "q_excess_stock_suppliers",
-    # 2) last driver-green r9: pipelines, dedup family, ANN family,
-    #    text/retrieval/training, streaming — registration order
-    #    within the round (gen_head preserves registry order for ties)
-    "p_fact_build", "p_weather_align", "p_weather_ids",
-    "p_incremental_append",
-    "q_dedup_exact", "q_dedup_incremental", "q_dedup_minhash_lsh",
-    "q_dedup_ngram_jaccard", "q_dedup_containment", "q_dedup_simhash",
-    "q_dedup_simhash_pairs", "q_dedup_clusters", "q_dedup_canonical",
-    "q_dedup_embedding", "q_dedup_incremental_lsh",
-    "q_dedup_embedding_clusters", "q_dedup_segments",
-    "q_dedup_substrings", "q_dedup_consensus", "q_quality_dup_xtab",
-    "q_ann_brute_topk", "q_ann_ivf_assign", "q_ann_ivf_topk",
-    "q_ann_ivf_refined_topk", "q_ann_quantized_topk", "q_ann_pq_topk",
-    "q_ann_ivfpq_topk", "q_ann_filtered_topk",
-    "q_ann_incremental_index", "q_knn_classify", "q_embed_covariance",
-    "q_ann_recall_eval",
-    "q_text_langid", "q_doc_fingerprint", "q_text_tfidf",
-    "q_text_unigram_logprob", "q_min_k_prob", "q_text_keyness",
-    "q_heavy_hitters", "q_phrase_scan",
+    # 1) last driver-green r9: the retrieval/eval/streaming tail that
+    #    overflowed the r13 50-slot pin
     "q_bm25_topk", "q_hybrid_rrf", "q_rbo_eval",
     "q_decontaminate", "q_split_leakage_safe", "q_dsir_weights",
     "q_stream_tumbling", "q_stream_dedup",
+    "q_session_window", "q_stream_stateful_counts",
+    # 2) last driver-green r10: profile/quality, asof/range/sampling,
+    #    timeseries, merge/SCD, fuzzy/entity, training mix, graph —
+    #    registration order within the round (gen_head preserves
+    #    registry order for ties)
+    "q_cdc_chunks",
+    "q_multimodal_meta", "q_multimodal_framesample",
+    "q_multimodal_phash_pairs", "q_multimodal_dedup_canonical",
+    "q_profile_nulls", "q_minmax_bounds", "q_stats_moments",
+    "q_winsorized_means", "q_drift_psi", "q_bloom_filter_probe",
+    "q_cms_counts", "q_dq_audit", "q_table_stats", "q_mad_outliers",
+    "q_quality_model", "q_source_overlap",
+    "q_asof_join", "q_range_join", "q_sample_hash",
+    "q_sample_stratified", "q_gap_fill", "q_histogram",
+    "q_ts_similarity", "q_ewma", "q_anomaly_zscore",
+    "q_rolling_actives",
+    "q_merge_upsert", "q_incremental_agg", "q_snapshot_diff",
+    "q_latest_snapshot", "q_scd2_history", "q_scd2_point_lookup",
+    "q_fuzzy_pairs", "q_entity_resolution",
+    "q_split_assign", "q_mixture_sample", "q_mixture_plan",
+    "q_pack_sequences", "q_sample_weighted",
 )
 
 
