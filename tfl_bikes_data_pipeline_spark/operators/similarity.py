@@ -132,9 +132,17 @@ def ivf_assign(embeddings: DataFrame, num_centroids: int = NUM_CENTROIDS) -> Dat
     """Assign every vector to its max-cosine centroid (deterministic
     seed centroids: the ``num_centroids`` lowest vec_ids). Output:
     (vec_id, centroid_id). Delegates to :func:`assign_to_centroids` —
-    ONE copy of the broadcast-argmax tie-break contract."""
+    ONE copy of the broadcast-argmax tie-break contract. Corpus side
+    conditionally widened (no-op at warehouse split counts): the narrow
+    argmax has no exchange to fan the one-split fixture scan out."""
+    from ..tables import ensure_scan_parallelism
+
     return assign_to_centroids(
-        _vecs(embeddings, "vec_id", "cv"),
+        _vecs(
+            ensure_scan_parallelism(embeddings, embeddings.sparkSession),
+            "vec_id",
+            "cv",
+        ),
         _vecs(
             embeddings.where(F.col("vec_id") < num_centroids),
             "centroid_id",
@@ -162,21 +170,91 @@ def ivf_search(
     return ivf_search_with_centroids(embeddings, queries, seeds, k, nprobe)
 
 
-def assign_to_centroids(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, centroid_id) for arbitrary centroid relations (broadcast
-    argmax, ties on centroid_id). Corpus-side norms computed once per
-    vector, not once per (vector, centroid) pair."""
+#: Comparator mirroring the centroid-assignment window's ordering
+#: (cos_sim DESC NULLS LAST, centroid_id ASC NULLS FIRST) as an
+#: array_sort lambda over (s, cid) structs — the total order that makes
+#: the narrow per-row ranking below bit-identical to the
+#: row_number()-over-window form it replaced (r14). round-6 scores are
+#: plain finite doubles (Spark's Round goes through BigDecimal, which
+#: has no -0.0 and no NaN; the zero-norm precondition excludes NaN
+#: inputs), so these double comparisons and the window's normalized
+#: sort keys agree on every tie class; cid is unique, so the order is
+#: total and the sort is insertion-order-independent.
+_CENTROID_RANK_CMP = (
+    "(l, r) -> CASE "
+    "WHEN l.s IS NULL AND r.s IS NOT NULL THEN 1 "
+    "WHEN r.s IS NULL AND l.s IS NOT NULL THEN -1 "
+    "WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 "
+    "WHEN l.cid IS NULL AND r.cid IS NOT NULL THEN -1 "
+    "WHEN r.cid IS NULL AND l.cid IS NOT NULL THEN 1 "
+    "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END"
+)
 
+
+def _centroid_bundle(kn: DataFrame) -> DataFrame:
+    """ONE-row relation carrying the whole centroid set as an array of
+    (cid, qv, nqv) structs. Bounded by construction: this helper serves
+    the IVF SERVING tier, whose centroid count is the fixed
+    NUM_CENTROIDS-sized index constant (the lint recognizes the global
+    aggregate as cardinality-bounding). The corpus-scaled-k dedup
+    blocking paths (k = n/50) keep their hierarchical join shape in
+    operators/dedup.py — a single array row cannot hold millions of
+    centroids."""
+    return kn.agg(
+        F.collect_list(
+            F.struct(
+                F.col("centroid_id").alias("cid"),
+                F.col("qv").alias("qv"),
+                F.col("nqv").alias("nqv"),
+            )
+        ).alias("cents")
+    )
+
+
+def _ranked_cents_expr(vec: str, nrm: str) -> str:
+    """SQL expression: the broadcast centroid array scored against this
+    row's (``vec``, ``nrm``) and sorted by the window-identical order —
+    the NARROW form of "rank all centroids per vector". The
+    crossJoin+window form it replaces (r14) fanned the corpus out k×
+    and shuffled the array-bearing rows once per invocation just to
+    compute a per-row argmax/top-p; this computes the same ranking
+    inside the row with ZERO exchange (guide §2.4). Score is the same
+    IEEE sequence as _cos_pre (dot fold, then one divide by the
+    precomputed norm product, then round 6)."""
+    from ..functions.vectors import dot_expr
+
+    scored = (
+        f"transform(cents, c -> struct("
+        f"round(({dot_expr(vec, 'c.qv')}) / ({nrm} * c.nqv), 6) AS s, "
+        f"c.cid AS cid))"
+    )
+    return f"array_sort({scored}, {_CENTROID_RANK_CMP})"
+
+
+def assign_to_centroids(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id) for arbitrary (bounded, serving-tier)
+    centroid relations — per-row broadcast argmax, ties on centroid_id.
+    Corpus-side norms computed once per vector, not once per
+    (vector, centroid) pair.
+
+    NARROW since r14: the centroid set rides along as ONE broadcast
+    array row and each vector picks its winner inside the row — the
+    previous crossJoin+row_number form materialized n·k scored rows and
+    shuffled the corpus (with its arrays) through a window exchange per
+    invocation, pure overhead for a per-row argmax. Winner and
+    tie-break are bit-identical (see _CENTROID_RANK_CMP); the
+    empty-centroids guard reproduces the crossJoin's empty result."""
     cn = with_norm(corpus, "cv", "ncv")
     kn = with_norm(centroids, "qv", "nqv")
-    scored = cn.crossJoin(F.broadcast(kn)).select(
-        "vec_id", "centroid_id", _cos_pre("qv", "nqv", "cv", "ncv").alias("cos_sim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+        cn.crossJoin(F.broadcast(_centroid_bundle(kn)))
+        .where(F.expr("size(cents) > 0"))
+        .select(
+            "vec_id",
+            F.expr(
+                f"element_at({_ranked_cents_expr('cv', 'ncv')}, 1).cid"
+            ).alias("centroid_id"),
+        )
     )
 
 
@@ -224,19 +302,21 @@ def kmeans_refine(
     cn = _retain(with_norm(corpus, "cv", "ncv"))
     for _ in range(iterations):
         kn = with_norm(centroids, "qv", "nqv")
-        scored = cn.crossJoin(F.broadcast(kn)).select(
-            "vec_id",
-            "centroid_id",
-            "cv",
-            _cos_pre("qv", "nqv", "cv", "ncv").alias("cos_sim"),
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.desc("cos_sim"), F.asc("centroid_id")
-        )
+        # narrow per-row argmax (r14): the previous crossJoin+window
+        # shuffled the array-bearing corpus once per Lloyd round just
+        # to rank k broadcast centroids per vector; the ranking now
+        # happens inside the row (zero exchange per round — the only
+        # remaining shuffle is the means' partial-aggregated groupBy).
+        # Winner/tie-break bit-identical to assign_to_centroids.
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("centroid_id", "cv")
+            cn.crossJoin(F.broadcast(_centroid_bundle(kn)))
+            .where(F.expr("size(cents) > 0"))
+            .select(
+                F.expr(
+                    f"element_at({_ranked_cents_expr('cv', 'ncv')}, 1).cid"
+                ).alias("centroid_id"),
+                "cv",
+            )
         )
         means = (
             assigned
@@ -418,10 +498,18 @@ def q_ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import release_cached_relations
 
     release_cached_relations()  # top-level query over fresh scans
+    from ..tables import ensure_scan_parallelism
+
     embeddings = load_table(spark, sf_dir, "embeddings")
-    # not widened: same Lloyd-loop re-shuffle finding as
-    # q_ann_ivf_refined_topk (measured A/B 1.112 worse with the widen).
-    corpus = _vecs(embeddings, "vec_id", "cv")
+    # widened since r14 (no-op at warehouse split counts): the corpus
+    # is now CACHED once for the Lloyd loop, so the round-robin runs
+    # once into the cache instead of once per round (the r13 finding
+    # that rejected this widen — "the driver loop re-executes the
+    # repartition every round" — no longer applies), and the narrow
+    # argmax has no exchange left to fan the one-split fixture out.
+    corpus = _vecs(
+        ensure_scan_parallelism(embeddings, spark), "vec_id", "cv"
+    )
     seeds = _vecs(
         embeddings.where(F.col("vec_id") < NUM_CENTROIDS), "centroid_id", "qv"
     )
@@ -758,28 +846,58 @@ def ivf_search_with_centroids(
     """IVF probe/search against an ARBITRARY centroid relation (the
     composition point: seed centroids give :func:`ivf_search`, refined
     centroids give the trained index). Same bucketed dataflow: assign
-    once, probe ``nprobe`` buckets per query, score only within them."""
+    once, probe ``nprobe`` buckets per query, score only within them.
 
-    assign = assign_to_centroids(_vecs(embeddings, "vec_id", "cv"), centroids)
+    NARROW assignment since r14: the centroid set rides as one
+    broadcast array row and each corpus vector computes its home bucket
+    inside the row, so the previous ``corpus ⨝ assign`` equi-join — a
+    full corpus shuffle by vec_id whose only purpose was re-attaching
+    the argmax result to the arrays it was computed from — is gone;
+    the probe-side ranking takes the same narrow form (winner set
+    identical, see _CENTROID_RANK_CMP). The only remaining wide
+    exchange is the bucket-keyed probe join, which is the minimum the
+    IVF dataflow admits.
+
+    The corpus side is widened CONDITIONALLY (a no-op whenever the
+    scan has >= slots/2 splits, i.e. at any warehouse scale): with the
+    window/join exchanges gone, nothing fans the one-split local
+    fixture out any more, and the whole scoring+verify pipeline
+    serialized on one core (measured: the first narrow form ran 8
+    single-task stages and A/B'd 1.5x WORSE on q_ann_ivf_topk; widened
+    it A/Bs below the window form). r13 measured this same widen 1.09x
+    worse — against the window form, whose exchanges did the fanning
+    incidentally."""
+    from ..tables import ensure_scan_parallelism
+
+    embeddings = ensure_scan_parallelism(embeddings, embeddings.sparkSession)
+    cn = with_norm(_vecs(embeddings, "vec_id", "cv"), "cv", "ncv")
+    kn = with_norm(centroids, "qv", "nqv")
+    bundle = _centroid_bundle(kn)
     corpus = (
-        _vecs(embeddings, "vec_id", "cv")
-        .transform(lambda d: with_norm(d, "cv", "ncv"))
-        .join(assign, "vec_id")
+        cn.crossJoin(F.broadcast(bundle))
+        .where(F.expr("size(cents) > 0"))
+        .select(
+            "vec_id",
+            "cv",
+            "ncv",
+            F.expr(
+                f"element_at({_ranked_cents_expr('cv', 'ncv')}, 1).cid"
+            ).alias("centroid_id"),
+        )
     )
-
-    cent_as_corpus = centroids.select(
-        "centroid_id", F.col("qv").alias("cv")
-    ).transform(lambda d: with_norm(d, "cv", "ncv"))
     qn = with_norm(queries, "qv", "nqv")
-    qprobe = qn.crossJoin(F.broadcast(cent_as_corpus)).select(
-        "qid", "qv", "nqv", "centroid_id",
-        _cos_pre("qv", "nqv", "cv", "ncv").alias("c_sim"),
-    )
-    wq = Window.partitionBy("qid").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
     probes = (
-        qprobe.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("qid", "qv", "nqv", "centroid_id")
+        qn.crossJoin(F.broadcast(bundle))
+        .where(F.expr("size(cents) > 0"))
+        .select(
+            "qid",
+            "qv",
+            "nqv",
+            F.explode(
+                F.expr(f"slice({_ranked_cents_expr('qv', 'nqv')}, 1, {nprobe})")
+            ).alias("pc"),
+        )
+        .select("qid", "qv", "nqv", F.col("pc.cid").alias("centroid_id"))
     )
     scored = (
         corpus.join(F.broadcast(probes), "centroid_id")
@@ -796,11 +914,17 @@ def q_ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import release_cached_relations
 
     release_cached_relations()  # top-level query over fresh scans
-    # not widened (r13): a conditional repartition would add an
-    # exchange below the now-cached corpus relation for no parallelism
-    # the cache doesn't already give (measured A/B 1.087 worse).
+    from ..tables import ensure_scan_parallelism
+
     embeddings = load_table(spark, sf_dir, "embeddings")
-    corpus = _vecs(embeddings, "vec_id", "cv")
+    # widened since r14 (no-op at warehouse split counts) — same
+    # reasoning as q_ann_kmeans_assign: the repartition now runs once
+    # into the cached corpus, and this construction path matches
+    # ivf_search_with_centroids' own widened corpus subtree exactly, so
+    # the search phase reads the SAME cache the Lloyd loop populated.
+    corpus = _vecs(
+        ensure_scan_parallelism(embeddings, spark), "vec_id", "cv"
+    )
     seeds = _vecs(
         embeddings.where(F.col("vec_id") < NUM_CENTROIDS), "centroid_id", "qv"
     )

@@ -197,7 +197,10 @@ def p_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     overwrite discipline is pinned by
     tests/test_engine.py::test_month_rerun_is_idempotent instead."""
     import atexit
+    import os
     import shutil
+
+    from ..tables import table_row_count
 
     events = load_table(spark, sf_dir, "events").withColumn("ym", month_partition("ts"))
     out = tempfile.mkdtemp(prefix="warehouse_fact_")
@@ -206,16 +209,31 @@ def p_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accumulate full table copies in /tmp.
     atexit.register(shutil.rmtree, out, ignore_errors=True)
 
-    agg0 = events.agg(
-        F.count(F.lit(1)).alias("n"), F.max("ym").alias("last_ym")
-    ).first()
-    if agg0["n"] == 0:
+    # r14 (guide §1.2 "don't compute things you throw away"): the
+    # empty-source check reads the parquet FOOTER row count (the
+    # catalog stat every warehouse serves) and the latest month comes
+    # from the WRITTEN partition directory names below — together they
+    # replace a full pre-write scan (count + max(ym) aggregate) whose
+    # only purpose was those two scalars. At 100 TB that aggregate is
+    # an extra corpus pass before the write.
+    if table_row_count(sf_dir, "events") == 0:
         # truly empty source: nothing was written (no partitions, so
         # the read-back cannot infer a schema) — the correct result is
         # the empty aggregate over the (empty) input relation itself.
         return events.groupBy("ym").agg(F.count(F.lit(1)).alias("cnt")).orderBy("ym")
     write_partitioned(events, out, ["ym"], mode="overwrite")
-    last_month = agg0["last_ym"]
+    # partition inventory from the directory layout ("ym=yyyyMM" dirs;
+    # yyyyMM is fixed-width so string max == chronological max). Rows
+    # with a NULL ym land in the Hive default partition, which is
+    # excluded — matching max(ym)'s null-ignoring semantics.
+    months = sorted(
+        e.name.split("=", 1)[1]
+        for e in os.scandir(out)
+        if e.is_dir()
+        and e.name.startswith("ym=")
+        and "__HIVE_DEFAULT_PARTITION__" not in e.name
+    )
+    last_month = months[-1] if months else None
     if last_month is None:
         # rows exist but every ym is NULL: the write above landed them
         # all in the default partition; there is no latest month to

@@ -178,14 +178,49 @@ def ensure_scan_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
     parquet file = one split = one core doing all the narrow per-row
     work). On any real deployment the scan has ≥ thousands of splits
     and this returns ``df`` unchanged, so no full-corpus shuffle is
-    baked into production plans. Partition-count inspection is
-    metadata-only (no job). Shared by the dedup shingle paths (since
-    r9) and, as of the r13 optimization round, the embedding/ANN
+    baked into production plans. Shared by the dedup shingle paths
+    (since r9) and, as of the r13 optimization round, the embedding/ANN
     scoring paths, whose broadcast nested-loop scoring otherwise runs
     single-task over the one-split embeddings fixture (profiled:
-    1-2-task stages carrying 1-3 s of per-row vector math)."""
+    1-2-task stages carrying 1-3 s of per-row vector math).
+
+    The split-count probe reads the scan's FILE LISTING (r14):
+    ``df.rdd.getNumPartitions()`` runs full physical planning + RDD
+    conversion on the driver and measured 40-95 ms per call — paid at
+    plan-BUILD time by every widened query, twice per bench run —
+    while ``inputFiles()`` + stat arithmetic measures 1-4 ms for the
+    identical widen-or-not decision. The estimate mirrors Spark's
+    FilePartition packing to first order (each file contributes
+    ceil(size / maxPartitionBytes) splits; sub-128MB files are counted
+    once — packing multiple tiny files into one split only LOWERS the
+    true split count, which errs toward widening small scans, the safe
+    direction). Callers pass scan-shaped frames (load_table outputs);
+    non-file-backed or non-local frames fall back to the RDD probe."""
     slots = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, slots // 2):
+    threshold = max(2, slots // 2)
+    splits: int | None = None
+    try:
+        files = df.inputFiles()
+        max_part = 128 << 20  # spark.sql.files.maxPartitionBytes default
+        total = 0
+        for uri in files:
+            if uri.startswith("file:"):
+                path = uri[len("file:"):]
+                while path.startswith("//"):
+                    path = path[1:]
+            elif uri.startswith("/"):
+                path = uri
+            else:  # remote FS — no cheap local stat; use the RDD probe
+                splits = None
+                break
+            total += -(-os.stat(path).st_size // max_part)
+        else:
+            splits = total
+    except Exception:
+        splits = None
+    if splits is None:
+        splits = df.rdd.getNumPartitions()
+    if splits < threshold:
         return df.repartition(slots)
     return df
 
